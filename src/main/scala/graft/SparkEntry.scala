@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+import graft.rules.TranscriptRules
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: KG triple extraction over the transcript table at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TranscriptRules.triples(Transcripts(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_transcripts" -> ((s, dir) =>
+      Transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))),
+    "kg_triples" -> ((s, dir) =>
+      TranscriptRules.triples(Transcripts(s, dir)))
+  )
+
+  /** DuckDB-equivalent SQL per query key (same column names!). */
+  def oracleSql: Map[String, String] = Map(
+    "kg_transcripts" ->
+      s"""WITH ${Transcripts.oracleCte}
+         |SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+         |FROM transcripts""".stripMargin,
+    "kg_triples" ->
+      s"""WITH ${Transcripts.oracleCte}
+         |${TranscriptRules.oracleSelect}""".stripMargin
+  )
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** RDF term construction / N-Triples lexical encoding as pure `Column`
+  * compositions (whole-stage-codegen friendly: every helper expands to
+  * built-in Catalyst expressions, no UDFs on the hot path).
+  *
+  * Semantics follow the reference's term-to-lexical rules:
+  *   - IRIs rendered `<iri>` (N-Triples)
+  *   - literals `"lexical"` with `\` `"` `\n` `\r` `\t` escaped, optional
+  *     `^^<datatype>`; graph-name crafting for literal/bnode subjects uses
+  *     `urn:literal:<pct-encoded>` / `urn:bnode:<label>`
+  *     (reference: NamedGraphStreamOps.java:23-30, RPT snapshot 2024-10-24).
+  */
+object RdfTerms {
+
+  /** Escape a string for an N-Triples literal body. Backslash first. */
+  def ntEscape(c: Column): Column = {
+    val bs = regexp_replace(c, "\\\\", "\\\\\\\\")
+    val q  = regexp_replace(bs, "\"", "\\\\\"")
+    val n  = regexp_replace(q, "\n", "\\\\n")
+    val r  = regexp_replace(n, "\r", "\\\\r")
+    regexp_replace(r, "\t", "\\\\t")
+  }
+
+  /** `<iri>` */
+  def iri(c: Column): Column = concat(lit("<"), c, lit(">"))
+  def iri(s: String): Column = lit("<" + s + ">")
+
+  /** Plain string literal `"..."` (escaped). */
+  def strLit(c: Column): Column = concat(lit("\""), ntEscape(c), lit("\""))
+
+  /** Typed literal `"..."^^<dt>`. Lexical form must already be canonical. */
+  def typedLit(c: Column, dt: String): Column =
+    concat(lit("\""), ntEscape(c), lit("\"^^<" + dt + ">"))
+
+  def longLit(c: Column): Column =
+    typedLit(c.cast("string"), "http://www.w3.org/2001/XMLSchema#long")
+
+  def intLit(c: Column): Column =
+    typedLit(c.cast("string"), "http://www.w3.org/2001/XMLSchema#integer")
+
+  // Common vocabulary
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Graph-name crafting for a subject term (ngs subjects semantics):
+    * IRI as-is; blank node -> urn:bnode:label; literal -> urn:literal:enc.
+    * Input is our N-Triples lexical string column.
+    */
+  def graphNameForSubject(term: Column): Column =
+    when(term.startsWith("<"), term) // IRI: keep as-is (angle-bracketed)
+      .when(term.startsWith("_:"),
+        concat(lit("<urn:bnode:"), substring_index(term, "_:", -1), lit(">")))
+      .otherwise(
+        concat(lit("<urn:literal:"), url_encode(term), lit(">")))
+}

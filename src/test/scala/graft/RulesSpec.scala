@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Transcripts
+import graft.rules.TranscriptRules
+import graft.functions.RdfTerms
+
+class RulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("transcript derivation is deterministic and well-formed") {
+    val t = Transcripts(spark, TestSpark.sf0001).cache()
+    assert(t.count() === 1000)
+    // turn_idx dense per conversation starting at 0
+    val bad = t.groupBy("conv_id")
+      .agg(min("turn_idx").as("mn"), max("turn_idx").as("mx"),
+        count("*").as("n"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"n" - 1)
+    assert(bad.count() === 0)
+    assert(t.filter($"role".isin("user", "assistant", "system", "tool"))
+      .count() === 1000)
+    // deterministic across re-derivation
+    val again = Transcripts(spark, TestSpark.sf0001)
+    assert(t.exceptAll(again).count() === 0)
+    assert(again.exceptAll(t).count() === 0)
+  }
+
+  test("rule layer emits well-formed N-Triples terms") {
+    val tr = TranscriptRules.triples(Transcripts(spark, TestSpark.sf0001))
+      .cache()
+    val n = tr.count()
+    assert(n > 6000) // ≥6 triples per turn
+    assert(tr.filter(!$"subj".startsWith("<")).count() === 0)
+    assert(tr.filter(!$"pred".startsWith("<")).count() === 0)
+    assert(tr.filter(!$"graph".startsWith("<")).count() === 0)
+    assert(tr.filter(!($"obj".startsWith("<") || $"obj".startsWith("\"")))
+      .count() === 0)
+    // unbound-template suppression: tool triples only where tool set
+    val toolTriples = tr.filter($"pred" === "<http://graft.io/p/tool>").count()
+    val toolTurns = Transcripts(spark, TestSpark.sf0001)
+      .filter($"tool".isNotNull).count()
+    assert(toolTriples === toolTurns)
+  }
+
+  test("ntEscape handles quotes, newlines, tabs, backslashes") {
+    val df = Seq("""a"b""", "a\nb", "a\tb", "a\\b", "plain", "a\rb")
+      .toDF("s").select(RdfTerms.strLit($"s").as("l"))
+    val got = df.as[String].collect().toSet
+    assert(got === Set(
+      "\"a\\\"b\"", "\"a\\nb\"", "\"a\\tb\"", "\"a\\\\b\"",
+      "\"plain\"", "\"a\\rb\""))
+  }
+
+  test("graphNameForSubject crafting rules") {
+    val df = Seq("<http://x/y>", "_:b0", "\"hi there\"").toDF("t")
+      .select(RdfTerms.graphNameForSubject($"t").as("g"))
+    val got = df.as[String].collect().toSet
+    assert(got.contains("<http://x/y>"))
+    assert(got.contains("<urn:bnode:b0>"))
+    assert(got.exists(_.startsWith("<urn:literal:")))
+  }
+}
