@@ -19,7 +19,11 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
           col("tool"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))),
     "kg_triples" -> ((s, dir) =>
-      TranscriptRules.triples(Transcripts(s, dir)))
+      TranscriptRules.triples(Transcripts(s, dir))),
+    "kg_mentions" -> ((s, dir) => pipeline.Kg.mentions(s, dir)),
+    "kg_alias_cc" -> ((s, dir) => pipeline.Kg.aliasCc(s, dir)),
+    "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriples(s, dir)),
+    "kg_graph_stats" -> ((s, dir) => pipeline.Kg.graphStats(s, dir))
   )
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
@@ -30,6 +34,10 @@ object SparkEntry {
          |FROM transcripts""".stripMargin,
     "kg_triples" ->
       s"""WITH ${Transcripts.oracleCte}
-         |${TranscriptRules.oracleSelect}""".stripMargin
+         |${TranscriptRules.oracleSelect}""".stripMargin,
+    "kg_mentions" -> pipeline.Kg.mentionsOracle,
+    "kg_alias_cc" -> pipeline.Kg.aliasCcOracle,
+    "kg_canonical_triples" -> pipeline.Kg.canonicalTriplesOracle,
+    "kg_graph_stats" -> pipeline.Kg.graphStatsOracle
   )
 }
