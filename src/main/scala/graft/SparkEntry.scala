@@ -13,7 +13,8 @@ object SparkEntry {
     TranscriptRules.triples(Transcripts(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "kg_transcripts" -> ((s, dir) =>
       Transcripts(s, dir)
         .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
@@ -24,7 +25,7 @@ object SparkEntry {
     "kg_alias_cc" -> ((s, dir) => pipeline.Kg.aliasCc(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriples(s, dir)),
     "kg_graph_stats" -> ((s, dir) => pipeline.Kg.graphStats(s, dir))
-  )
+  ) ++ ops.RelationalSuite.queries
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
   def oracleSql: Map[String, String] = Map(
@@ -39,5 +40,5 @@ object SparkEntry {
     "kg_alias_cc" -> pipeline.Kg.aliasCcOracle,
     "kg_canonical_triples" -> pipeline.Kg.canonicalTriplesOracle,
     "kg_graph_stats" -> pipeline.Kg.graphStatsOracle
-  )
+  ) ++ ops.RelationalSuite.oracles
 }

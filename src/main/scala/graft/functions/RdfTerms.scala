@@ -53,6 +53,7 @@ object RdfTerms {
     when(term.startsWith("<"), term) // IRI: keep as-is (angle-bracketed)
       .when(term.startsWith("_:"),
         concat(lit("<urn:bnode:"), substring_index(term, "_:", -1), lit(">")))
-      .otherwise(
-        concat(lit("<urn:literal:"), url_encode(term), lit(">")))
+      .otherwise( // literal: pct-encode the lexical form (quotes stripped)
+        concat(lit("<urn:literal:"),
+          url_encode(regexp_replace(term, "^\"|\"$", "")), lit(">")))
 }

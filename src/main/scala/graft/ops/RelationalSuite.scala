@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SyntheticQuads
+
+/** ngs/sbs/JSON operator queries + DuckDB oracles (SURVEY.md §2.2-2.8).
+  * Each entry: same column names Spark-side and oracle-side.
+  */
+object RelationalSuite {
+
+  private def quads(s: SparkSession, dir: String) = SyntheticQuads(s, dir)
+  private def events(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet")
+  private def documents(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def customer(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- ngs family (over the F3 synthetic graph corpus) ---------------
+    "ngs_filter_even" -> ((s, dir) =>
+      NgsOps.askFilter(quads(s, dir), col("pred") === SyntheticQuads.IdxPred
+        && col("idx") % 2 === 0).drop("idx")),
+    "ngs_hash" -> ((s, dir) => {
+      val q = quads(s, dir)
+      val hashed = q.select(col("graph"), col("subj"),
+        lit(SyntheticQuads.HashPred).as("pred"),
+        concat(lit("\""), sha2(regexp_replace(col("graph"), "^<|>$", ""), 256),
+          lit("\"")).as("obj"))
+      q.drop("idx").unionByName(hashed)
+    }),
+    "ngs_head" -> ((s, dir) =>
+      NgsOps.headGraphs(quads(s, dir).drop("idx"), 10)),
+    "ngs_tail" -> ((s, dir) =>
+      NgsOps.tailGraphs(quads(s, dir).drop("idx"), 5)),
+    "ngs_sort" -> ((s, dir) =>
+      NgsOps.sortGraphs(quads(s, dir), max(col("idx")), descending = true)
+        .select(col("graph"), col("key").cast("long").as("key"), col("rank"))),
+    "ngs_subjects" -> ((s, dir) =>
+      NgsOps.subjects(SyntheticQuads.mixedSubjectTriples(s, dir))),
+    "ngs_wc" -> ((s, dir) => NgsOps.wc(quads(s, dir))),
+    "ngs_map_graph" -> ((s, dir) =>
+      NgsOps.mapToGraph(NgsOps.headGraphs(quads(s, dir).drop("idx"), 3),
+        "<urn:merged>")),
+    "ngs_while" -> ((s, dir) =>
+      NgsOps.whileGraphs(quads(s, dir), col("idx") % 100 =!= 7).drop("idx")),
+
+    // --- sbs family (binding streams over events) -----------------------
+    "sbs_filter" -> ((s, dir) =>
+      SbsOps.filter(events(s, dir),
+        Seq(col("event_type") === "purchase", col("value") > 100))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"))),
+    "sbs_groupby" -> ((s, dir) =>
+      SbsOps.mapGroupBy(events(s, dir), Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"),
+          round(sum(col("value")), 2).as("sum_value")))),
+    "sbs_union_headers" -> ((s, dir) => {
+      val e = events(s, dir)
+      SbsOps.unionHeaders(Seq(
+        e.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id")),
+        e.filter(col("event_type") === "error")
+          .select(col("event_id"), round(col("value"), 2).as("value"))))
+    }),
+
+    // --- JSON / CSV function family (SURVEY.md §2.8) --------------------
+    "json_path" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "json_unnest" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col").as("item"))),
+    "json_object" -> ((s, dir) =>
+      customer(s, dir).select(col("c_custkey"),
+        to_json(struct(col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))).as("j"))),
+    "json_zip_arrays" -> ((s, dir) =>
+      // docs/examples/json-zip-arrays.sparql: join two arrays on index
+      documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          zip_with(split(col("text"), " "), split(col("text"), " "),
+            (x, y) => struct(x.as("a"), y.as("b"))).as("z"))
+        .select(col("doc_id"), posexplode(col("z")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col.a").as("a"), col("col.b").as("b")))
+  )
+
+  private val Q = SyntheticQuads.oracleCte
+  val oracles: Map[String, String] = Map(
+    "ngs_filter_even" ->
+      s"""WITH $Q
+         |SELECT graph, subj, pred, obj FROM quads
+         |WHERE graph IN (SELECT graph FROM quads WHERE idx % 2 = 0)""".stripMargin,
+    "ngs_hash" ->
+      s"""WITH $Q
+         |SELECT graph, subj, pred, obj FROM quads
+         |UNION ALL
+         |SELECT graph, subj, '<http://www.example.org/hash>',
+         |       '"' || sha256(trim(graph, '<>')) || '"'
+         |FROM quads""".stripMargin,
+    "ngs_head" ->
+      s"""WITH $Q
+         |SELECT graph, subj, pred, obj FROM quads
+         |WHERE graph IN (SELECT DISTINCT graph FROM quads ORDER BY graph LIMIT 10)""".stripMargin,
+    "ngs_tail" ->
+      s"""WITH $Q
+         |SELECT graph, subj, pred, obj FROM quads
+         |WHERE graph NOT IN (SELECT DISTINCT graph FROM quads ORDER BY graph LIMIT 5)""".stripMargin,
+    "ngs_sort" ->
+      s"""WITH $Q,
+         |keyed AS (SELECT graph, max(idx) AS key FROM quads GROUP BY graph)
+         |SELECT graph, key,
+         |       CAST(row_number() OVER (ORDER BY key DESC, graph ASC) AS INT) AS rank
+         |FROM keyed""".stripMargin,
+    "ngs_subjects" ->
+      s"""WITH ${SyntheticQuads.mixedSubjectOracleCte}
+         |SELECT CASE WHEN subj LIKE '<%' THEN subj
+         |            WHEN subj LIKE '_:%' THEN '<urn:bnode:' || substr(subj, 3) || '>'
+         |            ELSE '<urn:literal:' || replace(trim(subj, '"'), ' ', '+') || '>' END AS graph,
+         |       subj, pred, obj
+         |FROM mixed""".stripMargin,
+    "ngs_wc" ->
+      s"""WITH $Q
+         |SELECT count(DISTINCT graph) AS n_graphs, count(*) AS n_quads FROM quads""".stripMargin,
+    "ngs_map_graph" ->
+      s"""WITH $Q
+         |SELECT '<urn:merged>' AS graph, subj, pred, obj FROM quads
+         |WHERE graph IN (SELECT DISTINCT graph FROM quads ORDER BY graph LIMIT 3)""".stripMargin,
+    "ngs_while" ->
+      s"""WITH $Q,
+         |ranked AS (
+         |  SELECT graph, max(CASE WHEN idx % 100 <> 7 THEN 1 ELSE 0 END) AS ok,
+         |         row_number() OVER (ORDER BY graph) AS rnk
+         |  FROM quads GROUP BY graph
+         |),
+         |stop AS (SELECT coalesce(min(rnk), 9223372036854775807) AS s FROM ranked WHERE ok = 0)
+         |SELECT q.graph, q.subj, q.pred, q.obj
+         |FROM quads q JOIN ranked r ON r.graph = q.graph, stop
+         |WHERE r.rnk < stop.s""".stripMargin,
+    "sbs_filter" ->
+      """SELECT event_id, user_id, round(value, 2) AS value FROM events
+        |WHERE event_type = 'purchase' AND value > 100""".stripMargin,
+    "sbs_groupby" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sbs_union_headers" ->
+      """SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, NULL, round(value, 2) FROM events WHERE event_type = 'error'""".stripMargin,
+    "json_path" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events""".stripMargin,
+    "json_unnest" ->
+      """SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS item
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)""".stripMargin,
+    "json_object" ->
+      """SELECT c_custkey,
+        |       CAST(to_json(struct_pack(name := c_name, segment := c_mktsegment)) AS VARCHAR) AS j
+        |FROM customer""".stripMargin,
+    "json_zip_arrays" ->
+      """SELECT doc_id, generate_subscripts(l, 1) AS idx,
+        |       unnest(l) AS a, unnest(l) AS b
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |      FROM documents WHERE doc_id < 50)""".stripMargin
+  )
+}

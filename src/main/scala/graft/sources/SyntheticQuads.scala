@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F3 fixture: the reference's synthetic named-graph benchmark corpus
+  * (`ngs-create-test-data.sh`: `<urn:graph-i> { <urn:s-i> eg:idx i }`),
+  * derived deterministically from the `orders` keys so the DuckDB oracle
+  * can reproduce it.
+  */
+object SyntheticQuads {
+
+  val IdxPred = "<http://www.example.org/idx>"
+  val HashPred = "<http://www.example.org/hash>"
+
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").cast("string").as("k"))
+    o.select(
+      concat(lit("<urn:graph-"), col("k"), lit(">")).as("graph"),
+      concat(lit("<urn:s-"), col("k"), lit(">")).as("subj"),
+      lit(IdxPred).as("pred"),
+      concat(lit("\""), col("k"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")).as("obj"),
+      col("k").cast("long").as("idx"))
+  }
+
+  /** Lockstep DuckDB CTE: quads(graph, subj, pred, obj, idx). */
+  def oracleCte: String =
+    """quads AS (
+      |  SELECT '<urn:graph-' || CAST(o_orderkey AS VARCHAR) || '>' AS graph,
+      |         '<urn:s-' || CAST(o_orderkey AS VARCHAR) || '>' AS subj,
+      |         '<http://www.example.org/idx>' AS pred,
+      |         '"' || CAST(o_orderkey AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj,
+      |         o_orderkey AS idx
+      |  FROM orders
+      |)""".stripMargin
+
+  /** F2-flavoured triples with mixed subject kinds (IRI / bnode / literal)
+    * from `customer`, for the `ngs subjects` graph-crafting rules. The
+    * literal lexical forms stay in [A-Za-z0-9 ] so the oracle can mirror
+    * url_encode with a space→'+' replace.
+    */
+  def mixedSubjectTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+        col("c_mktsegment"))
+    val subj = when(col("k") % 3 === 0,
+        concat(lit("<http://example.org/cust/"), col("k").cast("string"), lit(">")))
+      .when(col("k") % 3 === 1, concat(lit("_:b"), col("k").cast("string")))
+      .otherwise(concat(lit("\"cust "), col("k").cast("string"), lit("\"")))
+    c.select(subj.as("subj"), lit("<http://example.org/name>").as("pred"),
+      concat(lit("\""), col("c_name"), lit("\"")).as("obj"))
+      .unionAll(c.select(subj.as("subj"),
+        lit("<http://example.org/segment>").as("pred"),
+        concat(lit("\""), col("c_mktsegment"), lit("\"")).as("obj")))
+  }
+
+  def mixedSubjectOracleCte: String =
+    """mixed AS (
+      |  SELECT CASE WHEN c_custkey % 3 = 0 THEN '<http://example.org/cust/' || CAST(c_custkey AS VARCHAR) || '>'
+      |              WHEN c_custkey % 3 = 1 THEN '_:b' || CAST(c_custkey AS VARCHAR)
+      |              ELSE '"cust ' || CAST(c_custkey AS VARCHAR) || '"' END AS subj,
+      |         '<http://example.org/name>' AS pred,
+      |         '"' || c_name || '"' AS obj
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT CASE WHEN c_custkey % 3 = 0 THEN '<http://example.org/cust/' || CAST(c_custkey AS VARCHAR) || '>'
+      |              WHEN c_custkey % 3 = 1 THEN '_:b' || CAST(c_custkey AS VARCHAR)
+      |              ELSE '"cust ' || CAST(c_custkey AS VARCHAR) || '"' END,
+      |         '<http://example.org/segment>',
+      |         '"' || c_mktsegment || '"'
+      |  FROM customer
+      |)""".stripMargin
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{NgsOps, SbsOps}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def quads = Seq(
+    ("<g1>", "<s1>", "<p>", "\"1\""),
+    ("<g1>", "<s1>", "<q>", "\"x\""),
+    ("<g2>", "<s2>", "<p>", "\"2\""),
+    ("<g3>", "<s3>", "<p>", "\"3\""),
+    ("<g4>", "<s4>", "<p>", "\"4\"")
+  ).toDF("graph", "subj", "pred", "obj")
+
+  test("askFilter keeps whole graphs; drop negates") {
+    val kept = NgsOps.askFilter(quads, $"obj" === "\"1\"")
+    assert(kept.select("graph").distinct().as[String].collect().toSet === Set("<g1>"))
+    assert(kept.count() === 2) // both g1 rows survive (ASK is per-graph)
+    val dropped = NgsOps.askFilter(quads, $"obj" === "\"1\"", drop = true)
+    assert(dropped.select("graph").distinct().count() === 3)
+  }
+
+  test("head/tail partition the graph stream in order") {
+    val h = NgsOps.headGraphs(quads, 2).select("graph").distinct()
+      .as[String].collect().toSet
+    assert(h === Set("<g1>", "<g2>"))
+    val t = NgsOps.tailGraphs(quads, 2).select("graph").distinct()
+      .as[String].collect().toSet
+    assert(t === Set("<g3>", "<g4>"))
+    // head ∪ tail = everything, disjoint
+    assert((h ++ t).size === 4)
+  }
+
+  test("whileGraphs stops at first failing graph; until negates") {
+    val w = NgsOps.whileGraphs(quads, $"obj" =!= "\"3\"")
+    assert(w.select("graph").distinct().as[String].collect().toSet ===
+      Set("<g1>", "<g2>"))
+    val u = NgsOps.whileGraphs(quads, $"obj" === "\"3\"", until = true)
+    assert(u.select("graph").distinct().as[String].collect().toSet ===
+      Set("<g1>", "<g2>"))
+    // while(true) keeps everything
+    assert(NgsOps.whileGraphs(quads, lit(true))
+      .select("graph").distinct().count() === 4)
+  }
+
+  test("sortGraphs: deterministic rank, random mode is seed-stable") {
+    val r = NgsOps.sortGraphs(quads, count(lit(1)), descending = true)
+    val top = r.filter($"rank" === 1).select("graph").as[String].head
+    assert(top === "<g1>") // 2 rows
+    val rnd1 = NgsOps.sortGraphs(quads, count(lit(1)), random = Some(7L))
+      .orderBy("rank").select("graph").as[String].collect()
+    val rnd2 = NgsOps.sortGraphs(quads, count(lit(1)), random = Some(7L))
+      .orderBy("rank").select("graph").as[String].collect()
+    assert(rnd1.sameElements(rnd2))
+  }
+
+  test("mapToGraph rewrites all graph names") {
+    assert(NgsOps.mapToGraph(quads, "<m>").select("graph").distinct()
+      .as[String].collect().toSeq === Seq("<m>"))
+  }
+
+  test("unionHeaders: union of vars, missing = NULL") {
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val u = SbsOps.unionHeaders(Seq(a, b))
+    assert(u.columns.toSeq === Seq("id", "name", "score"))
+    assert(u.filter($"id" === 2 && $"name".isNull).count() === 1)
+  }
+}
