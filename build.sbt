@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // throughput GC: local-mode Spark allocates heavily across 32 threads;
+  // ParallelGC measured ~2x faster than G1 on the string-heavy stages
+  "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,23 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract: ONE JSON line on stdout
+  * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * `runMain graft.Bench scaling` additionally measures the flagship KG
+  * pipeline at two parallelism levels (local[8] vs local[32], same input)
+  * and reports throughput + scaling efficiency — the sandbox stand-in for
+  * N→4N executors (BASELINE.json north_rule).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Headline queries: the KG pipeline + one representative per family. */
+  val headline: Seq[String] = Seq(
+    "kg_canonical_triples", "kg_triples", "kg_mentions", "kg_graph_stats",
+    "ngs_hash", "ngs_filter_even", "sbs_groupby",
+    "dedup_exact", "dedup_minhash", "text_quality", "embed_topk")
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      // 4x cores: finer tasks load-balance string-heavy aggregation and cap
+      // per-task hash-table size; AQE coalesces back when partitions are
+      // small. (Same rationale as shuffle-partition sizing on a cluster.)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Run the flagship extraction+linking+dedup over a `factor`-times
+    * replicated corpus (compute-bound at any factor>~8 — fixed per-job
+    * overhead amortized like on a real cluster), return (sec, rowsOut).
+    */
+  private def flagship(spark: SparkSession, sfDir: String, factor: Int): (Double, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+    val t0 = System.nanoTime()
+    val t = graft.sources.Transcripts.scaled(spark, sfDir, factor)
+    val base = graft.rules.TranscriptRules.triples(t)
+    val cc = graft.pipeline.Kg.aliasCc(spark, sfDir)
+    val m = graft.linking.Gazetteer
+      .mentions(t, graft.linking.Gazetteer(spark, sfDir))
+      .join(broadcast(cc), col("alias_iri") === col("node"))
+      .select(
+        concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),
+          col("turn_idx").cast("string"), lit(">")).as("subj"),
+        lit("<http://graft.io/p/mentions>").as("pred"),
+        concat(lit("<"), col("component"), lit(">")).as("obj"),
+        concat(lit("<http://graft.io/g/"), col("conv_id"), lit(">")).as("graph"))
+    val n = base.unionByName(m).distinct().count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    if (args.headOption.contains("scaling")) {
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "16").toInt
+      val Array(n1, n2) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+        .split(",").map(_.trim.toInt)
+      // same input, two parallelism levels; stop the session between runs
+      val results = Seq(n1, n2).map { k =>
+        val s = session(k)
+        try { flagship(s, sfDir, factor); flagship(s, sfDir, factor) } // warm + measured
+        finally s.stop()
+      }
+      val Seq((tLo, rLo), (tHi, rHi)) = results
+      require(rLo == rHi, s"row mismatch across parallelism: $rLo vs $rHi")
+      val speedup = tLo / tHi
+      val efficiency = speedup / (n2.toDouble / n1)
+      System.err.println(f"[scaling] rows=$rLo local[$n1]=$tLo%.2fs " +
+        f"local[$n2]=$tHi%.2fs speedup=$speedup%.2fx efficiency=$efficiency%.2f")
+      println(s"""{"metric":"scaling_efficiency_${n1}_to_$n2","value":$efficiency,"unit":"ratio","queries":{"lo_sec":$tLo,"hi_sec":$tHi,"triples":$rLo,"lo_triples_per_sec":${rLo / tLo},"hi_triples_per_sec":${rHi / tHi}},"sf":"$sfDir"}""")
+      return
+    }
+
+    val spark = session(cpus)
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,162 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication for training-data pipelines: exact,
+  * n-gram-Jaccard (the exact baseline), MinHash+LSH (the 100 TB path),
+  * and SimHash.
+  *
+  * Scale design: exact dedup is one hash-shuffle with map-side partial
+  * aggregation. The Jaccard self-join is quadratic in bucket size and is
+  * kept only as the small-scale oracle baseline; MinHash+LSH bounds
+  * comparisons to same-band collisions (tunable precision/recall via
+  * (numHashes, bands)), and every stage is a pure column expression —
+  * no UDFs, full codegen. Hot shingles (stopword-like) are capped via a
+  * frequency filter before the self-join, the standard skew guard.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by all dedup flavors. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact dedup: groups of identical normalized text; representative =
+    * least doc_id. Emits (doc_id, rep_id, group_size).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__h"))
+    docs.select(col("doc_id"), md5(normalized(col("text"))).as("__h"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("rep_id"), col("group_size"))
+  }
+
+  /** Word n-gram shingles of the normalized text, distinct per doc. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(normalized(col("text")), " ").as("__toks"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), greatest(size(col("__toks")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b), similarity ≥ threshold.
+    * Self-join on shared shingles; `maxShingleFreq` drops ubiquitous
+    * shingles first (skew guard — a shingle shared by f docs contributes
+    * f² join rows).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxShingleFreq: Long = 1000): DataFrame = {
+    val sh = shingles(docs, n)
+    val rare = sh.withColumn("__f",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__f") <= maxShingleFreq).drop("__f")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = rare.as("x").join(rare.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * min over the doc's shingles of xxhash64(seed, shingle). Pure column
+    * expressions — one aggregation, no UDF.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs verified with exact Jaccard.
+    * Bands of `rowsPerBand` signature slots each hash to a bucket key;
+    * docs colliding in ANY band become candidates; candidates are then
+    * verified with the exact n-gram Jaccard so precision is 1.0 and
+    * recall is the LSH collision probability.
+    */
+  def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val sh = shingles(docs, n).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    val bands = numHashes / rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // verify candidates with exact Jaccard (precision 1.0)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(sh.withColumnRenamed("doc_id", "a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("shingle", "sh_b"), "b")
+      .filter(col("shingle") === col("sh_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: sum ±1 per bit weighted by token
+    * hash bits, sign → fingerprint bit. Pure column expressions.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(normalized(col("text")), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (docs within hamming
+    * distance 3 of each other share ≥1 identical chunk of 4), verify with
+    * bit_count of xor.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(docs)
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("v"))): _*))
+          .as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.c"), col("ck.v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -27,7 +27,8 @@ object ConnectedComponents {
     *         ordering) in the node's connected component; every node that
     *         appears in `edges` is present.
     */
-  def apply(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def apply(edges: DataFrame, maxIter: Int = 20,
+      localSolveThreshold: Long = 1 << 20): DataFrame = {
     val spark = edges.sparkSession
     // canonical direction + dedup once up front
     var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
@@ -35,7 +36,30 @@ object ConnectedComponents {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst")) // src > dst invariant
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the first fingerprint job
+
+    // Hybrid solve: an alias graph far below cluster scale is cheaper on
+    // the driver (one collect + union-find) than as log-n shuffle rounds —
+    // the iterative path below exists for edge lists that do NOT fit.
+    val nEdges = e.count()
+    if (nEdges <= localSolveThreshold) {
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x0: String): String = { // iterative w/ path compression
+        var x = x0
+        while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+        var y = x0
+        while (parent(y) != x) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(k => (k, find(k)))
+      import spark.implicits._
+      return rows.toDF("node", "component")
+    }
 
     var converged = false
     var iter = 0
@@ -65,10 +89,14 @@ object ConnectedComponents {
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the fingerprint below
 
-      // converged when the edge set is a stable set of stars
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // converged when the edge set is a stable set of stars. Cheap
+      // order-independent fingerprint (count + hash-sum) instead of two
+      // exceptAll shuffles — one tiny aggregate job per round.
+      def fp(df: DataFrame) = df.agg(
+        count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head
+      converged = fp(next) == fp(e)
       e = next
       iter += 1
     }

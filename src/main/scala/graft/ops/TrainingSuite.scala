@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.embed.Similarity
+import graft.text.TextFns
+import graft.multimodal.Binary
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. Deterministic near/exact
+  * duplicates are injected into the corpus (documents has none naturally)
+  * with the same SQL-expressible derivation on both engines.
+  */
+object TrainingSuite {
+
+  /** documents + injected exact dups (+200000) and near dups (+100000). */
+  def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+    val exact = d.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+    // exact-after-normalization: case+whitespace fold to the original
+    d.unionAll(near).unionAll(exact)
+  }
+
+  val dupCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' extra token' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, '  ' || upper(text) || '  ' FROM documents WHERE doc_id % 10 = 5
+      |)""".stripMargin
+
+  private def embeddings(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def documents(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(dupCorpus(s, dir))),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(dupCorpus(s, dir), n = 3, threshold = 0.6)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(dupCorpus(s, dir), n = 3, threshold = 0.6)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(dupCorpus(s, dir))),
+    "text_quality" -> ((s, dir) => TextFns.quality(documents(s, dir))),
+    "text_langid" -> ((s, dir) => TextFns.langId(documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextFns.fingerprint(documents(s, dir))),
+    "embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    "embed_ann" -> ((s, dir) =>
+      Similarity.annTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    "mm_meta" -> ((s, dir) =>
+      Binary.metadata(Binary.withPayload(documents(s, dir)))),
+    "mm_frames" -> ((s, dir) =>
+      Binary.sampleFrames(Binary.withPayload(documents(s, dir)), stride = 256))
+  )
+
+  private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $dupCorpusCte,
+         |hashed AS (SELECT doc_id, md5($norm) AS h FROM corpus)
+         |SELECT doc_id,
+         |       min(doc_id) OVER (PARTITION BY h) AS rep_id,
+         |       count(*) OVER (PARTITION BY h) AS group_size
+         |FROM hashed""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $dupCorpusCte,
+         |toks AS (
+         |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+         |  FROM (SELECT doc_id, string_split($norm, ' ') AS l FROM corpus)
+         |),
+         |sh AS (
+         |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+         |  FROM toks t1
+         |  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+         |  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT c.a, c.b,
+         |         round(c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE), 6) AS jaccard
+         |  FROM common c JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+         |) WHERE jaccard >= 0.6""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+        |        CAST(greatest(length(text), 1) AS DOUBLE), 4) AS alpha_ratio,
+        |  round((len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'to'))
+        |       + len(list_filter(string_split(text, ' '), x -> x = 'in')))
+        |       / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) AS stop_ratio,
+        |  round((length(text) - len(string_split(text, ' ')) + 1)
+        |       / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) AS mean_tok_len
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), x -> x = 'the')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'a')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'of')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'and')) AS s_en,
+        |    len(list_filter(string_split(text,' '), x -> x = 'der')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'die')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'und')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'nicht')) AS s_de,
+        |    len(list_filter(string_split(text,' '), x -> x = 'le')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'la')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'et')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'les')) AS s_fr,
+        |    len(list_filter(string_split(text,' '), x -> x = 'el')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'la')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'y')) +
+        |    len(list_filter(string_split(text,' '), x -> x = 'los')) AS s_es
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+        |  CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS score
+        |FROM s""".stripMargin,
+    "embed_topk" ->
+      """WITH scored AS (
+        |  SELECT p.vec_id AS probe_id, v.vec_id,
+        |         round(list_cosine_similarity(p.embedding, v.embedding), 4) AS sim
+        |  FROM embeddings p JOIN embeddings v ON v.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5
+        |)
+        |SELECT probe_id, vec_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+        |             ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 10""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) + 4 AS n_bytes,
+        |  '47464D31' AS magic,
+        |  (octet_length(encode(text)) + 4) % 640 + 1 AS width,
+        |  (octet_length(encode(text)) + 4) % 480 + 1 AS height
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(f * 256 AS BIGINT) AS byte_offset
+        |FROM (SELECT doc_id,
+        |        unnest(generate_series(0,
+        |          greatest((octet_length(encode(text)) + 4 - 1) // 256, 0))) AS f
+        |      FROM documents)""".stripMargin
+    // dedup_minhash / dedup_simhash / text_fingerprint / embed_ann:
+    // hash-seeded internals not reproducible in ANSI SQL — rows-only check;
+    // semantics covered by TrainingSpec against exact baselines.
+  )
+}

@@ -32,7 +32,7 @@ object Kg {
     val t = Transcripts(spark, sfDir)
     val base = TranscriptRules.triples(t)
     val cc = aliasCc(spark, sfDir) // tiny: |alias vocabulary| rows
-    val m = mentions(spark, sfDir)
+    val m = Gazetteer.mentions(t, Gazetteer(spark, sfDir))
       .join(broadcast(cc), col("alias_iri") === col("node"))
       .select(
         concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),

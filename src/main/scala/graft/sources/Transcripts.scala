@@ -23,9 +23,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Transcripts {
 
-  /** Cheap metadata-scale count of the dimension table (broadcast side). */
+  /** Cheap metadata-scale count of the dimension table (broadcast side),
+    * memoized per sfDir — one job per session instead of one per query.
+    */
+  private val docCountCache = scala.collection.concurrent.TrieMap[String, Long]()
   private def docCount(spark: SparkSession, sfDir: String): Long =
-    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    docCountCache.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
 
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
@@ -43,12 +47,16 @@ object Transcripts {
         concat(lit("nation "), entId.cast("string")))
       .otherwise(concat(lit("Nation-"), entId.cast("string")))
 
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    // window partitions by conv_id (bijective with user_id) so the
+    // downstream per-conversation windows/groupBys REUSE this exchange —
+    // one shuffle on conv_id serves the whole pipeline.
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("event_id"))
 
     e.join(broadcast(d), d("doc_id") === e("event_id") % n)
+      .withColumn("conv_id",
+        concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")))
       .select(
-        concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0"))
-          .as("conv_id"),
+        col("conv_id"),
         (row_number().over(w) - 1).cast("int").as("turn_idx"),
         when(col("event_id") % 2 === 0, lit("user"))
           .when(col("event_type") === "error", lit("system"))
@@ -59,6 +67,24 @@ object Transcripts {
         when(col("event_type").isin("click", "purchase"),
           concat(lit("tool_"), col("event_type"))).as("tool"),
         col("ts"))
+  }
+
+  /** Deterministically replicated corpus: `factor` copies, each a distinct
+    * conversation (`conv_id ++ "-r<k>"`). Used by the scaling benchmark so
+    * the measured job is compute-bound rather than overhead-bound — the
+    * sandbox stand-in for the data volumes a 4N-executor cluster sees.
+    */
+  def scaled(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val reps = spark.range(factor).select(col("id").cast("string").as("rep"))
+    // the small-sf parquet is a single split => the scan stage is ONE task;
+    // repartition the un-expanded rows first so the x`factor` expansion and
+    // everything after runs at full parallelism (on a real cluster the
+    // source already has thousands of splits and this is a no-op).
+    apply(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(reps))
+      .withColumn("conv_id", concat(col("conv_id"), lit("-r"), col("rep")))
+      .drop("rep")
   }
 
   /** The same derivation as ANSI SQL for the DuckDB oracle, as a CTE body

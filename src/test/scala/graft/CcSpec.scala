@@ -26,6 +26,11 @@ class CcSpec extends AnyFunSuite {
     ConnectedComponents(edges.toDF("src", "dst"))
       .as[(String, String)].collect().toMap
 
+  /** force the distributed star-contraction path */
+  private def ccDist(edges: Seq[(String, String)]): Map[String, String] =
+    ConnectedComponents(edges.toDF("src", "dst"), localSolveThreshold = 0)
+      .as[(String, String)].collect().toMap
+
   test("chain, clique, self-loop, two components") {
     val edges = Seq(
       "a" -> "b", "b" -> "c", "c" -> "d",            // chain
@@ -46,14 +51,18 @@ class CcSpec extends AnyFunSuite {
       val m = 1 + rnd.nextInt(80)
       val es = Seq.fill(m)((f"n${rnd.nextInt(n)}%03d", f"n${rnd.nextInt(n)}%03d"))
         .filter(e => e._1 != e._2)
-      if (es.nonEmpty)
-        assert(ccOf(es) === unionFind(es), s"seed=$seed")
+      if (es.nonEmpty) {
+        val expected = unionFind(es)
+        assert(ccOf(es) === expected, s"seed=$seed (local path)")
+        if (seed <= 3) // distributed star-contraction path on a subset
+          assert(ccDist(es) === expected, s"seed=$seed (dist path)")
+      }
     }
   }
 
   test("long chain converges within log-bounded iterations") {
     val chain = (0 until 120).map(i => (f"c$i%04d", f"c${i + 1}%04d"))
-    val got = ccOf(chain)
+    val got = ccDist(chain) // distributed path must contract the chain
     assert(got.values.toSet === Set("c0000"))
     assert(got.size === 121)
   }
