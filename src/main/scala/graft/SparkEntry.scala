@@ -25,7 +25,8 @@ object SparkEntry {
     "kg_alias_cc" -> ((s, dir) => pipeline.Kg.aliasCc(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriples(s, dir)),
     "kg_graph_stats" -> ((s, dir) => pipeline.Kg.graphStats(s, dir))
-  ) ++ ops.RelationalSuite.queries ++ ops.TrainingSuite.queries
+  ) ++ ops.RelationalSuite.queries ++ ops.TrainingSuite.queries ++
+    ops.AlgebraSuite.queries
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
   def oracleSql: Map[String, String] = Map(
@@ -40,5 +41,6 @@ object SparkEntry {
     "kg_alias_cc" -> pipeline.Kg.aliasCcOracle,
     "kg_canonical_triples" -> pipeline.Kg.canonicalTriplesOracle,
     "kg_graph_stats" -> pipeline.Kg.graphStatsOracle
-  ) ++ ops.RelationalSuite.oracles ++ ops.TrainingSuite.oracles
+  ) ++ ops.RelationalSuite.oracles ++ ops.TrainingSuite.oracles ++
+    ops.AlgebraSuite.oracles
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{RdfIO, SyntheticQuads, Transcripts}
+import graft.rules.TranscriptRules
+import graft.functions.Macros
+
+/** SPARQL algebra (BGP joins), CSV/XML scalar functions, macro expansion,
+  * and the N-Quads source/sink roundtrip — SURVEY.md §2.4/§2.8/§2.1.
+  */
+object AlgebraSuite {
+
+  private val P = "http://graft.io/p/"
+
+  private def trip(s: SparkSession, dir: String): DataFrame =
+    TranscriptRules.triples(Transcripts(s, dir))
+
+  private def customer(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bgp_star_join" -> ((s, dir) => {
+      val t = trip(s, dir)
+      Bgp.join(
+        Bgp.pattern(t, Right("t"), Left(s"<${P}role>"), Right("role")),
+        Bgp.pattern(t, Right("t"), Left(s"<${P}tool>"), Right("tool")))
+    }),
+    "bgp_optional" -> ((s, dir) => {
+      val t = trip(s, dir)
+      Bgp.optional(
+        Bgp.pattern(t, Right("t"), Left(s"<${P}role>"), Right("role")),
+        Bgp.pattern(t, Right("t"), Left(s"<${P}tool>"), Right("tool")))
+    }),
+    "bgp_minus" -> ((s, dir) => {
+      val t = trip(s, dir)
+      Bgp.minus(
+        Bgp.pattern(t, Right("t"), Left(s"<${P}role>"), Right("role")),
+        Bgp.pattern(t, Right("t"), Left(s"<${P}tool>"), Right("tool")))
+    }),
+    "bgp_exists" -> ((s, dir) => {
+      val t = trip(s, dir)
+      Bgp.exists(
+        Bgp.pattern(t, Right("t"), Left(s"<${P}role>"), Right("role")),
+        Bgp.pattern(t, Right("t"), Left(s"<${P}next>"), Right("nxt")))
+    }),
+    "bgp_path_join" -> ((s, dir) => {
+      val t = trip(s, dir)
+      Bgp.join(
+        Bgp.pattern(t, Right("a"), Left(s"<${P}next>"), Right("b")),
+        Bgp.pattern(t, Right("b"), Left(s"<${P}role>"), Right("role")))
+        .select(col("a"), col("b"), col("role"))
+    }),
+    "bgp_union" -> ((s, dir) => {
+      val t = trip(s, dir)
+      Bgp.union(
+        Bgp.pattern(t, Right("t"), Left(s"<${P}role>"), Right("role")),
+        Bgp.pattern(t, Right("t"), Left(s"<${P}tool>"), Right("tool")))
+    }),
+    "csv_parse" -> ((s, dir) =>
+      // csv:parse port: rows serialized as CSV lines, parsed back to typed
+      // columns (reference: docs/examples/README.md:390-413)
+      customer(s, dir)
+        .select(concat_ws(",", col("c_custkey"), col("c_name"),
+          col("c_mktsegment")).as("line"))
+        .select(from_csv(col("line"),
+          StructType(Seq(StructField("k", LongType),
+            StructField("name", StringType), StructField("seg", StringType))),
+          Map.empty[String, String]).as("r"))
+        .select(col("r.k").as("k"), col("r.name").as("name"),
+          col("r.seg").as("seg"))),
+    "xml_path" -> ((s, dir) =>
+      // xml:path port (docs/examples/README.md:456-500): XML literal +
+      // XPath scalar extraction
+      customer(s, dir)
+        .select(col("c_custkey"),
+          concat(lit("<r><n>"), col("c_name"), lit("</n><s>"),
+            col("c_mktsegment"), lit("</s></r>")).as("xml"))
+        .select(col("c_custkey"),
+          xpath_string(col("xml"), lit("/r/n")).as("name"),
+          xpath_string(col("xml"), lit("/r/s")).as("seg"))),
+    "macro_greet" -> ((s, dir) =>
+      // macro expansion at plan-build time (macros.md example)
+      customer(s, dir).select(col("c_custkey"),
+        Macros.expand("greet", col("c_name")).as("greeting"))),
+    "rdf_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      RdfIO.writeNQuads(SyntheticQuads(s, dir).drop("idx"), path)
+      RdfIO.readNQuads(s, path)
+    })
+  )
+
+  private def tripCte =
+    s"""WITH ${Transcripts.oracleCte},
+       |trip AS (${TranscriptRules.oracleSelect})""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "bgp_star_join" ->
+      s"""$tripCte
+         |SELECT a.subj AS t, a.obj AS role, b.obj AS tool
+         |FROM trip a JOIN trip b ON b.subj = a.subj
+         |WHERE a.pred = '<${P}role>' AND b.pred = '<${P}tool>'""".stripMargin,
+    "bgp_optional" ->
+      s"""$tripCte
+         |SELECT a.subj AS t, a.obj AS role, b.obj AS tool
+         |FROM (SELECT * FROM trip WHERE pred = '<${P}role>') a
+         |LEFT JOIN (SELECT * FROM trip WHERE pred = '<${P}tool>') b
+         |  ON b.subj = a.subj""".stripMargin,
+    "bgp_minus" ->
+      s"""$tripCte
+         |SELECT a.subj AS t, a.obj AS role
+         |FROM trip a WHERE a.pred = '<${P}role>'
+         |AND NOT EXISTS (SELECT 1 FROM trip b
+         |                WHERE b.pred = '<${P}tool>' AND b.subj = a.subj)""".stripMargin,
+    "bgp_exists" ->
+      s"""$tripCte
+         |SELECT a.subj AS t, a.obj AS role
+         |FROM trip a WHERE a.pred = '<${P}role>'
+         |AND EXISTS (SELECT 1 FROM trip b
+         |            WHERE b.pred = '<${P}next>' AND b.subj = a.subj)""".stripMargin,
+    "bgp_path_join" ->
+      s"""$tripCte
+         |SELECT a.subj AS a, a.obj AS b, r.obj AS role
+         |FROM trip a JOIN trip r ON r.subj = a.obj
+         |WHERE a.pred = '<${P}next>' AND r.pred = '<${P}role>'""".stripMargin,
+    "bgp_union" ->
+      s"""$tripCte
+         |SELECT subj AS t, obj AS role, NULL AS tool FROM trip WHERE pred = '<${P}role>'
+         |UNION ALL
+         |SELECT subj, NULL, obj FROM trip WHERE pred = '<${P}tool>'""".stripMargin,
+    "csv_parse" ->
+      "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
+    "xml_path" ->
+      "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",
+    "macro_greet" ->
+      "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
+    "rdf_roundtrip" ->
+      s"""WITH ${SyntheticQuads.oracleCte}
+         |SELECT graph, subj, pred, obj FROM quads""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SPARQL basic-graph-pattern algebra over a triple/quad DataFrame —
+  * the reference executes these inside Jena ARQ (BGP conjunction =
+  * equi-join on shared variables, OPTIONAL = left outer, MINUS = anti,
+  * EXISTS = semi, UNION = union; SparqlIntegrateCmdImpls.java:1036,
+  * algebra at :673-677). Here each triple pattern is a filtered
+  * projection of the triple table and the join structure is handed to
+  * Catalyst, which reorders/broadcasts like any relational plan.
+  */
+object Bgp {
+
+  /** One triple pattern: constants filter, variables project.
+    * `spec` maps position -> Left(constant) or Right(varName).
+    */
+  def pattern(triples: DataFrame,
+      s: Either[String, String],
+      p: Either[String, String],
+      o: Either[String, String]): DataFrame = {
+    val bind = Seq("subj" -> s, "pred" -> p, "obj" -> o)
+    val filtered = bind.foldLeft(triples) {
+      case (df, (c, Left(const))) => df.filter(col(c) === const)
+      case (df, _) => df
+    }
+    val projected = bind.collect { case (c, Right(v)) => col(c).as(v) }
+    filtered.select(projected: _*)
+  }
+
+  /** Conjunction: natural equi-join on shared variables. */
+  def join(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a.columns.intersect(b.columns).toSeq, "inner")
+
+  /** OPTIONAL { … }: left outer on shared vars. */
+  def optional(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a.columns.intersect(b.columns).toSeq, "left_outer")
+
+  /** FILTER EXISTS { … }: left semi. */
+  def exists(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a.columns.intersect(b.columns).toSeq, "left_semi")
+
+  /** MINUS { … }: left anti on shared vars. */
+  def minus(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, a.columns.intersect(b.columns).toSeq, "left_anti")
+
+  /** UNION: union of solution headers, missing vars unbound. */
+  def union(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+}

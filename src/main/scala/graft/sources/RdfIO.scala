@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-Triples / N-Quads text source and sink (the reference's primary
+  * interchange format — streaming parse in NgsCmdImpls.java:72-81, default
+  * N-Quads output per README-SI.md).
+  *
+  * Reading: `spark.read.text` gives per-line parallelism over splits
+  * (gz/bz2 via Hadoop codecs, like the reference's compression probing);
+  * the per-partition parser is plain Scala inside `mapPartitions` — one
+  * pass, no regex backtracking, literal-aware (spaces/escapes inside
+  * quoted literals don't break term boundaries).
+  */
+object RdfIO {
+
+  /** Split one N-Quads/N-Triples line into terms: IRIs `<…>`, bnodes
+    * `_:…`, literals `"…"[^^<dt>|@lang]`. Returns null for comments /
+    * blank / malformed lines (callers drop them — the reference's
+    * `--no-validate` spirit).
+    */
+  private[graft] def parseLine(line: String): Array[String] = {
+    val s = line.trim
+    if (s.isEmpty || s.startsWith("#")) return null
+    val out = new scala.collection.mutable.ArrayBuffer[String](4)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i >= n) i = n
+      else s.charAt(i) match {
+        case '.' if i == n - 1 || s.substring(i + 1).forall(_ == ' ') =>
+          i = n // terminal dot
+        case '<' =>
+          val j = s.indexOf('>', i)
+          if (j < 0) return null
+          out += s.substring(i, j + 1); i = j + 1
+        case '"' =>
+          var j = i + 1
+          while (j < n && !(s.charAt(j) == '"' && s.charAt(j - 1) != '\\')) j += 1
+          if (j >= n) return null
+          // datatype / langtag suffix
+          var k = j + 1
+          if (k + 1 < n && s.charAt(k) == '^' && s.charAt(k + 1) == '^') {
+            val m = s.indexOf('>', k)
+            if (m < 0) return null
+            k = m + 1
+          } else if (k < n && s.charAt(k) == '@') {
+            while (k < n && s.charAt(k) != ' ') k += 1
+          }
+          out += s.substring(i, k); i = k
+        case '_' =>
+          var j = i
+          while (j < n && s.charAt(j) != ' ') j += 1
+          out += s.substring(i, j); i = j
+        case _ => return null
+      }
+    }
+    if (out.size == 3 || out.size == 4) out.toArray else null
+  }
+
+  /** Read N-Quads (or N-Triples; graph defaults to the constant default
+    * graph IRI) into (graph, subj, pred, obj).
+    */
+  def readNQuads(spark: SparkSession, path: String,
+      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .mapPartitions(_.flatMap { line =>
+        val t = parseLine(line)
+        if (t == null) None
+        else Some((if (t.length == 4) t(3) else defaultGraph, t(0), t(1), t(2)))
+      })
+      .toDF("graph", "subj", "pred", "obj")
+  }
+
+  /** Serialize (graph, subj, pred, obj) to N-Quads text lines. */
+  def nquadLines(quads: DataFrame): DataFrame =
+    quads.select(concat_ws(" ", col("subj"), col("pred"), col("obj"),
+      col("graph"), lit(".")).as("value"))
+
+  /** Write N-Quads text (one part per partition, like any Spark sink). */
+  def writeNQuads(quads: DataFrame, path: String): Unit =
+    nquadLines(quads).write.mode("overwrite").text(path)
+}
