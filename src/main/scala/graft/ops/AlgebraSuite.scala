@@ -84,6 +84,23 @@ object AlgebraSuite {
       // macro expansion at plan-build time (macros.md example)
       customer(s, dir).select(col("c_custkey"),
         Macros.expand("greet", col("c_name")).as("greeting"))),
+    "void_profile" -> ((s, dir) =>
+      // VoID dataset profiling (reference use-case-sportal qb1-qb5):
+      // triple count, distinct subjects/properties/objects, class count
+      trip(s, dir).agg(
+        count(lit(1)).as("n_triples"),
+        countDistinct(col("subj")).as("n_subjects"),
+        countDistinct(col("pred")).as("n_properties"),
+        countDistinct(col("obj")).as("n_objects"),
+        countDistinct(when(
+          col("pred") === "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+          col("obj"))).as("n_classes"))),
+    "json_entries" -> ((s, dir) =>
+      // json:entries port (docs/examples/README.md:207-225)
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          explode(from_json(col("props"), MapType(StringType, StringType))))
+        .select(col("event_id"), col("key"), col("value"))),
     "rdf_roundtrip" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") +
         s"/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -138,6 +155,18 @@ object AlgebraSuite {
       "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
     "rdf_roundtrip" ->
       s"""WITH ${SyntheticQuads.oracleCte}
-         |SELECT graph, subj, pred, obj FROM quads""".stripMargin
+         |SELECT graph, subj, pred, obj FROM quads""".stripMargin,
+    "void_profile" ->
+      s"""$tripCte
+         |SELECT count(*) AS n_triples,
+         |       count(DISTINCT subj) AS n_subjects,
+         |       count(DISTINCT pred) AS n_properties,
+         |       count(DISTINCT obj) AS n_objects,
+         |       count(DISTINCT CASE WHEN pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+         |                           THEN obj END) AS n_classes
+         |FROM trip""".stripMargin,
+    "json_entries" ->
+      """SELECT event_id, k AS key, props->>k AS value
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)""".stripMargin
   )
 }
