@@ -22,10 +22,10 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      // 4x cores: finer tasks load-balance string-heavy aggregation and cap
-      // per-task hash-table size; AQE coalesces back when partitions are
-      // small. (Same rationale as shuffle-partition sizing on a cluster.)
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // partitions = cores + AQE. (Measured: a 4x initialPartitionNum made
+      // the multi-shuffle LSH query 10x SLOWER at this scale — more stages
+      // x more tiny tasks; plain cores-sized shuffles win.)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -39,21 +39,10 @@ object Bench {
     * overhead amortized like on a real cluster), return (sec, rowsOut).
     */
   private def flagship(spark: SparkSession, sfDir: String, factor: Int): (Double, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
     val t0 = System.nanoTime()
-    val t = graft.sources.Transcripts.scaled(spark, sfDir, factor)
-    val base = graft.rules.TranscriptRules.triples(t)
-    val cc = graft.pipeline.Kg.aliasCc(spark, sfDir)
-    val m = graft.linking.Gazetteer
-      .mentions(t, graft.linking.Gazetteer(spark, sfDir))
-      .join(broadcast(cc), col("alias_iri") === col("node"))
-      .select(
-        concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),
-          col("turn_idx").cast("string"), lit(">")).as("subj"),
-        lit("<http://graft.io/p/mentions>").as("pred"),
-        concat(lit("<"), col("component"), lit(">")).as("obj"),
-        concat(lit("<http://graft.io/g/"), col("conv_id"), lit(">")).as("graph"))
-    val n = base.unionByName(m).distinct().count()
+    val n = graft.pipeline.Kg.canonicalTriplesOver(
+      graft.sources.Transcripts.scaled(spark, sfDir, factor), spark, sfDir)
+      .count()
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
@@ -82,6 +71,12 @@ object Bench {
     }
 
     val spark = session(cpus)
+    // warmup at the smallest sf: JIT + janino codegen compile once per plan
+    // shape, so the timed runs measure steady-state data throughput
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Transcripts
-import graft.rules.TranscriptRules
+import graft.rules.{Rule, RuleCompiler, TranscriptRules}
 import graft.linking.Gazetteer
 import graft.graphops.ConnectedComponents
 
@@ -27,11 +27,58 @@ object Kg {
   /** Deduplicated canonical triples: base extraction + mention triples with
     * canonical entity IRIs + the alias→canonical mapping as triples in a
     * dedicated entities graph.
+    *
+    * FUSED plan: the (small) gazetteer ⋈ CC-map is collected at plan-build
+    * time and compiled into a generator rule (`filter`+`transform` over a
+    * literal surface array) — the explicit form of a broadcast join. The
+    * whole pipeline is then ONE transcript scan → window → explode →
+    * distinct (the join-based form, kept for gazetteers too big to inline,
+    * is [[canonicalTriplesJoined]]; `KgSpec` asserts both agree).
     */
-  def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame = {
+  def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalTriplesOver(Transcripts(spark, sfDir), spark, sfDir)
+
+  /** Same pipeline over a caller-supplied transcript table (used by the
+    * scaling bench with a replicated corpus).
+    */
+  def canonicalTriplesOver(transcripts: DataFrame, spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cc = aliasCc(spark, sfDir) // tiny: |alias vocabulary| rows
+    val surfToCanon = Gazetteer(spark, sfDir)
+      .join(cc, col("alias_iri") === col("node"))
+      .select(col("surface"), col("component"))
+      .orderBy("surface") // deterministic literal-array order
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+    val entries = array(surfToCanon.map { case (s, c) =>
+      struct(lit(s).as("m"), lit("<" + c + ">").as("c"))
+    }: _*)
+    val mentionArr = transform(
+      filter(entries, e => contains(col("text"), e.getField("m"))),
+      e => struct(col("turn_iri").as("s"),
+        lit("<http://graft.io/p/mentions>").as("p"),
+        e.getField("c").as("o"), col("g").as("g")))
+    val mentionRule = Rule("turn-mentions", lit(true), Nil, Some(mentionArr))
+
+    val turnTriples = RuleCompiler.compile(
+      TranscriptRules.withIris(transcripts),
+      TranscriptRules.baseRules :+ mentionRule)
+    turnTriples.unionByName(aliasTriples(cc)).distinct()
+  }
+
+  private def aliasTriples(cc: DataFrame): DataFrame = cc.select(
+    concat(lit("<"), col("node"), lit(">")).as("subj"),
+    lit("<http://graft.io/p/canonical>").as("pred"),
+    concat(lit("<"), col("component"), lit(">")).as("obj"),
+    lit("<http://graft.io/g/entities>").as("graph"))
+
+  /** Join-based variant: gazetteer/CC map as broadcast join build sides —
+    * the shape to use when the dictionary is itself cluster-scale.
+    */
+  def canonicalTriplesJoined(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Transcripts(spark, sfDir)
     val base = TranscriptRules.triples(t)
-    val cc = aliasCc(spark, sfDir) // tiny: |alias vocabulary| rows
+    val cc = aliasCc(spark, sfDir)
     val m = Gazetteer.mentions(t, Gazetteer(spark, sfDir))
       .join(broadcast(cc), col("alias_iri") === col("node"))
       .select(
@@ -40,12 +87,7 @@ object Kg {
         lit("<http://graft.io/p/mentions>").as("pred"),
         concat(lit("<"), col("component"), lit(">")).as("obj"),
         concat(lit("<http://graft.io/g/"), col("conv_id"), lit(">")).as("graph"))
-    val aliasTriples = cc.select(
-      concat(lit("<"), col("node"), lit(">")).as("subj"),
-      lit("<http://graft.io/p/canonical>").as("pred"),
-      concat(lit("<"), col("component"), lit(">")).as("obj"),
-      lit("<http://graft.io/g/entities>").as("graph"))
-    base.unionByName(m).unionByName(aliasTriples).distinct()
+    base.unionByName(m).unionByName(aliasTriples(cc)).distinct()
   }
 
   /** Per-named-graph profile (VoID-style: reference qb1–qb5 queries). */

@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   */
 final case class TripleTemplate(s: Column, p: Column, o: Column, g: Column)
 
+/** `templates` emit a fixed number of triples per row; `dynamic` (if set)
+  * is an array<struct<s,p,o,g>> column contributing a VARIABLE number of
+  * triples per row — the CONSTRUCT-with-lateral case (e.g. one triple per
+  * gazetteer surface matched in the row's text).
+  */
 final case class Rule(
     name: String,
     where: Column,
-    templates: Seq[TripleTemplate])
+    templates: Seq[TripleTemplate],
+    dynamic: Option[Column] = None)
 
 object RuleCompiler {
 
@@ -39,8 +45,16 @@ object RuleCompiler {
     require(rules.nonEmpty, "empty rule set")
     val emptyArr = array().cast("array<struct<s:string,p:string,o:string,g:string>>")
     val perRule: Seq[Column] = rules.map { r =>
-      val triples = array(r.templates.map(t =>
-        struct(t.s.as("s"), t.p.as("p"), t.o.as("o"), t.g.as("g"))): _*)
+      val fixed =
+        if (r.templates.isEmpty) None
+        else Some(array(r.templates.map(t =>
+          struct(t.s.as("s"), t.p.as("p"), t.o.as("o"), t.g.as("g"))): _*))
+      val triples = (fixed, r.dynamic) match {
+        case (Some(f), Some(d)) => concat(f, d)
+        case (Some(f), None) => f
+        case (None, Some(d)) => d
+        case (None, None) => emptyArr
+      }
       when(r.where, triples).otherwise(emptyArr)
     }
     val all = if (perRule.size == 1) perRule.head else concat(perRule: _*)

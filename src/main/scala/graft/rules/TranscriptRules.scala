@@ -19,12 +19,13 @@ object TranscriptRules {
 
   val NS = "http://graft.io/"
 
-  /** Augment transcripts with IRIs + the lead() successor, then compile the
-    * rule set. One window shuffle on conv_id; everything else is per-row.
+  /** Augment transcripts with IRIs + the lead() successor — the shared
+    * per-row binding environment all rules compile against. One window
+    * shuffle on conv_id; everything else is per-row.
     */
-  def triples(transcripts: DataFrame): DataFrame = {
+  def withIris(transcripts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val withIris = transcripts
+    transcripts
       .withColumn("turn_iri",
         concat(lit("<" + NS + "conv/"), col("conv_id"), lit("/turn/"),
           col("turn_idx").cast("string"), lit(">")))
@@ -33,11 +34,14 @@ object TranscriptRules {
       .withColumn("g",
         concat(lit("<" + NS + "g/"), col("conv_id"), lit(">")))
       .withColumn("next_iri", lead(col("turn_idx"), 1).over(w))
+  }
 
+  /** The built-in rule set (compiled against [[withIris]] columns). */
+  def baseRules: Seq[Rule] = {
     def t(p: String, o: org.apache.spark.sql.Column) = TripleTemplate(
       col("turn_iri"), lit("<" + NS + "p/" + p + ">"), o, col("g"))
 
-    val rules = Seq(
+    Seq(
       Rule("turn-core", lit(true), Seq(
         TripleTemplate(col("turn_iri"), iri(RdfType),
           lit("<" + NS + "Turn>"), col("g")),
@@ -53,8 +57,10 @@ object TranscriptRules {
         t("next", concat(lit("<" + NS + "conv/"), col("conv_id"),
           lit("/turn/"), col("next_iri").cast("string"), lit(">")))))
     )
-    RuleCompiler.compile(withIris, rules)
   }
+
+  def triples(transcripts: DataFrame): DataFrame =
+    RuleCompiler.compile(withIris(transcripts), baseRules)
 
   /** Oracle SQL (DuckDB) reproducing [[triples]] over the `transcripts`
     * CTE. NT escaping: our text has no backslash/quote/control chars by

@@ -63,6 +63,21 @@ class OpsSpec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("<m>"))
   }
 
+  test("salted join == plain join on a skewed key distribution") {
+    import graft.ops.SaltedJoin
+    // 90% of fact rows share one hot key
+    val fact = spark.range(0, 5000).selectExpr(
+      "id", "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS key")
+    val dim = Seq(("hot", 1), ("k0", 2), ("k3", 3), ("k6", 4))
+      .toDF("key", "payload")
+    val plain = fact.join(dim, "key").select($"id", $"payload")
+    val salted = SaltedJoin.inner(fact, dim, "key", Seq($"id"), buckets = 8)
+      .select($"id", $"payload")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("unionHeaders: union of vars, missing = NULL") {
     val a = Seq((1L, "x")).toDF("id", "name")
     val b = Seq((2L, 3.5)).toDF("id", "score")
