@@ -54,11 +54,20 @@ object Bench {
       val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "16").toInt
       val Array(n1, n2) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8,32")
         .split(",").map(_.trim.toInt)
-      // same input, two parallelism levels; stop the session between runs
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      // same input, two parallelism levels; stop the session between runs.
+      // best-of-N per level: this box's throughput fluctuates ±50% from
+      // external interference, which only ever ADDS time — min is the
+      // honest estimate of the job's own cost.
       val results = Seq(n1, n2).map { k =>
         val s = session(k)
-        try { flagship(s, sfDir, factor); flagship(s, sfDir, factor) } // warm + measured
-        finally s.stop()
+        try {
+          flagship(s, sfDir, factor) // warm (JIT + codegen)
+          val runs = (1 to reps).map(_ => flagship(s, sfDir, factor))
+          System.err.println(s"[scaling] local[$k] runs: " +
+            runs.map(r => f"${r._1}%.1fs").mkString(", "))
+          (runs.map(_._1).min, runs.head._2)
+        } finally s.stop()
       }
       val Seq((tLo, rLo), (tHi, rHi)) = results
       require(rLo == rHi, s"row mismatch across parallelism: $rLo vs $rHi")

@@ -27,22 +27,38 @@ object Kg {
   /** Deduplicated canonical triples: base extraction + mention triples with
     * canonical entity IRIs + the alias→canonical mapping as triples in a
     * dedicated entities graph.
-    *
-    * FUSED plan: the (small) gazetteer ⋈ CC-map is collected at plan-build
-    * time and compiled into a generator rule (`filter`+`transform` over a
-    * literal surface array) — the explicit form of a broadcast join. The
-    * whole pipeline is then ONE transcript scan → window → explode →
-    * distinct (the join-based form, kept for gazetteers too big to inline,
-    * is [[canonicalTriplesJoined]]; `KgSpec` asserts both agree).
     */
   def canonicalTriples(spark: SparkSession, sfDir: String): DataFrame =
     canonicalTriplesOver(Transcripts(spark, sfDir), spark, sfDir)
 
-  /** Same pipeline over a caller-supplied transcript table (used by the
-    * scaling bench with a replicated corpus).
+  /** Default pipeline = the all-codegen broadcast-join form: measured to
+    * scale better than the literal-array variant at corpus scale, because
+    * higher-order functions (filter/transform lambdas) execute interpreted
+    * while the broadcast join stays inside whole-stage codegen.
     */
   def canonicalTriplesOver(transcripts: DataFrame, spark: SparkSession,
       sfDir: String): DataFrame = {
+    val t = transcripts
+    val base = TranscriptRules.triples(t)
+    val cc = aliasCc(spark, sfDir)
+    val m = Gazetteer.mentions(t, Gazetteer(spark, sfDir))
+      .join(broadcast(cc), col("alias_iri") === col("node"))
+      .select(
+        concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),
+          col("turn_idx").cast("string"), lit(">")).as("subj"),
+        lit("<http://graft.io/p/mentions>").as("pred"),
+        concat(lit("<"), col("component"), lit(">")).as("obj"),
+        concat(lit("<http://graft.io/g/"), col("conv_id"), lit(">")).as("graph"))
+    base.unionByName(m).unionByName(aliasTriples(cc)).distinct()
+  }
+
+  /** Single-scan variant: the (small) gazetteer ⋈ CC map compiled into a
+    * literal-array generator rule — one transcript scan total, at the
+    * price of interpreted higher-order functions. Wins when the scan
+    * itself dominates (very wide tables / cold caches); KgSpec asserts it
+    * agrees with the default exactly.
+    */
+  def canonicalTriplesFused(spark: SparkSession, sfDir: String): DataFrame = {
     val cc = aliasCc(spark, sfDir) // tiny: |alias vocabulary| rows
     val surfToCanon = Gazetteer(spark, sfDir)
       .join(cc, col("alias_iri") === col("node"))
@@ -61,7 +77,7 @@ object Kg {
     val mentionRule = Rule("turn-mentions", lit(true), Nil, Some(mentionArr))
 
     val turnTriples = RuleCompiler.compile(
-      TranscriptRules.withIris(transcripts),
+      TranscriptRules.withIris(Transcripts(spark, sfDir)),
       TranscriptRules.baseRules :+ mentionRule)
     turnTriples.unionByName(aliasTriples(cc)).distinct()
   }
@@ -71,24 +87,6 @@ object Kg {
     lit("<http://graft.io/p/canonical>").as("pred"),
     concat(lit("<"), col("component"), lit(">")).as("obj"),
     lit("<http://graft.io/g/entities>").as("graph"))
-
-  /** Join-based variant: gazetteer/CC map as broadcast join build sides —
-    * the shape to use when the dictionary is itself cluster-scale.
-    */
-  def canonicalTriplesJoined(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Transcripts(spark, sfDir)
-    val base = TranscriptRules.triples(t)
-    val cc = aliasCc(spark, sfDir)
-    val m = Gazetteer.mentions(t, Gazetteer(spark, sfDir))
-      .join(broadcast(cc), col("alias_iri") === col("node"))
-      .select(
-        concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),
-          col("turn_idx").cast("string"), lit(">")).as("subj"),
-        lit("<http://graft.io/p/mentions>").as("pred"),
-        concat(lit("<"), col("component"), lit(">")).as("obj"),
-        concat(lit("<http://graft.io/g/"), col("conv_id"), lit(">")).as("graph"))
-    base.unionByName(m).unionByName(aliasTriples(cc)).distinct()
-  }
 
   /** Per-named-graph profile (VoID-style: reference qb1–qb5 queries). */
   def graphStats(spark: SparkSession, sfDir: String): DataFrame =

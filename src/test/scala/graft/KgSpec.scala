@@ -7,8 +7,8 @@ class KgSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("fused (literal-array) pipeline == join-based pipeline") {
-    val fused = Kg.canonicalTriples(spark, TestSpark.sf0001)
-    val joined = Kg.canonicalTriplesJoined(spark, TestSpark.sf0001)
+    val fused = Kg.canonicalTriplesFused(spark, TestSpark.sf0001)
+    val joined = Kg.canonicalTriples(spark, TestSpark.sf0001)
     assert(fused.count() === joined.count())
     assert(fused.exceptAll(joined).count() === 0)
     assert(joined.exceptAll(fused).count() === 0)
@@ -17,7 +17,7 @@ class KgSpec extends AnyFunSuite {
   test("fused plan has exactly one transcript scan") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     spark.catalog.clearCache() // other suites may have cached the source
-    val lp = Kg.canonicalTriples(spark, TestSpark.sf0001)
+    val lp = Kg.canonicalTriplesFused(spark, TestSpark.sf0001)
       .queryExecution.optimizedPlan
     val eventScans = lp.collect {
       case l: LogicalRelation => l.relation
