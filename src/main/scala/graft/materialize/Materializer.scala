@@ -41,7 +41,11 @@ object Materializer {
       .filter(b => Files.exists(Paths.get(s"$outDir/_bucket_$b.done"))).toSet
     val todo = if (resume) data.filter(!col("bucket").isin(done.toSeq: _*))
                else data
-    todo.write.mode(if (resume) SaveMode.Append else SaveMode.Overwrite)
+    // subject-clustered layout inside each bucket: parquet min/max stats
+    // on subj then prune star-join scans (the reference's sorted-ntriples
+    // binary-search idea — SansaQueryRewrite.java:4-7 — done storage-side)
+    todo.sortWithinPartitions(col("bucket"), col("subj"))
+      .write.mode(if (resume) SaveMode.Append else SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$outDir/triples")
     // marker per completed bucket (driver-side, after the job commits)
     (0 until nBuckets).foreach { b =>

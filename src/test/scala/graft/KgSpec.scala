@@ -14,6 +14,19 @@ class KgSpec extends AnyFunSuite {
     assert(joined.exceptAll(fused).count() === 0)
   }
 
+  test("typed Dataset API: case-class views agree with the DataFrames") {
+    import spark.implicits._
+    val turns = Typed.turns(spark, TestSpark.sf0001)
+    assert(turns.count() === 1000)
+    // typed transform: compile-time field access
+    val toolTurns = turns.filter((t: Turn) => t.tool.isDefined).count()
+    assert(toolTurns > 0)
+    val quads = Typed.canonicalTriples(spark, TestSpark.sf0001)
+    assert(quads.filter((q: Quad) => !q.subj.startsWith("<")).count() === 0)
+    assert(quads.count() ===
+      pipeline.Kg.canonicalTriples(spark, TestSpark.sf0001).count())
+  }
+
   test("fused plan has exactly one transcript scan") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     spark.catalog.clearCache() // other suites may have cached the source
