@@ -8,9 +8,11 @@ import graft.rules.TranscriptRules
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship: KG triple extraction over the transcript table at sf0.001. */
+  /** Flagship: the full KG pipeline (extraction + linking + CC
+    * canonicalization + dedup) over the transcript table at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    TranscriptRules.triples(Transcripts(spark, "/root/testdata/sf0.001"))
+    pipeline.Kg.canonicalTriples(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
