@@ -33,12 +33,17 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"), col("group_size"))
   }
 
-  /** Word n-gram shingles of the normalized text, distinct per doc. */
+  /** Word n-gram shingles of the normalized text, distinct per doc.
+    * Documents shorter than n tokens yield NO shingles (standard w-shingle
+    * semantics; keeps parity with the SQL oracle's index join).
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(normalized(col("text")), " ").as("__toks"))
       .select(col("doc_id"), explode(
-        transform(sequence(lit(0), greatest(size(col("__toks")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (a < b), similarity ≥ threshold.

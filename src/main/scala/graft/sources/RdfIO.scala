@@ -37,8 +37,14 @@ object RdfIO {
           if (j < 0) return null
           out += s.substring(i, j + 1); i = j + 1
         case '"' =>
+          // scan to the closing quote with real escape-state tracking:
+          // `"a\\"` ends at the quote (the backslash is itself escaped)
           var j = i + 1
-          while (j < n && !(s.charAt(j) == '"' && s.charAt(j - 1) != '\\')) j += 1
+          var esc = false
+          while (j < n && (esc || s.charAt(j) != '"')) {
+            esc = !esc && s.charAt(j) == '\\'
+            j += 1
+          }
           if (j >= n) return null
           // datatype / langtag suffix
           var k = j + 1

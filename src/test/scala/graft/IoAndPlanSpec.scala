@@ -20,6 +20,11 @@ class IoAndPlanSpec extends AnyFunSuite {
       Some(Seq("<s>", "<p>", "\"42\"^^<http://www.w3.org/2001/XMLSchema#long>", "<g>")))
     assert(p("""_:b0 <p> "x"@en .""") ===
       Some(Seq("_:b0", "<p>", "\"x\"@en")))
+    // literal ending in an ESCAPED backslash: quote after \\ still closes
+    assert(p("""<s> <p> "a\\" <g> .""") ===
+      Some(Seq("<s>", "<p>", "\"a\\\\\"", "<g>")))
+    assert(p("""<s> <p> "\\\"" .""") === // escaped backslash then escaped quote
+      Some(Seq("<s>", "<p>", "\"\\\\\\\"\"")))
     assert(p("# comment") === None)
     assert(p("   ") === None)
     assert(p("garbage line") === None)
