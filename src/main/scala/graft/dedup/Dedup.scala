@@ -47,16 +47,19 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (a < b), similarity ≥ threshold.
-    * Self-join on shared shingles; `maxShingleFreq` drops ubiquitous
-    * shingles first (skew guard — a shingle shared by f docs contributes
-    * f² join rows).
+    * Self-join on shared shingles. `maxShingleFreq` (default: no cap) is
+    * the explicit skew guard for template-heavy corpora — a shingle shared
+    * by f docs contributes f² join rows; capping trades a bounded
+    * underestimate of `common` for bounded work. Left OFF for the exact
+    * baseline so the metric (and the SQL oracle) is internally consistent.
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      maxShingleFreq: Long = 1000): DataFrame = {
+      maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, n)
-    val rare = sh.withColumn("__f",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("__f") <= maxShingleFreq).drop("__f")
+    val rare = if (maxShingleFreq == Long.MaxValue) sh
+      else sh.withColumn("__f",
+          count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("__f") <= maxShingleFreq).drop("__f")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = rare.as("x").join(rare.as("y"),
         col("x.shingle") === col("y.shingle") &&

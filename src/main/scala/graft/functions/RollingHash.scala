@@ -18,6 +18,14 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
+  // clean analysis-time error instead of an executor-side ClassCastException
+  // when SQL callers pass a non-string argument
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     var h = 0L

@@ -1,6 +1,6 @@
 package graft.linking
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entity-linking stage: dictionary gazetteer + broadcast mention scan.
@@ -50,11 +50,20 @@ object Gazetteer {
     chain.unionAll(extra)
   }
 
+  /** Word-boundary containment: `surface` must not be flanked by
+    * alphanumerics (otherwise surface NATION_1 false-links inside
+    * NATION_12). Gazetteer surfaces are [A-Za-z0-9 _-] so no regex
+    * escaping is needed; the guard enforces it.
+    */
+  def boundedContains(text: Column, surface: Column): Column =
+    regexp_like(text,
+      concat(lit("(^|[^A-Za-z0-9])"), surface, lit("([^A-Za-z0-9]|$)")))
+
   /** Mention detection: broadcast the gazetteer and scan each turn's text
-    * for contained surfaces. Emits one row per (turn, matching surface).
+    * for surfaces at word boundaries. One row per (turn, matching surface).
     */
   def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame =
-    transcripts.join(broadcast(gaz), contains(col("text"), col("surface")))
+    transcripts.join(broadcast(gaz), boundedContains(col("text"), col("surface")))
       .select(col("conv_id"), col("turn_idx"), col("surface"), col("alias_iri"))
 
   /** DuckDB CTE bodies kept in lockstep with the builders above. */

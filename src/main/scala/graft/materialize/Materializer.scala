@@ -39,6 +39,20 @@ object Materializer {
     Files.createDirectories(Paths.get(outDir))
     val done = (0 until nBuckets)
       .filter(b => Files.exists(Paths.get(s"$outDir/_bucket_$b.done"))).toSet
+    if (resume) {
+      // resume soundness: a crash can leave bucket data committed but
+      // unmarked (the data job commits before the marker loop runs), so
+      // re-appending would duplicate rows. Wipe every UNMARKED bucket dir
+      // first — marked buckets are skipped, unmarked ones are rebuilt
+      // from scratch; the rebuild is byte-identical (pure function of
+      // input), so the operation is idempotent.
+      (0 until nBuckets).filterNot(done).foreach { b =>
+        val dir = Paths.get(s"$outDir/triples/bucket=$b")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+      }
+    }
     val todo = if (resume) data.filter(!col("bucket").isin(done.toSeq: _*))
                else data
     // subject-clustered layout inside each bucket: parquet min/max stats

@@ -29,11 +29,6 @@ object NgsOps {
       .filter(col("__ok")).drop("__ok")
   }
 
-  /** Distinct graph names in stream order (= lexicographic graph order). */
-  private def rankedGraphs(quads: DataFrame): DataFrame =
-    quads.select("graph").distinct()
-      .withColumn("__rank", row_number().over(Window.orderBy(col("graph"))))
-
   /** `ngs head -n N` (NgsCmdImpls.java:107-126). The N-graph set is tiny →
     * TakeOrdered on the distinct-graph table + broadcast semi join.
     */

@@ -70,7 +70,8 @@ object Kg {
       struct(lit(s).as("m"), lit("<" + c + ">").as("c"))
     }: _*)
     val mentionArr = transform(
-      filter(entries, e => contains(col("text"), e.getField("m"))),
+      filter(entries,
+        e => Gazetteer.boundedContains(col("text"), e.getField("m"))),
       e => struct(col("turn_iri").as("s"),
         lit("<http://graft.io/p/mentions>").as("p"),
         e.getField("c").as("o"), col("g").as("g")))
@@ -110,7 +111,8 @@ object Kg {
   private def mentionsCte: String =
     """mentions AS (
       |  SELECT t.conv_id, t.turn_idx, g.surface, g.alias_iri
-      |  FROM transcripts t JOIN gaz g ON position(g.surface IN t.text) > 0
+      |  FROM transcripts t JOIN gaz g
+      |    ON regexp_matches(t.text, '(^|[^A-Za-z0-9])' || g.surface || '([^A-Za-z0-9]|$)')
       |)""".stripMargin
 
   def mentionsOracle: String =

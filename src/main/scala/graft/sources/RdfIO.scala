@@ -21,8 +21,12 @@ object RdfIO {
     * `--no-validate` spirit).
     */
   private[graft] def parseLine(line: String): Array[String] = {
-    val s = line.trim
+    // tabs are valid term separators (raw tabs cannot occur inside
+    // literals — they must be escaped \t), and the grammar allows the
+    // terminal '.' with no preceding whitespace: normalize both.
+    var s = line.replace('\t', ' ').trim
     if (s.isEmpty || s.startsWith("#")) return null
+    if (s.endsWith(".")) s = s.dropRight(1).trim + " ."
     val out = new scala.collection.mutable.ArrayBuffer[String](4)
     var i = 0
     val n = s.length

@@ -53,8 +53,10 @@ object Transcripts {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("event_id"))
 
     e.join(broadcast(d), d("doc_id") === e("event_id") % n)
+      // 12-digit pad: lpad TRUNCATES longer inputs (would merge distinct
+      // users into one conversation); 12 covers any realistic id space
       .withColumn("conv_id",
-        concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")))
+        concat(lit("conv-"), lpad(col("user_id").cast("string"), 12, "0")))
       .select(
         col("conv_id"),
         (row_number().over(w) - 1).cast("int").as("turn_idx"),
@@ -93,7 +95,7 @@ object Transcripts {
   def oracleCte: String =
     """transcripts AS (
       |  SELECT
-      |    'conv-' || lpad(CAST(e.user_id AS VARCHAR), 6, '0') AS conv_id,
+      |    'conv-' || lpad(CAST(e.user_id AS VARCHAR), 12, '0') AS conv_id,
       |    CAST(row_number() OVER (PARTITION BY e.user_id ORDER BY e.event_id) - 1 AS INT) AS turn_idx,
       |    CASE WHEN e.event_id % 2 = 0 THEN 'user'
       |         WHEN e.event_type = 'error' THEN 'system'

@@ -54,9 +54,10 @@ object TextFns {
       best.getField("score").cast("long").as("score"))
   }
 
-  /** Document fingerprint via the native codegen RollingHash expression. */
+  /** Document fingerprint via the native codegen RollingHash expression,
+    * over the SAME normalization dedup uses (one canonical definition).
+    */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      RollingHash(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
-        .as("fingerprint"))
+      RollingHash(graft.dedup.Dedup.normalized(col("text"))).as("fingerprint"))
 }
