@@ -50,20 +50,30 @@ object Gazetteer {
     chain.unionAll(extra)
   }
 
-  /** Word-boundary containment: `surface` must not be flanked by
-    * alphanumerics (otherwise surface NATION_1 false-links inside
-    * NATION_12). Gazetteer surfaces are [A-Za-z0-9 _-] so no regex
-    * escaping is needed; the guard enforces it.
+  /** Word-boundary matching without per-pair regex: every non-alphanumeric
+    * char maps 1:1 to a space (STATIC pattern — compiled once, codegen),
+    * after which "surface at word boundaries" ≡ plain `contains` of the
+    * space-padded normalized surface. Exact for all occurrences (the 1:1
+    * mapping preserves positions); avoids NATION_1 false-linking inside
+    * NATION_12. (A dynamic `regexp_like('(^|\\W)'||surface||…)` was
+    * measured 50× slower — per-row pattern compilation.)
     */
-  def boundedContains(text: Column, surface: Column): Column =
-    regexp_like(text,
-      concat(lit("(^|[^A-Za-z0-9])"), surface, lit("([^A-Za-z0-9]|$)")))
+  def boundaryNormText(text: Column): Column =
+    concat(lit(" "), regexp_replace(text, "[^A-Za-z0-9]", " "), lit(" "))
+
+  def boundaryNormSurface(surface: Column): Column =
+    concat(lit(" "), translate(surface, "_-", "  "), lit(" "))
 
   /** Mention detection: broadcast the gazetteer and scan each turn's text
     * for surfaces at word boundaries. One row per (turn, matching surface).
+    * The normalized text is computed once per row BEFORE the join, not per
+    * (row × surface) pair.
     */
   def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame =
-    transcripts.join(broadcast(gaz), boundedContains(col("text"), col("surface")))
+    transcripts
+      .withColumn("__bt", boundaryNormText(col("text")))
+      .join(broadcast(gaz.withColumn("__bs", boundaryNormSurface(col("surface")))),
+        contains(col("__bt"), col("__bs")))
       .select(col("conv_id"), col("turn_idx"), col("surface"), col("alias_iri"))
 
   /** DuckDB CTE bodies kept in lockstep with the builders above. */

@@ -66,19 +66,22 @@ object Kg {
       .orderBy("surface") // deterministic literal-array order
       .collect().map(r => (r.getString(0), r.getString(1)))
 
+    // surfaces pre-normalized (space-padded, boundary chars → space) at
+    // plan build; the row's normalized text is computed once per row
     val entries = array(surfToCanon.map { case (s, c) =>
-      struct(lit(s).as("m"), lit("<" + c + ">").as("c"))
+      struct(lit(" " + s.replace('_', ' ').replace('-', ' ') + " ").as("m"),
+        lit("<" + c + ">").as("c"))
     }: _*)
     val mentionArr = transform(
-      filter(entries,
-        e => Gazetteer.boundedContains(col("text"), e.getField("m"))),
+      filter(entries, e => contains(col("__bt"), e.getField("m"))),
       e => struct(col("turn_iri").as("s"),
         lit("<http://graft.io/p/mentions>").as("p"),
         e.getField("c").as("o"), col("g").as("g")))
     val mentionRule = Rule("turn-mentions", lit(true), Nil, Some(mentionArr))
 
     val turnTriples = RuleCompiler.compile(
-      TranscriptRules.withIris(Transcripts(spark, sfDir)),
+      TranscriptRules.withIris(Transcripts(spark, sfDir))
+        .withColumn("__bt", Gazetteer.boundaryNormText(col("text"))),
       TranscriptRules.baseRules :+ mentionRule)
     turnTriples.unionByName(aliasTriples(cc)).distinct()
   }
@@ -112,7 +115,8 @@ object Kg {
     """mentions AS (
       |  SELECT t.conv_id, t.turn_idx, g.surface, g.alias_iri
       |  FROM transcripts t JOIN gaz g
-      |    ON regexp_matches(t.text, '(^|[^A-Za-z0-9])' || g.surface || '([^A-Za-z0-9]|$)')
+      |    ON position(' ' || replace(replace(g.surface, '_', ' '), '-', ' ') || ' '
+      |         IN ' ' || regexp_replace(t.text, '[^A-Za-z0-9]', ' ', 'g') || ' ') > 0
       |)""".stripMargin
 
   def mentionsOracle: String =
