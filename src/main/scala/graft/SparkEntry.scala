@@ -24,6 +24,11 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) =>
       TranscriptRules.triples(Transcripts(s, dir))),
     "kg_mentions" -> ((s, dir) => pipeline.Kg.mentions(s, dir)),
+    // LSH internals are hash-seeded => rows-only at the driver; semantics
+    // asserted vs an exact all-pairs baseline in KgSpec
+    "kg_fuzzy_mentions" -> ((s, dir) =>
+      linking.Gazetteer.fuzzyMentions(
+        Transcripts(s, dir), linking.Gazetteer(s, dir), threshold = 0.5)),
     "kg_alias_cc" -> ((s, dir) => pipeline.Kg.aliasCc(s, dir)),
     "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriples(s, dir)),
     "kg_graph_stats" -> ((s, dir) => pipeline.Kg.graphStats(s, dir))

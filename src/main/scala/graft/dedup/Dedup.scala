@@ -87,25 +87,54 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash+LSH candidate pairs verified with exact Jaccard.
-    * Bands of `rowsPerBand` signature slots each hash to a bucket key;
-    * docs colliding in ANY band become candidates; candidates are then
-    * verified with the exact n-gram Jaccard so precision is 1.0 and
-    * recall is the LSH collision probability.
+  /** (doc_id, band, key) LSH band buckets of a MinHash signature table:
+    * each band of `rowsPerBand` signature slots hashes to one bucket key;
+    * ids colliding in ANY band are near-dup candidates.
     */
-  def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
-      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    require(numHashes % rowsPerBand == 0)
-    val sh = shingles(docs, n).cache()
-    val sig = minhashSignatures(sh, numHashes)
+  def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val bands = numHashes / rowsPerBand
     val bandKeys = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash+LSH near-dup pairs verified with exact Jaccard.
+    *
+    * Duplicate-heavy corpora are the norm, and identical docs collide in
+    * EVERY band — naive LSH turns f exact copies into f²/2 candidate
+    * pairs. Guards, in order:
+    *   1. exact-dedup first: LSH runs over one REPRESENTATIVE per
+    *      identical-text group; rep-level pairs are expanded back to
+    *      member pairs at the end (identical docs have identical shingle
+    *      sets, so every member pair inherits the rep pair's Jaccard
+    *      exactly — the output is unchanged, only the quadratic candidate
+    *      generation + verification work disappears).
+    *   2. `maxBucketSize` caps any residual pathological band bucket
+    *      (bounded work at the price of a bounded recall loss; OFF by
+    *      default = Long.MaxValue so small-scale results stay exact).
+    *
+    * Shingles are localCheckpoint'ed (lazy): materialized once, reused by
+    * the signature/verify stages, and the blocks are released by the
+    * ContextCleaner when the result goes out of scope — no cache leak
+    * across repeated calls.
+    */
+  def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val ex = exact(docs) // (doc_id, rep_id, group_size)
+    val reps = docs.join(
+      ex.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+    val sh = shingles(reps, n).localCheckpoint(false)
+    val sig = minhashSignatures(sh, numHashes)
+    val buckets0 = lshBuckets(sig, numHashes, rowsPerBand)
+    val buckets = if (maxBucketSize == Long.MaxValue) buckets0
+      else buckets0.withColumn("__bs",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .filter(col("__bs") <= maxBucketSize).drop("__bs")
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -119,7 +148,7 @@ object Dedup {
         .withColumnRenamed("shingle", "sh_b"), "b")
       .filter(col("shingle") === col("sh_b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    common
+    val repPairs = common
       .join(sizes.withColumnRenamed("doc_id", "a")
         .withColumnRenamed("n_sh", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b")
@@ -128,6 +157,32 @@ object Dedup {
         round(col("common") / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+
+    // expand rep-level pairs back to member pairs (pure join expansion —
+    // no shingle work): cross-group pairs inherit the verified Jaccard;
+    // intra-group pairs are exact duplicates (Jaccard 1), emitted only
+    // for groups whose representative actually has shingles (docs shorter
+    // than n tokens have no shingle set, hence no Jaccard — parity with
+    // the unexpanded path).
+    val members = ex.select(col("rep_id"), col("doc_id"))
+    val cross = repPairs
+      .join(members.withColumnRenamed("rep_id", "a")
+        .withColumnRenamed("doc_id", "ma"), "a")
+      .join(members.withColumnRenamed("rep_id", "b")
+        .withColumnRenamed("doc_id", "mb"), "b")
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("jaccard"))
+    val intra = if (threshold > 1.0) cross.limit(0) else {
+      val shDocs = sh.select(col("doc_id").as("__srep")).distinct()
+      val m = ex.filter(col("group_size") > 1)
+        .select(col("rep_id").as("rep"), col("doc_id"))
+      m.as("x").join(m.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .join(shDocs, col("x.rep") === col("__srep"), "left_semi")
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit(1.0d).as("jaccard"))
+    }
+    cross.unionAll(intra)
   }
 
   /** 64-bit SimHash over word tokens: sum ±1 per bit weighted by token

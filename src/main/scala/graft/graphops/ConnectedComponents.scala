@@ -28,7 +28,9 @@ object ConnectedComponents {
     *         appears in `edges` is present.
     */
   def apply(edges: DataFrame, maxIter: Int = 20,
-      localSolveThreshold: Long = 1 << 20): DataFrame = {
+      // driver-heap budget: 2^18 string edges ≈ tens of MB incl. HashMap
+      // overhead (2^20 could approach ~1 GB with long IRIs)
+      localSolveThreshold: Long = 1 << 18): DataFrame = {
     val spark = edges.sparkSession
     // canonical direction + dedup once up front
     var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
@@ -100,6 +102,11 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    if (!converged)
+      // a non-converged contraction would yield a partially-contracted
+      // (non-canonical) mapping — fail loudly rather than return it
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
 
     // star edges: (member -> root). Roots map to themselves.
     val members = e.select(col("src").as("node"), col("dst").as("component"))

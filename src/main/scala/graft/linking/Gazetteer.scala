@@ -50,31 +50,125 @@ object Gazetteer {
     chain.unionAll(extra)
   }
 
-  /** Word-boundary matching without per-pair regex: every non-alphanumeric
-    * char maps 1:1 to a space (STATIC pattern — compiled once, codegen),
-    * after which "surface at word boundaries" ≡ plain `contains` of the
-    * space-padded normalized surface. Exact for all occurrences (the 1:1
-    * mapping preserves positions); avoids NATION_1 false-linking inside
-    * NATION_12. (A dynamic `regexp_like('(^|\\W)'||surface||…)` was
-    * measured 50× slower — per-row pattern compilation.)
+  /** Word-boundary normalization: every RUN of non-alphanumerics collapses
+    * to ONE space (static regex — compiled once, codegen). After this,
+    * "surface occurs at word boundaries" ≡ "the surface's token sequence
+    * appears as consecutive text tokens" — which turns the mention scan
+    * into an EQUI-join on token n-grams (below) instead of an
+    * O(rows × surfaces) substring scan.
     */
   def boundaryNormText(text: Column): Column =
-    concat(lit(" "), regexp_replace(text, "[^A-Za-z0-9]", " "), lit(" "))
+    concat(lit(" "), regexp_replace(text, "[^A-Za-z0-9]+", " "), lit(" "))
 
-  def boundaryNormSurface(surface: Column): Column =
-    concat(lit(" "), translate(surface, "_-", "  "), lit(" "))
+  /** Canonical join key of a surface: separators collapsed, trimmed. */
+  def surfaceKey(surface: Column): Column =
+    trim(regexp_replace(surface, "[^A-Za-z0-9]+", " "))
 
-  /** Mention detection: broadcast the gazetteer and scan each turn's text
-    * for surfaces at word boundaries. One row per (turn, matching surface).
-    * The normalized text is computed once per row BEFORE the join, not per
-    * (row × surface) pair.
+  /** Longest surface in tokens — bounds the n-gram explode. One
+    * metadata-scale job over the (small, broadcastable) gazetteer.
     */
-  def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame =
-    transcripts
-      .withColumn("__bt", boundaryNormText(col("text")))
-      .join(broadcast(gaz.withColumn("__bs", boundaryNormSurface(col("surface")))),
-        contains(col("__bt"), col("__bs")))
+  def maxSurfaceTokens(gaz: DataFrame): Int =
+    gaz.agg(max(size(split(surfaceKey(col("surface")), " ")))).head.getInt(0)
+
+  /** Mention detection as a broadcast HASH equi-join (never a nested-loop
+    * contains scan): each turn's text explodes into its distinct token
+    * n-grams of length 1..maxSurfaceTokens, which join the gazetteer on
+    * the exact normalized-surface key. Cost is O(rows × tokens ×
+    * maxSurfaceTokens) INDEPENDENT of gazetteer size — a 1M-surface
+    * gazetteer costs the same scan as a 75-surface one (the build side is
+    * a hash map). One row per (turn, matching surface), matching the
+    * word-boundary contains semantics exactly (n-grams are de-duplicated
+    * per turn, so repeated occurrences emit one row, like `contains`).
+    */
+  def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame = {
+    val g = gaz.select(col("surface"), col("alias_iri"),
+      surfaceKey(col("surface")).as("__key"))
+    ngramSpans(transcripts, math.max(1, maxSurfaceTokens(gaz)))
+      .join(broadcast(g), col("__ng") === col("__key"))
       .select(col("conv_id"), col("turn_idx"), col("surface"), col("alias_iri"))
+  }
+
+  /** (conv_id, turn_idx, __ng): each turn's DISTINCT token n-grams of
+    * length 1..maxTokens. Only `transform` is a (cheap, per-row)
+    * higher-order fn — slice/array_join are ordinary codegen expressions.
+    */
+  def ngramSpans(transcripts: DataFrame, maxTokens: Int): DataFrame = {
+    val grams: Seq[Column] = (1 to maxTokens).map { l =>
+      when(size(col("__toks")) >= l,
+        transform(sequence(lit(1), size(col("__toks")) - (l - 1)),
+          i => array_join(slice(col("__toks"), i, lit(l)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val allGrams = if (grams.size == 1) grams.head else concat(grams: _*)
+    transcripts
+      .withColumn("__toks",
+        split(trim(regexp_replace(col("text"), "[^A-Za-z0-9]+", " ")), " "))
+      .select(col("conv_id"), col("turn_idx"),
+        explode(array_distinct(allGrams)).as("__ng"))
+  }
+
+  /** Character k-shingle set of a string (short strings fall back to the
+    * whole string, so every key has ≥1 shingle).
+    */
+  def charShingles(key: Column, k: Int): Column =
+    when(length(key) >= k,
+      array_distinct(transform(sequence(lit(1), length(key) - (k - 1)),
+        i => key.substr(i, lit(k)))))
+      .otherwise(array(key))
+
+  /** Fuzzy entity linking with MinHash-LSH blocking (SURVEY §7.2.5):
+    * links text spans to gazetteer surfaces whose character-3-shingle
+    * Jaccard ≥ `threshold` — typo-tolerant matching WITHOUT an all-pairs
+    * span × surface scan. Spans (distinct token n-grams, deduplicated
+    * corpus-wide before signatures) and surface keys each get a MinHash
+    * signature; LSH band buckets turn candidate generation into an
+    * equi-join (surface side broadcast); candidates are verified with
+    * exact shingle Jaccard, so precision w.r.t. the threshold is 1.0 and
+    * recall is the standard LSH collision probability.
+    * Output: one row per (turn, span, matched surface).
+    */
+  def fuzzyMentions(transcripts: DataFrame, gaz: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    import graft.dedup.Dedup.{minhashSignatures, lshBuckets}
+    val spans = ngramSpans(transcripts, math.max(1, maxSurfaceTokens(gaz)))
+    val spanKeys = spans.select(col("__ng")).distinct()
+    val spanSh = spanKeys
+      .select(col("__ng").as("doc_id"), explode(charShingles(col("__ng"), 3)).as("shingle"))
+    val surfKeys = gaz.select(surfaceKey(col("surface")).as("__key")).distinct()
+    val surfSh = surfKeys
+      .select(col("__key").as("doc_id"), explode(charShingles(col("__key"), 3)).as("shingle"))
+
+    val spanBk = lshBuckets(minhashSignatures(spanSh, numHashes), numHashes, rowsPerBand)
+    val surfBk = lshBuckets(minhashSignatures(surfSh, numHashes), numHashes, rowsPerBand)
+    val cands = spanBk.join(broadcast(surfBk
+          .withColumnRenamed("doc_id", "__key")),
+        Seq("band", "key"))
+      .select(col("doc_id").as("__ng"), col("__key")).distinct()
+
+    // exact shingle-Jaccard verification of the (bounded) candidate set
+    val spanSizes = spanSh.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val surfSizes = surfSh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val common = cands
+      .join(spanSh.withColumnRenamed("doc_id", "__ng"), "__ng")
+      .join(broadcast(surfSh.withColumnRenamed("doc_id", "__key")
+        .withColumnRenamed("shingle", "sh_b")), "__key")
+      .filter(col("shingle") === col("sh_b"))
+      .groupBy("__ng", "__key").agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(spanSizes.withColumnRenamed("doc_id", "__ng"), "__ng")
+      .join(broadcast(surfSizes.withColumnRenamed("doc_id", "__key")), "__key")
+      .withColumn("jaccard",
+        round(col("common") / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__ng"), col("__key"), col("jaccard"))
+
+    spans.join(verified, "__ng")
+      .join(broadcast(gaz.select(col("surface"), col("alias_iri"),
+        surfaceKey(col("surface")).as("__key"))), "__key")
+      .select(col("conv_id"), col("turn_idx"), col("__ng").as("span"),
+        col("surface"), col("alias_iri"), col("jaccard"))
+  }
 
   /** DuckDB CTE bodies kept in lockstep with the builders above. */
   def gazOracleCte: String =

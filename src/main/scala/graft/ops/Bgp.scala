@@ -25,8 +25,18 @@ object Bgp {
       case (df, (c, Left(const))) => df.filter(col(c) === const)
       case (df, _) => df
     }
-    val projected = bind.collect { case (c, Right(v)) => col(c).as(v) }
-    filtered.select(projected: _*)
+    // a variable repeated within one pattern (e.g. ?x ?p ?x) is an
+    // implicit equality constraint in SPARQL: filter on it and project
+    // the variable ONCE (a duplicate column name would silently corrupt
+    // downstream joins)
+    val vars = bind.collect { case (c, Right(v)) => (c, v) }
+    val eqFilters = vars.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(g => g.tail.map(t => col(g.head._1) === col(t._1)))
+    val constrained = eqFilters.foldLeft(filtered)(_ filter _)
+    val projected = vars.groupBy(_._2).map(_._2.head)
+      .toSeq.sortBy(t => vars.indexOf(t))
+      .map { case (c, v) => col(c).as(v) }
+    constrained.select(projected: _*)
   }
 
   /** Conjunction: natural equi-join on shared variables. */

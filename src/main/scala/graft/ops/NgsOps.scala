@@ -43,10 +43,42 @@ object NgsOps {
     quads.join(broadcast(drop), Seq("graph"), "left_anti")
   }
 
+  /** Global rank over `ord` WITHOUT a partition-less window (which would
+    * collapse the table into one task): range-partition on the sort key,
+    * sort within partitions, then rank = per-partition offset + position.
+    * `monotonically_increasing_id` encodes both (pid = id >> 33, position
+    * = id & (2^33-1)); offsets come from ONE metadata-sized collect of
+    * per-partition counts. The ranked table is localCheckpoint'ed so the
+    * counts job and the downstream read share one computation (replace
+    * with reliable checkpoint on a cluster).
+    */
+  private[graft] def rankByOrder(keyed: DataFrame, ord: Seq[Column]): DataFrame = {
+    val parts = keyed.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = keyed.repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val Stride = 8589934592L // 2^33, monotonically_increasing_id stride
+    val counts = sorted
+      .groupBy((col("__mid") / Stride).cast("long").as("__pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), (col("__mid") / Stride).cast("long"))
+    sorted.withColumn("rank",
+        (offsetCol + pmod(col("__mid"), lit(Stride)) + 1L).cast("int"))
+      .drop("__mid")
+  }
+
   /** `ngs sort` — order graphs by a per-graph aggregate key; emits
-    * (graph, key, rank). `-u` dedup and `-m` merge fall out of groupBy.
-    * (reference delegates to /usr/bin/sort — NgsCmdImpls.java:309-330;
-    * Spark's shuffle sort replaces the child-process external sort.)
+    * (graph, key, rank). (The reference delegates to /usr/bin/sort —
+    * NgsCmdImpls.java:309-330; Spark's range-partitioned shuffle sort
+    * replaces the child-process external sort, and ranking never
+    * single-threads: see [[rankByOrder]].)
     */
   def sortGraphs(quads: DataFrame, keyAgg: Column, descending: Boolean = false,
       random: Option[Long] = None): DataFrame = {
@@ -57,7 +89,31 @@ object NgsOps {
         if (descending) Seq(col("key").desc, col("graph").asc)
         else Seq(col("key").asc, col("graph").asc)
     }
-    keyed.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+    rankByOrder(keyed, ord).select(col("graph"), col("key"), col("rank"))
+  }
+
+  /** `ngs sort -u` — keep ONE graph per distinct key (the least graph
+    * name; the reference keeps the first in stream order —
+    * CmdNgsSort.java), emitting the survivors' quads.
+    */
+  def sortGraphsUnique(quads: DataFrame, keyAgg: Column): DataFrame = {
+    val keep = quads.groupBy(col("graph")).agg(keyAgg.as("key"))
+      .groupBy(col("key")).agg(min(col("graph")).as("graph"))
+      .select("graph")
+    quads.join(keep, Seq("graph"), "left_semi")
+  }
+
+  /** `ngs sort -m` — merge graphs sharing a key into one graph, named by
+    * the least member graph (order-insensitive form of the reference's
+    * consecutive-same-key merge).
+    */
+  def sortGraphsMerged(quads: DataFrame, keyAgg: Column): DataFrame = {
+    val keyed = quads.groupBy(col("graph")).agg(keyAgg.as("key"))
+    val target = keyed
+      .join(keyed.groupBy(col("key")).agg(min(col("graph")).as("__tg")), "key")
+      .select(col("graph"), col("__tg"))
+    quads.join(target, "graph")
+      .select(col("__tg").as("graph"), col("subj"), col("pred"), col("obj"))
   }
 
   /** `ngs subjects` — regroup triples into one named graph per subject,
@@ -84,18 +140,22 @@ object NgsOps {
   /** `ngs while` — emit graphs (in graph order) while the ASK condition
     * holds; first failing graph stops the stream (NgsCmdImpls.java:366-380).
     * `until=true` emits while the condition does NOT hold.
+    *
+    * Stream order is graph-name order, so "before the first failing
+    * graph" is simply `graph < min(failing graph)` — no ranking (and no
+    * partition-less window) needed: one aggregate for the 1-row stop key,
+    * broadcast to a filter. The keep-set is unbounded, so the final
+    * semi-join is a plain shuffled join (never a forced broadcast).
     */
   def whileGraphs(quads: DataFrame, cond: Column, until: Boolean = false): DataFrame = {
     val c = if (until) !cond else cond
     val perGraph = quads.groupBy(col("graph"))
       .agg(max(when(c, 1).otherwise(0)).as("__ok"))
-    val ranked = perGraph
-      .withColumn("__rank", row_number().over(Window.orderBy(col("graph"))))
-    val firstBad = ranked.filter(col("__ok") === 0)
-      .agg(coalesce(min(col("__rank")), lit(Long.MaxValue)).as("__stop"))
-    val keep = ranked.join(broadcast(firstBad),
-        col("__rank") < col("__stop"), "left_semi")
+    val firstBad = perGraph.filter(col("__ok") === 0)
+      .agg(min(col("graph")).as("__stop"))
+    val keep = perGraph.crossJoin(broadcast(firstBad))
+      .filter(col("__stop").isNull || col("graph") < col("__stop"))
       .select("graph")
-    quads.join(broadcast(keep), Seq("graph"), "left_semi")
+    quads.join(keep, Seq("graph"), "left_semi")
   }
 }

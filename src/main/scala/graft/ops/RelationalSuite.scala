@@ -37,6 +37,11 @@ object RelationalSuite {
     "ngs_sort" -> ((s, dir) =>
       NgsOps.sortGraphs(quads(s, dir), max(col("idx")), descending = true)
         .select(col("graph"), col("key").cast("long").as("key"), col("rank"))),
+    "ngs_sort_unique" -> ((s, dir) =>
+      NgsOps.sortGraphsUnique(quads(s, dir), max(col("idx") % 100))
+        .drop("idx")),
+    "ngs_sort_merged" -> ((s, dir) =>
+      NgsOps.sortGraphsMerged(quads(s, dir), max(col("idx") % 100))),
     "ngs_subjects" -> ((s, dir) =>
       NgsOps.subjects(SyntheticQuads.mixedSubjectTriples(s, dir))),
     "ngs_wc" -> ((s, dir) => NgsOps.wc(quads(s, dir))),
@@ -116,6 +121,19 @@ object RelationalSuite {
          |SELECT graph, key,
          |       CAST(row_number() OVER (ORDER BY key DESC, graph ASC) AS INT) AS rank
          |FROM keyed""".stripMargin,
+    "ngs_sort_unique" ->
+      s"""WITH $Q,
+         |keyed AS (SELECT graph, max(idx % 100) AS key FROM quads GROUP BY graph),
+         |keep AS (SELECT min(graph) AS graph FROM keyed GROUP BY key)
+         |SELECT graph, subj, pred, obj FROM quads
+         |WHERE graph IN (SELECT graph FROM keep)""".stripMargin,
+    "ngs_sort_merged" ->
+      s"""WITH $Q,
+         |keyed AS (SELECT graph, max(idx % 100) AS key FROM quads GROUP BY graph),
+         |tg AS (SELECT key, min(graph) AS tgt FROM keyed GROUP BY key)
+         |SELECT t.tgt AS graph, q.subj, q.pred, q.obj
+         |FROM quads q JOIN keyed k ON k.graph = q.graph
+         |JOIN tg t ON t.key = k.key""".stripMargin,
     "ngs_subjects" ->
       s"""WITH ${SyntheticQuads.mixedSubjectOracleCte}
          |SELECT CASE WHEN subj LIKE '<%' THEN subj

@@ -66,10 +66,10 @@ object Kg {
       .orderBy("surface") // deterministic literal-array order
       .collect().map(r => (r.getString(0), r.getString(1)))
 
-    // surfaces pre-normalized (space-padded, boundary chars → space) at
+    // surfaces pre-normalized (space-padded, separator runs collapsed) at
     // plan build; the row's normalized text is computed once per row
     val entries = array(surfToCanon.map { case (s, c) =>
-      struct(lit(" " + s.replace('_', ' ').replace('-', ' ') + " ").as("m"),
+      struct(lit(" " + s.replaceAll("[^A-Za-z0-9]+", " ").trim + " ").as("m"),
         lit("<" + c + ">").as("c"))
     }: _*)
     val mentionArr = transform(
@@ -115,8 +115,8 @@ object Kg {
     """mentions AS (
       |  SELECT t.conv_id, t.turn_idx, g.surface, g.alias_iri
       |  FROM transcripts t JOIN gaz g
-      |    ON position(' ' || replace(replace(g.surface, '_', ' '), '-', ' ') || ' '
-      |         IN ' ' || regexp_replace(t.text, '[^A-Za-z0-9]', ' ', 'g') || ' ') > 0
+      |    ON position(' ' || trim(regexp_replace(g.surface, '[^A-Za-z0-9]+', ' ', 'g')) || ' '
+      |         IN ' ' || regexp_replace(t.text, '[^A-Za-z0-9]+', ' ', 'g') || ' ') > 0
       |)""".stripMargin
 
   def mentionsOracle: String =

@@ -49,10 +49,13 @@ object RuleCompiler {
         if (r.templates.isEmpty) None
         else Some(array(r.templates.map(t =>
           struct(t.s.as("s"), t.p.as("p"), t.o.as("o"), t.g.as("g"))): _*))
+      // dynamic arrays are NULL-guarded: concat propagates NULL, which
+      // would silently drop ALL rules' triples for the row — a NULL
+      // dynamic expression must suppress only its own rule's output
       val triples = (fixed, r.dynamic) match {
-        case (Some(f), Some(d)) => concat(f, d)
+        case (Some(f), Some(d)) => concat(f, coalesce(d, emptyArr))
         case (Some(f), None) => f
-        case (None, Some(d)) => d
+        case (None, Some(d)) => coalesce(d, emptyArr)
         case (None, None) => emptyArr
       }
       when(r.where, triples).otherwise(emptyArr)

@@ -67,12 +67,14 @@ class IoAndPlanSpec extends AnyFunSuite {
     val scan = slim.queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
     assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)"), scan)
-    // mention scan joins against a broadcast build side (no shuffle)
+    // mention scan is a broadcast HASH equi-join on the n-gram key —
+    // never a nested-loop contains scan (O(rows × surfaces) scale-killer)
     val m = Gazetteer.mentions(
       Transcripts(spark, TestSpark.sf0001),
       Gazetteer(spark, TestSpark.sf0001))
     val mp = m.queryExecution.executedPlan.toString
-    assert(mp.contains("BroadcastNestedLoopJoin") || mp.contains("BroadcastHashJoin"), mp)
+    assert(mp.contains("BroadcastHashJoin"), mp)
+    assert(!mp.contains("BroadcastNestedLoopJoin"), mp)
   }
 
   test("structured streaming: rule-style transform over a bounded stream") {

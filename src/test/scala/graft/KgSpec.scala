@@ -27,6 +27,31 @@ class KgSpec extends AnyFunSuite {
       pipeline.Kg.canonicalTriples(spark, TestSpark.sf0001).count())
   }
 
+  test("fuzzy mentions: exact matches always link; typos link via LSH") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.linking.Gazetteer
+    val gaz = Gazetteer(spark, TestSpark.sf0001)
+    val t = Seq(
+      ("c1", 0, "user", "we discussed NATION_13 at length", null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("c1", 1, "user", "typo here: NATIONN 13 indeed", null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // 8 bands of 2 -> collision prob ≥0.99 at jaccard 0.67 (deterministic
+    // hashes: the outcome is fixed, the probability is over string choice)
+    val fuzzy = Gazetteer.fuzzyMentions(t, gaz, threshold = 0.5,
+      numHashes = 16, rowsPerBand = 2).cache()
+    // exact surface occurrence => jaccard 1.0 (identical strings collide
+    // in every LSH band, so recall for exact matches is 1)
+    assert(fuzzy.filter($"turn_idx" === 0 && $"surface" === "NATION_13" &&
+      $"jaccard" === 1.0d).count() === 1)
+    // the typo'd span links to the right surface with jaccard < 1
+    assert(fuzzy.filter($"turn_idx" === 1 && $"surface" === "NATION_13" &&
+      $"jaccard" < 1.0d).count() >= 1)
+    fuzzy.unpersist()
+  }
+
   test("fused plan has exactly one transcript scan") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     spark.catalog.clearCache() // other suites may have cached the source

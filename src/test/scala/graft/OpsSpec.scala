@@ -58,6 +58,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rnd1.sameElements(rnd2))
   }
 
+  test("sortGraphs: no partition-less window; ranks contiguous and ordered") {
+    val many = spark.range(0, 1000).selectExpr(
+      "concat('<g', lpad(cast(id as string), 4, '0'), '>') AS graph",
+      "'<s>' AS subj", "'<p>' AS pred",
+      "cast(id % 37 as string) AS obj", "id % 37 AS idx")
+    val r = NgsOps.sortGraphs(many, max($"idx"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan) // rank never single-threads
+    val got = r.orderBy("rank").select("graph").as[String].collect().toSeq
+    val expected = many.select($"graph", $"idx").as[(String, Long)].collect()
+      .sortBy { case (g, k) => (k, g) }.map(_._1).toSeq
+    assert(got === expected)
+    assert(r.select("rank").as[Int].collect().sorted.toSeq === (1 to 1000))
+  }
+
+  test("sortGraphs -u / -m variants") {
+    val u = NgsOps.sortGraphsUnique(quads, count(lit(1)))
+    // keys: g1 -> 2 rows, g2/g3/g4 -> 1 row; unique keeps g1 and min(g2..g4)=g2
+    assert(u.select("graph").distinct().as[String].collect().toSet ===
+      Set("<g1>", "<g2>"))
+    val m = NgsOps.sortGraphsMerged(quads, count(lit(1)))
+    // g2,g3,g4 merge under g2; g1 stays
+    assert(m.select("graph").distinct().as[String].collect().toSet ===
+      Set("<g1>", "<g2>"))
+    assert(m.count() === quads.count()) // merge re-graphs, never drops
+    assert(m.filter($"graph" === "<g2>").count() === 3)
+  }
+
   test("mapToGraph rewrites all graph names") {
     assert(NgsOps.mapToGraph(quads, "<m>").select("graph").distinct()
       .as[String].collect().toSeq === Seq("<m>"))

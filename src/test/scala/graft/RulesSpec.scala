@@ -44,6 +44,22 @@ class RulesSpec extends AnyFunSuite {
     assert(toolTriples === toolTurns)
   }
 
+  test("NULL dynamic array suppresses only its own rule, not the row") {
+    import graft.rules.{Rule, RuleCompiler, TripleTemplate}
+    val in = Seq(("a", 1), ("b", 2)).toDF("id", "v")
+    val fixedRule = Rule("fixed", lit(true), Seq(TripleTemplate(
+      concat(lit("<s/"), $"id", lit(">")), lit("<p>"), lit("\"x\""), lit("<g>"))))
+    // dynamic expression that is NULL for id = "a"
+    val dyn = when($"id" =!= "a",
+      array(struct(lit("<sd>").as("s"), lit("<pd>").as("p"),
+        lit("\"d\"").as("o"), lit("<g>").as("g"))))
+    val nullDynRule = Rule("dyn", lit(true), Nil, Some(dyn))
+    val out = RuleCompiler.compile(in, Seq(fixedRule, nullDynRule))
+    // row "a": fixed triple must SURVIVE the null dynamic array
+    assert(out.filter($"subj" === "<s/a>").count() === 1)
+    assert(out.count() === 3) // 2 fixed + 1 dynamic
+  }
+
   test("ntEscape handles quotes, newlines, tabs, backslashes") {
     val df = Seq("""a"b""", "a\nb", "a\tb", "a\\b", "plain", "a\rb")
       .toDF("s").select(RdfTerms.strLit($"s").as("l"))

@@ -34,6 +34,22 @@ class TrainingSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${mh.size}/${exact.size})")
   }
 
+  test("minhash on a duplicate-heavy corpus: exact groups collapse before LSH") {
+    // 1000 identical docs + 5 distinct: naive LSH would generate ~500k
+    // candidate pairs and verify each with a shingle join; the exact
+    // pre-pass collapses them to ONE representative, and the C(1000,2)
+    // output pairs come from a pure join expansion.
+    val dups = Seq.tabulate(1000)(i =>
+      (i.toLong, "the same exact duplicated text repeated across the corpus many times"))
+    val uniq = Seq.tabulate(5)(i =>
+      (10000L + i, s"completely different document number $i talking about topic-$i only"))
+    val docs = (dups ++ uniq).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, 3, 0.6).cache()
+    assert(pairs.count() === 1000L * 999 / 2)
+    assert(pairs.filter($"jaccard" === 1.0d).count() === 1000L * 999 / 2)
+    pairs.unpersist()
+  }
+
   test("simhash: identical normalized docs at hamming 0; pairs found") {
     val pairs = Dedup.simhashPairs(corpus)
     val exactTwins = pairs.filter($"a" + 200000 === $"b" && $"hamming" === 0)
