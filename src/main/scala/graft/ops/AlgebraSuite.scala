@@ -101,6 +101,12 @@ object AlgebraSuite {
         .select(col("event_id"),
           explode(from_json(col("props"), MapType(StringType, StringType))))
         .select(col("event_id"), col("key"), col("value"))),
+    "rdf_trig_scan" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      RdfIO.readTrig(s, path)
+    }),
     "rdf_roundtrip" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") +
         s"/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -153,6 +159,37 @@ object AlgebraSuite {
       "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",
     "macro_greet" ->
       "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
+    "rdf_trig_scan" ->
+      """WITH nat AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name,
+        |         CAST(n_regionkey AS VARCHAR) AS r,
+        |         replace(replace('about "' || n_name || '" ' || chr(92) || ' end',
+        |                 chr(92), chr(92)||chr(92)),
+        |                 '"', chr(92)||'"') AS c
+        |  FROM nation
+        |)
+        |SELECT graph, subj, pred, obj FROM (
+        |  SELECT '<urn:x-arq:DefaultGraph>' AS graph,
+        |         '<http://example.org/n' || k || '>' AS subj,
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+        |         '<http://example.org/Nation>' AS obj FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/name>', '"' || name || '"' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/key>',
+        |         '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/active>',
+        |         '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/region>', '<http://example.org/r' || r || '>' FROM nat
+        |  UNION ALL SELECT '<http://example.org/g' || k || '>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/comment>', '"' || c || '"' FROM nat
+        |  UNION ALL SELECT '<http://example.org/g' || k || '>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/comment>', '"second note"@en' FROM nat
+        |  UNION ALL SELECT '<http://example.org/g' || k || '>', '_:b' || k,
+        |         '<http://example.org/refersTo>', '<http://example.org/n' || k || '>' FROM nat
+        |)""".stripMargin,
     "rdf_roundtrip" ->
       s"""WITH ${SyntheticQuads.oracleCte}
          |SELECT graph, subj, pred, obj FROM quads""".stripMargin,

@@ -10,6 +10,11 @@ import graft.sources.SyntheticQuads
 object RelationalSuite {
 
   private def quads(s: SparkSession, dir: String) = SyntheticQuads(s, dir)
+  private def srjFixture(s: SparkSession, dir: String): String = {
+    val p = graft.sources.ResultSetIO.fixturePath(dir)
+    graft.sources.ResultSetIO.writeSrjFixture(s, dir, p)
+    p
+  }
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String) =
@@ -51,12 +56,27 @@ object RelationalSuite {
     "ngs_while" -> ((s, dir) =>
       NgsOps.whileGraphs(quads(s, dir), col("idx") % 100 =!= 7).drop("idx")),
 
-    // --- sbs family (binding streams over events) -----------------------
-    "sbs_filter" -> ((s, dir) =>
-      SbsOps.filter(events(s, dir),
-        Seq(col("event_type") === "purchase", col("value") > 100))
-        .select(col("event_id"), col("user_id"),
-          round(col("value"), 2).as("value"))),
+    // --- sbs family (binding streams; front door = SPARQL-results JSON) --
+    "sbs_srj_scan" -> ((s, dir) => {
+      val p = srjFixture(s, dir)
+      graft.sources.ResultSetIO.readSrj(s, p)
+    }),
+    "sbs_filter" -> ((s, dir) => {
+      // sbs filter applied to a real result-set scan (SbsCmdImpls.java:
+      // 65-120 header sniff + :178-202 expression filter)
+      val p = srjFixture(s, dir)
+      SbsOps.filter(graft.sources.ResultSetIO.readSrjValues(s, p),
+        Seq(col("etype") === "purchase", col("cents").cast("long") > 10000))
+        .select(col("id").cast("long").as("id"),
+          col("cents").cast("long").as("cents"), col("actor"))
+    }),
+    "sbs_srj_groupby" -> ((s, dir) => {
+      val p = srjFixture(s, dir)
+      SbsOps.mapGroupBy(graft.sources.ResultSetIO.readSrjValues(s, p),
+        Seq(col("etype")),
+        Seq(count(lit(1)).as("n"), sum(col("cents").cast("long")).as("sum_cents"),
+          count(col("k")).as("n_bound_k")))
+    }),
     "sbs_groupby" -> ((s, dir) =>
       SbsOps.mapGroupBy(events(s, dir), Seq(col("event_type")),
         Seq(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"),
@@ -159,9 +179,25 @@ object RelationalSuite {
          |SELECT q.graph, q.subj, q.pred, q.obj
          |FROM quads q JOIN ranked r ON r.graph = q.graph, stop
          |WHERE r.rnk < stop.s""".stripMargin,
+    "sbs_srj_scan" ->
+      """SELECT '"' || CAST(event_id AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS id,
+        |       '"' || event_type || '"' AS etype,
+        |       '"' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS cents,
+        |       '<urn:user:' || CAST(user_id AS VARCHAR) || '>' AS actor,
+        |       CASE WHEN event_id % 5 = 0 THEN NULL
+        |            ELSE '"' || (props->>'$.k') || '"^^<http://www.w3.org/2001/XMLSchema#integer>' END AS k
+        |FROM events WHERE event_id < 2000""".stripMargin,
     "sbs_filter" ->
-      """SELECT event_id, user_id, round(value, 2) AS value FROM events
-        |WHERE event_type = 'purchase' AND value > 100""".stripMargin,
+      """SELECT event_id AS id, CAST(round(value*100) AS BIGINT) AS cents,
+        |       'urn:user:' || CAST(user_id AS VARCHAR) AS actor
+        |FROM events
+        |WHERE event_id < 2000 AND event_type = 'purchase'
+        |  AND CAST(round(value*100) AS BIGINT) > 10000""".stripMargin,
+    "sbs_srj_groupby" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       count(CASE WHEN event_id % 5 <> 0 THEN 1 END) AS n_bound_k
+        |FROM events WHERE event_id < 2000 GROUP BY event_type""".stripMargin,
     "sbs_groupby" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_users,
         |       round(sum(value), 2) AS sum_value

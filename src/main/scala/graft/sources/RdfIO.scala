@@ -85,6 +85,68 @@ object RdfIO {
       .toDF("graph", "subj", "pred", "obj")
   }
 
+  /** Read TriG / Turtle documents into (graph, subj, pred, obj), terms in
+    * canonical N-Quads lexical form (prefix expansion, multi-line
+    * statements, `;`/`,` lists, graph blocks, typed/lang literals — see
+    * [[TrigParser]]).
+    *
+    * TriG is not line-splittable (multi-line statements, file-scoped
+    * prefixes), so the unit of parallelism is the FILE (`wholetext`): a
+    * directory of N documents parses as N parallel tasks — the normal
+    * shape for interchange corpora; one giant document is inherently
+    * sequential (the reference also streams it single-threaded —
+    * NgsCmdImpls.java:289-305). gz/bz2 decompress via Hadoop codecs.
+    * Blank-node labels are kept verbatim; when unioning documents that
+    * reuse labels, scope them yourself (e.g. suffix with a hash of
+    * `input_file_name`).
+    */
+  def readTrig(spark: SparkSession, path: String,
+      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(path)
+      .flatMap(doc => TrigParser.parse(doc, defaultGraph))
+      .select(col("graph"), col("subj"), col("pred"), col("obj"))
+  }
+
+  /** Deterministic TriG fixture derived from the `nation` table: prefix
+    * directives (both `@prefix` and SPARQL `PREFIX` forms), `a` keyword,
+    * `;`/`,` lists, integer/boolean shorthand, lang tags, named-graph
+    * blocks, blank nodes and comments — the oracle re-derives the expected
+    * quads from the same table (AlgebraSuite.rdf_trig_scan).
+    */
+  def writeTrigFixture(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val rows = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey").collect()
+    val sb = new StringBuilder
+    sb.append("# deterministic TriG fixture (generated from nation.parquet)\n")
+    sb.append("@prefix ex: <http://example.org/> .\n")
+    sb.append("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n\n")
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val name = r.getString(1)
+      val reg = r.getLong(2)
+      // raw comment embeds a quote and a backslash to exercise escaping
+      val comment = s"""about "$name" \\ end"""
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      sb.append(
+        s"""ex:n$k a ex:Nation ;
+           |    ex:name "$name" ;
+           |    ex:key $k ;
+           |    ex:active true ;
+           |    ex:region ex:r$reg .
+           |
+           |ex:g$k {
+           |  ex:n$k ex:comment "$comment" , "second note"@en .
+           |  _:b$k ex:refersTo ex:n$k .
+           |}
+           |
+           |""".stripMargin)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
   /** Serialize (graph, subj, pred, obj) to N-Quads text lines. */
   def nquadLines(quads: DataFrame): DataFrame =
     quads.select(concat_ws(" ", col("subj"), col("pred"), col("obj"),

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.RdfTerms
+
+/** SPARQL-results JSON (SRJ) source — the `sbs` front door
+  * (reference: SbsCmdImpls.java:65-120 sniffs the header then streams
+  * bindings; W3C "SPARQL 1.1 Query Results JSON Format").
+  *
+  * An SRJ document is `{"head":{"vars":[…]},"results":{"bindings":[{var:
+  * {type,value,datatype?,"xml:lang"?}}…]}}`. Columns follow `head.vars`
+  * order; a var missing from a binding is unbound → NULL (the reference's
+  * Binding semantics).
+  *
+  * Scale: one SRJ document = one JSON value, so the parallel unit is the
+  * FILE (a directory of SRJ files scans as one task each — multiLine
+  * JSON). For cluster-scale binding streams use the line-oriented form
+  * (one binding object per line) which splits freely; the decoders below
+  * work on either since they operate on the exploded binding struct.
+  */
+object ResultSetIO {
+
+  /** Decode one SRJ term struct to the engine's canonical N-Triples
+    * lexical string: uri → `<iri>`, bnode → `_:label`, literal →
+    * `"escaped"` with optional `@lang` / `^^<datatype>`.
+    */
+  def decodeTerm(b: Column, subFields: Set[String]): Column = {
+    val v = b.getField("value")
+    val lit0 = concat(lit("\""), RdfTerms.ntEscape(v), lit("\""))
+    // the inferred schema only has fields that occur somewhere in the data
+    def sub(f: String): Column =
+      if (subFields(f)) b.getField(f) else lit(null: String)
+    when(b.isNull, lit(null: String))
+      .when(b.getField("type") === "uri", concat(lit("<"), v, lit(">")))
+      .when(b.getField("type") === "bnode", concat(lit("_:"), v))
+      .when(sub("xml:lang").isNotNull, concat(lit0, lit("@"), sub("xml:lang")))
+      .when(sub("datatype").isNotNull, concat(lit0, lit("^^<"), sub("datatype"), lit(">")))
+      .otherwise(lit0)
+  }
+
+  /** (head vars in order, exploded binding structs, vars present in the
+    * inferred schema). A var that never appears in ANY binding is absent
+    * from the schema — it surfaces as an all-NULL column (unbound).
+    */
+  private def bindings(spark: SparkSession, path: String)
+      : (Seq[String], DataFrame, Set[String]) = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val vars = raw.select(explode(col("head.vars")).as("v"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val b = raw.select(explode(col("results.bindings")).as("__b"))
+    val present = b.schema("__b").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    (vars, b, present)
+  }
+
+  /** Read SRJ into term-string columns (one per head var). */
+  def readSrj(spark: SparkSession, path: String): DataFrame = {
+    val (vars, b, present) = bindings(spark, path)
+    val struct = b.schema("__b").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    b.select(vars.map { v =>
+      if (present(v)) {
+        val subFields = struct(v).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+        decodeTerm(col("__b").getField(v), subFields).as(v)
+      } else lit(null: String).as(v)
+    }: _*)
+  }
+
+  /** Read SRJ into RAW lexical value columns (strings; IRIs/bnodes keep
+    * just their value, literals their lexical form) — the convenient shape
+    * for relational post-processing; cast as needed.
+    */
+  def readSrjValues(spark: SparkSession, path: String): DataFrame = {
+    val (vars, b, present) = bindings(spark, path)
+    b.select(vars.map { v =>
+      if (present(v)) col("__b").getField(v).getField("value").as(v)
+      else lit(null: String).as(v)
+    }: _*)
+  }
+
+  /** Deterministic SRJ fixture from `events` (event_id < 2000): typed
+    * integer literals, plain literals, IRIs, and an unbound var every 5th
+    * row. The oracle re-derives the decoded output from the same table.
+    */
+  def writeSrjFixture(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long"),
+        col("user_id").cast("long"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .orderBy("event_id").collect()
+    val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    def intLit(v: Long) =
+      s"""{"type":"literal","value":"$v","datatype":"$XsdInt"}"""
+    val sb = new StringBuilder
+    sb.append("""{"head":{"vars":["id","etype","cents","actor","k"]},""")
+    sb.append("\"results\":{\"bindings\":[\n")
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val id = r.getLong(0)
+      val fields = Seq(
+        s""""id":${intLit(id)}""",
+        s""""etype":{"type":"literal","value":"${r.getString(1)}"}""",
+        s""""cents":${intLit(r.getLong(2))}""",
+        s""""actor":{"type":"uri","value":"urn:user:${r.getLong(3)}"}""") ++
+        (if (id % 5 == 0) Nil else Seq(s""""k":${intLit(r.getLong(4))}"""))
+      sb.append(fields.mkString("{", ",", "}"))
+      sb.append(if (idx == rows.length - 1) "\n" else ",\n")
+    }
+    sb.append("]}}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  /** Fixture path helper shared by the driver queries (one per sf dir). */
+  def fixturePath(sfDir: String): String = {
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_srj_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}.srj"
+    path
+  }
+}

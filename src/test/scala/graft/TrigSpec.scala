@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{RdfIO, TrigParser}
+
+class TrigSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def parse(doc: String): Set[(String, String, String, String)] =
+    TrigParser.parse(doc, "<dg>")
+      .map(q => (q.graph, q.subj, q.pred, q.obj)).toSet
+
+  test("prefixes, a-keyword, ; and , lists, typed shorthand") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |# a comment line
+        |ex:s a ex:T ;
+        |  ex:p "v1" , "v2"@en-GB ;
+        |  ex:n 42 ;
+        |  ex:d 3.25 ;
+        |  ex:e 1.5e3 ;
+        |  ex:b false ;
+        |  ex:t "7"^^xsd:int .
+        |""".stripMargin
+    val got = parse(doc)
+    val S = "<http://ex.org/s>"
+    assert(got === Set(
+      ("<dg>", S, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<http://ex.org/T>"),
+      ("<dg>", S, "<http://ex.org/p>", "\"v1\""),
+      ("<dg>", S, "<http://ex.org/p>", "\"v2\"@en-GB"),
+      ("<dg>", S, "<http://ex.org/n>", "\"42\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("<dg>", S, "<http://ex.org/d>", "\"3.25\"^^<http://www.w3.org/2001/XMLSchema#decimal>"),
+      ("<dg>", S, "<http://ex.org/e>", "\"1.5e3\"^^<http://www.w3.org/2001/XMLSchema#double>"),
+      ("<dg>", S, "<http://ex.org/b>", "\"false\"^^<http://www.w3.org/2001/XMLSchema#boolean>"),
+      ("<dg>", S, "<http://ex.org/t>", "\"7\"^^<http://www.w3.org/2001/XMLSchema#int>")))
+  }
+
+  test("graph blocks: named, GRAPH keyword, default-graph statements") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:p ex:o .
+        |ex:g1 { ex:a ex:p ex:b . ex:c ex:p ex:d }
+        |GRAPH <http://ex.org/g2> { _:x ex:p "lit" }
+        |""".stripMargin
+    val got = parse(doc)
+    assert(got.contains(("<dg>", "<http://ex.org/s>", "<http://ex.org/p>", "<http://ex.org/o>")))
+    assert(got.contains(("<http://ex.org/g1>", "<http://ex.org/a>", "<http://ex.org/p>", "<http://ex.org/b>")))
+    assert(got.contains(("<http://ex.org/g1>", "<http://ex.org/c>", "<http://ex.org/p>", "<http://ex.org/d>")))
+    assert(got.contains(("<http://ex.org/g2>", "_:x", "<http://ex.org/p>", "\"lit\"")))
+    assert(got.size === 4)
+  }
+
+  test("escapes and long strings canonicalize to N-Triples form") {
+    val doc =
+      "@prefix ex: <http://ex.org/> .\n" +
+        "ex:s ex:p \"q\\\"q and \\\\ and \\u0041\" .\n" +
+        "ex:s ex:q \"\"\"line1\nline2\ttab \"inner\" done\"\"\" .\n"
+    val got = parse(doc)
+    assert(got.contains(("<dg>", "<http://ex.org/s>", "<http://ex.org/p>",
+      "\"q\\\"q and \\\\ and A\"")))
+    assert(got.contains(("<dg>", "<http://ex.org/s>", "<http://ex.org/q>",
+      "\"line1\\nline2\\ttab \\\"inner\\\" done\"")))
+  }
+
+  test("unsupported constructs fail loudly; undeclared prefix fails") {
+    intercept[IllegalArgumentException](parse("<s> <p> [ <q> <o> ] ."))
+    intercept[IllegalArgumentException](parse("ex:s ex:p ex:o ."))
+  }
+
+  test("readTrig over files (plain + gz) matches the fixture's oracle shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig")
+    val f = dir.resolve("fix.trig").toString
+    RdfIO.writeTrigFixture(spark, TestSpark.sf0001, f)
+    val df = RdfIO.readTrig(spark, f)
+    val n = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet").count()
+    assert(df.count() === 8 * n) // 8 quads per nation row
+    // gzip a copy: Hadoop codec path must yield identical quads
+    val gz = dir.resolve("fix2.trig.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+    out.close()
+    val dfGz = RdfIO.readTrig(spark, gz.toString)
+    assert(dfGz.count() === df.count())
+    assert(dfGz.exceptAll(df).count() === 0)
+  }
+}
