@@ -94,10 +94,47 @@ object RelationalSuite {
     "json_path" -> ((s, dir) =>
       events(s, dir).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
-    "json_unnest" -> ((s, dir) =>
+    // (formerly mislabeled json_unnest — it tokenizes text, so it lives in
+    // the text family; the REAL json:unnest over JSON arrays is below)
+    "text_tokens" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col").as("item"))),
+    // real json:unnest: JSON array (string, number, boolean, object) →
+    // one row per element with auto-typed RDF literals
+    // (docs/examples/README.md:166-204)
+    "json_unnest" -> ((s, dir) => {
+      val arr = concat(lit("[\""), col("event_type"), lit("\","),
+        get_json_object(col("props"), "$.k"), lit(","),
+        when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false")),
+        lit(",{\"k\":"), get_json_object(col("props"), "$.k"), lit("}]"))
+      graft.functions.JsonFns.unnest(
+        events(s, dir).withColumn("__arr", arr),
+        col("__arr"), Seq(col("event_id")))
+    }),
+    "json_convert" -> ((s, dir) =>
+      customer(s, dir).select(col("c_custkey"),
+        graft.functions.JsonFns.jsonConvert(col("c_custkey")).as("k_json"),
+        graft.functions.JsonFns.jsonConvert(col("c_name")).as("name_json"),
+        graft.functions.JsonFns.jsonConvert(col("c_custkey") % 2 === 0)
+          .as("flag_json"))),
+    "json_array" -> ((s, dir) =>
+      customer(s, dir).select(col("c_custkey"),
+        graft.functions.JsonFns.jsonArray(col("c_custkey"), col("c_name"),
+          col("c_custkey") % 2 === 0).as("arr"))),
+    // xml:unnest: explode XPath matches into rows
+    // (docs/examples/README.md:456-500 streaming table fn; here the match
+    // list is an xpath() array exploded by a Catalyst Generator)
+    "xml_unnest" -> ((s, dir) =>
+      customer(s, dir)
+        .select(col("c_custkey"),
+          concat(lit("<r><li>"), col("c_name"), lit("</li><li>"),
+            col("c_mktsegment"), lit("</li><li>k"),
+            col("c_custkey").cast("string"), lit("</li></r>")).as("xml"))
+        .select(col("c_custkey"),
+          posexplode(xpath(col("xml"), lit("/r/li/text()"))))
+        .select(col("c_custkey"), col("pos").cast("int").as("idx"),
           col("col").as("item"))),
     "json_object" -> ((s, dir) =>
       customer(s, dir).select(col("c_custkey"),
@@ -208,9 +245,42 @@ object RelationalSuite {
         |SELECT event_id, NULL, round(value, 2) FROM events WHERE event_type = 'error'""".stripMargin,
     "json_path" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events""".stripMargin,
-    "json_unnest" ->
+    "text_tokens" ->
       """SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS item
         |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)""".stripMargin,
+    "json_unnest" ->
+      """SELECT event_id, idx, item FROM (
+        |  SELECT event_id, 0 AS idx, '"' || event_type || '"' AS item FROM events
+        |  UNION ALL
+        |  SELECT event_id, 1,
+        |         '"' || CAST(CAST(props->>'$.k' AS DOUBLE) AS VARCHAR) ||
+        |         '"^^<http://www.w3.org/2001/XMLSchema#double>' FROM events
+        |  UNION ALL
+        |  SELECT event_id, 2,
+        |         '"' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+        |         '"^^<http://www.w3.org/2001/XMLSchema#boolean>' FROM events
+        |  UNION ALL
+        |  SELECT event_id, 3,
+        |         '"{' || chr(92) || '"k' || chr(92) || '":' || (props->>'$.k') ||
+        |         '}"^^<http://www.w3.org/2001/XMLSchema#json>' FROM events
+        |)""".stripMargin,
+    "json_convert" ->
+      """SELECT c_custkey,
+        |  '"' || CAST(c_custkey AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#json>' AS k_json,
+        |  '"' || chr(92) || '"' || c_name || chr(92) || '"' || '"^^<http://www.w3.org/2001/XMLSchema#json>' AS name_json,
+        |  '"' || CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END || '"^^<http://www.w3.org/2001/XMLSchema#json>' AS flag_json
+        |FROM customer""".stripMargin,
+    "json_array" ->
+      """SELECT c_custkey,
+        |  '[' || CAST(c_custkey AS VARCHAR) || ',"' || c_name || '",' ||
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END || ']' AS arr
+        |FROM customer""".stripMargin,
+    "xml_unnest" ->
+      """SELECT c_custkey, idx, item FROM (
+        |  SELECT c_custkey, 0 AS idx, c_name AS item FROM customer
+        |  UNION ALL SELECT c_custkey, 1, c_mktsegment FROM customer
+        |  UNION ALL SELECT c_custkey, 2, 'k' || CAST(c_custkey AS VARCHAR) FROM customer
+        |)""".stripMargin,
     "json_object" ->
       """SELECT c_custkey,
         |       CAST(to_json(struct_pack(name := c_name, segment := c_mktsegment)) AS VARCHAR) AS j
