@@ -17,11 +17,20 @@ import java.nio.file.{Files, Paths}
   *    directory fan-out at any scale, co-locates each graph in one bucket.
   *  - dedup: `distinct()` over (graph, subj, pred, obj) — one shuffle,
   *    partial aggregation map-side.
-  *  - resumability: each bucket is written independently; a done-marker
-  *    (`_bucket_N.done`) records completion, and a resumed run skips
-  *    completed buckets. Every stage is a pure function of input, so a
-  *    retried bucket reproduces identical bytes (determinism under
-  *    retries — SURVEY.md §7.2.7).
+  *  - resumability (two phases, markers match job boundaries honestly):
+  *    phase 1 stages every unmarked bucket with ONE Spark job into
+  *    `_staging/` (`_SUCCESS` = staging complete); phase 2 moves each
+  *    bucket directory into place with an ATOMIC rename and writes its
+  *    `_bucket_N.done` marker immediately after — so a marker exists IFF
+  *    that bucket's data is fully committed. A crash in phase 1 leaves
+  *    the output untouched (resume recomputes only unmarked buckets); a
+  *    crash in phase 2 resumes by moving the remaining staged buckets —
+  *    no recomputation at all. A `_manifest.json` pins nBuckets so a
+  *    resume with a different bucketing (which would scramble
+  *    pmod(xxhash64) assignments) fails loudly. Every stage is a pure
+  *    function of the input, so recomputed buckets are identical
+  *    (determinism under retries — SURVEY.md §7.2.7). On object stores
+  *    without atomic rename, swap phase 2 for a committer/Iceberg commit.
   *  - lineage/metrics: a `_metrics` table with per-bucket triple counts +
   *    distinct graphs, written after data, read back by `verifyCounts`.
   */
@@ -31,40 +40,66 @@ object Materializer {
     triples.distinct()
       .withColumn("bucket", pmod(xxhash64(col("graph")), lit(nBuckets)).cast("int"))
 
+  private def manifestJson(nBuckets: Int): String = s"""{"nBuckets":$nBuckets}"""
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+
   /** Write all buckets (optionally resuming), then the metrics table. */
   def write(triples: DataFrame, outDir: String, nBuckets: Int = 64,
       resume: Boolean = false): Unit = {
     val spark = triples.sparkSession
-    val data = bucketed(triples, nBuckets)
-    Files.createDirectories(Paths.get(outDir))
-    val done = (0 until nBuckets)
-      .filter(b => Files.exists(Paths.get(s"$outDir/_bucket_$b.done"))).toSet
+    val root = Paths.get(outDir)
+    Files.createDirectories(root)
+    val manifest = root.resolve("_manifest.json")
     if (resume) {
-      // resume soundness: a crash can leave bucket data committed but
-      // unmarked (the data job commits before the marker loop runs), so
-      // re-appending would duplicate rows. Wipe every UNMARKED bucket dir
-      // first — marked buckets are skipped, unmarked ones are rebuilt
-      // from scratch; the rebuild is byte-identical (pure function of
-      // input), so the operation is idempotent.
-      (0 until nBuckets).filterNot(done).foreach { b =>
-        val dir = Paths.get(s"$outDir/triples/bucket=$b")
-        if (Files.exists(dir))
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
+      require(Files.exists(manifest), s"resume: no manifest in $outDir")
+      val m = Files.readString(manifest)
+      require(m == manifestJson(nBuckets),
+        s"resume config mismatch: found $m, got ${manifestJson(nBuckets)}")
+    } else {
+      deleteRec(root.resolve("triples"))
+      deleteRec(root.resolve("_staging"))
+      (0 until nBuckets).foreach(b =>
+        Files.deleteIfExists(root.resolve(s"_bucket_$b.done")))
+      Files.writeString(manifest, manifestJson(nBuckets))
+    }
+    val done = (0 until nBuckets)
+      .filter(b => Files.exists(root.resolve(s"_bucket_$b.done"))).toSet
+    val staging = root.resolve("_staging")
+    val stagingComplete = Files.exists(staging.resolve("_SUCCESS"))
+
+    // Phase 1 — stage every unmarked bucket (skipped entirely when a
+    // previous run crashed after staging: the input is not recomputed).
+    if (done.size < nBuckets && !stagingComplete) {
+      val data = bucketed(triples, nBuckets)
+      val todo =
+        if (done.isEmpty) data
+        else data.filter(!col("bucket").isin(done.toSeq: _*))
+      // subject-clustered layout inside each bucket: parquet min/max
+      // stats on subj prune star-join scans (the reference's
+      // sorted-ntriples binary-search idea — SansaQueryRewrite.java:4-7)
+      todo.sortWithinPartitions(col("bucket"), col("subj"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(staging.toString)
+    }
+
+    // Phase 2 — per-bucket atomic rename + marker.
+    Files.createDirectories(root.resolve("triples"))
+    (0 until nBuckets).filterNot(done).foreach { b =>
+      val src = staging.resolve(s"bucket=$b")
+      val dst = root.resolve(s"triples/bucket=$b")
+      if (Files.exists(src)) {
+        deleteRec(dst) // stale partial from a pre-staging crash
+        Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      // else: empty bucket, or moved by a run that crashed before its
+      // marker — dst (if present) is complete because moves are atomic
+      Files.write(root.resolve(s"_bucket_$b.done"), Array.emptyByteArray)
     }
-    val todo = if (resume) data.filter(!col("bucket").isin(done.toSeq: _*))
-               else data
-    // subject-clustered layout inside each bucket: parquet min/max stats
-    // on subj then prune star-join scans (the reference's sorted-ntriples
-    // binary-search idea — SansaQueryRewrite.java:4-7 — done storage-side)
-    todo.sortWithinPartitions(col("bucket"), col("subj"))
-      .write.mode(if (resume) SaveMode.Append else SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$outDir/triples")
-    // marker per completed bucket (driver-side, after the job commits)
-    (0 until nBuckets).foreach { b =>
-      Files.write(Paths.get(s"$outDir/_bucket_$b.done"), Array.emptyByteArray)
-    }
+    deleteRec(staging)
     val metrics = spark.read.parquet(s"$outDir/triples")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_triples"),

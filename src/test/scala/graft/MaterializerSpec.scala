@@ -50,6 +50,49 @@ class MaterializerSpec extends AnyFunSuite {
     assert(Materializer.verifyCounts(spark, out))
   }
 
+  test("crash-resume: staged buckets are moved, never recomputed; no dups") {
+    val triples = Kg.canonicalTriples(spark, TestSpark.sf0001).cache()
+    val expectDir = tmp()
+    Materializer.write(triples, expectDir, nBuckets = 4)
+    val expected = spark.read.parquet(s"$expectDir/triples")
+
+    // hand-build a mid-phase-2 crash state: staging complete (_SUCCESS),
+    // bucket 0 moved+marked, bucket 1 moved but UNMARKED (crash between
+    // its move and its marker), buckets 2,3 still staged
+    val out = tmp()
+    Files.writeString(Paths.get(s"$out/_manifest.json"), """{"nBuckets":4}""")
+    Materializer.bucketed(triples, 4)
+      .sortWithinPartitions(col("bucket"), col("subj"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/_staging")
+    Files.createDirectories(Paths.get(s"$out/triples"))
+    Files.move(Paths.get(s"$out/_staging/bucket=0"), Paths.get(s"$out/triples/bucket=0"))
+    Files.write(Paths.get(s"$out/_bucket_0.done"), Array.emptyByteArray)
+    Files.move(Paths.get(s"$out/_staging/bucket=1"), Paths.get(s"$out/triples/bucket=1"))
+
+    // resume with a POISONED input — evaluating any row throws, proving
+    // phase 1 never recomputes once staging is complete
+    val poison = raise_error(lit("phase 1 must not recompute")).cast("string")
+    val poisoned = spark.range(1).select(poison.as("subj"), poison.as("pred"),
+      poison.as("obj"), poison.as("graph"))
+    Materializer.write(poisoned, out, nBuckets = 4, resume = true)
+
+    val back = spark.read.parquet(s"$out/triples")
+    assert(back.count() === expected.count())
+    assert(back.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(back).count() === 0)
+    assert((0 until 4).forall(b => Files.exists(Paths.get(s"$out/_bucket_$b.done"))))
+    assert(Materializer.verifyCounts(spark, out))
+  }
+
+  test("resume with a different nBuckets fails loudly") {
+    val out = tmp()
+    val triples = Kg.canonicalTriples(spark, TestSpark.sf0001)
+    Materializer.write(triples, out, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      Materializer.write(triples, out, nBuckets = 8, resume = true)
+    }
+  }
+
   test("nquads serialization shape") {
     val df = Seq(("<s>", "<p>", "\"o\"", "<g>")).toDF("subj", "pred", "obj", "graph")
     assert(Materializer.toNQuads(df).as[String].head ===
