@@ -23,6 +23,9 @@ object SparkEntry {
           col("tool"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))),
     "kg_triples" -> ((s, dir) =>
       TranscriptRules.triples(Transcripts(s, dir))),
+    // same rules driven by SPARQL CONSTRUCT text through ConstructParser
+    "construct_parse" -> ((s, dir) =>
+      TranscriptRules.triplesFromText(Transcripts(s, dir))),
     "kg_mentions" -> ((s, dir) => pipeline.Kg.mentions(s, dir)),
     // LSH internals are hash-seeded => rows-only at the driver; semantics
     // asserted vs an exact all-pairs baseline in KgSpec
@@ -42,6 +45,9 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
          |FROM transcripts""".stripMargin,
     "kg_triples" ->
+      s"""WITH ${Transcripts.oracleCte}
+         |${TranscriptRules.oracleSelect}""".stripMargin,
+    "construct_parse" ->
       s"""WITH ${Transcripts.oracleCte}
          |${TranscriptRules.oracleSelect}""".stripMargin,
     "kg_mentions" -> pipeline.Kg.mentionsOracle,

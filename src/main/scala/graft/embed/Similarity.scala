@@ -44,38 +44,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to [-1, 1]. No RNG state — reproducible anywhere.
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): xxhash64 folded to [-1, 1]. No RNG state — reproducible
+    * anywhere.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)) - 1000000L) / 1000000.0d
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(table), lit(plane), dim), lit(2000001L)) - 1000000L) / 1000000.0d
 
-  /** LSH signature: one sign bit per hyperplane. */
-  def lshSignature(vec: Column, nPlanes: Int): Column =
+  /** LSH signature for one hash table: one sign bit per hyperplane. */
+  def lshSignature(vec: Column, nPlanes: Int, table: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
+          (x, i) => x * planeComponent(table, p, i)),
         lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN top-k: candidates restricted to same-LSH-bucket vectors, then
-    * exact cosine rank within the candidate set. Smaller `nPlanes` →
-    * bigger buckets → higher recall & cost.
+  /** ANN top-k with multi-table (band-OR) LSH: `tables` independent
+    * hyperplane sets each bucket every vector; candidates = vectors
+    * sharing ANY table's bucket with the probe (deduplicated), then exact
+    * cosine rank within the candidate set. Recall ≈ 1-(1-p^nPlanes)^tables
+    * — tune `tables` up for recall at constant bucket selectivity; cost
+    * stays an equi-join (never all-pairs). Measured on the sandbox corpus
+    * in TrainingSpec: recall@10 ≥ 0.9 at (nPlanes=8, tables=4).
     */
   def annTopK(embeddings: DataFrame, probeFilter: Column, k: Int,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     val base = embeddings.select(col("vec_id"),
-        asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshSignature(col("v"), nPlanes))
-    val probes = base.filter(probeFilter)
+      asDouble(col("embedding")).as("v"))
+    def withBuckets(df: DataFrame): DataFrame =
+      df.withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshSignature(col("v"), nPlanes, t).as("b"))): _*)))
+    val probes = withBuckets(base.filter(probeFilter))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("bucket").as("pb"))
-    val scored = base.join(broadcast(probes),
-        col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+        col("tb").as("ptb"))
+    // score per collision, dedup AFTER scoring: the dedup shuffle then
+    // carries (ids, sim) instead of the wide vectors — at most `tables`×
+    // redundant cosine work, all map-side
+    val scored = withBuckets(base).join(broadcast(probes),
+        col("tb") === col("ptb") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine(col("pv"), col("v")), 4).as("sim"))
+      .dropDuplicates("probe_id", "vec_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

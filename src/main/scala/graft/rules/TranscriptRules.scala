@@ -62,6 +62,58 @@ object TranscriptRules {
   def triples(transcripts: DataFrame): DataFrame =
     RuleCompiler.compile(withIris(transcripts), baseRules)
 
+  /** The SAME rule set as [[baseRules]], expressed as SPARQL CONSTRUCT
+    * text for [[ConstructParser]] — the reference's query-text front door
+    * (SparqlIntegrateCmdImpls.java:337-345). The WHERE pattern is replaced
+    * by the incoming binding stream ([[bindingStream]]), sbs-map style;
+    * tool/next triples are suppressed by unbound-term semantics (no
+    * FILTER needed).
+    */
+  val constructText: String =
+    """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      |PREFIX g: <http://graft.io/>
+      |PREFIX p: <http://graft.io/p/>
+      |CONSTRUCT {
+      |  GRAPH ?gr {
+      |    ?turn rdf:type g:Turn .
+      |    ?turn p:role ?role .
+      |    ?turn p:text ?text .
+      |    ?turn p:ts ?tsLit .
+      |    ?turn p:conv ?conv .
+      |    ?conv p:hasTurn ?turn .
+      |    ?turn p:tool ?tool .
+      |    ?turn p:next ?next .
+      |  }
+      |}
+      |WHERE {
+      |  BIND(IRI(CONCAT("http://graft.io/conv/", ?conv_id, "/turn/", STR(?turn_idx))) AS ?turn)
+      |  BIND(IRI(CONCAT("http://graft.io/conv/", ?conv_id)) AS ?conv)
+      |  BIND(IRI(CONCAT("http://graft.io/g/", ?conv_id)) AS ?gr)
+      |  BIND(STRDT(STR(?ts_us), xsd:long) AS ?tsLit)
+      |  BIND(IRI(CONCAT("http://graft.io/conv/", ?conv_id, "/turn/", STR(?next_idx))) AS ?next)
+      |}""".stripMargin
+
+  /** The binding stream [[constructText]] runs over: one row per turn,
+    * epoch-micro timestamps, and the window-derived successor index (the
+    * stable-turn-order shuffle, same as [[withIris]]).
+    */
+  def bindingStream(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts.select(col("conv_id"), col("turn_idx"), col("role"),
+      col("text"), col("tool"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      lead(col("turn_idx"), 1).over(w).as("next_idx"))
+  }
+
+  /** [[triples]] built from parsed CONSTRUCT text instead of hand-built
+    * rules — must produce the identical triple set (asserted in
+    * RulesSpec and by the construct_parse driver oracle).
+    */
+  def triplesFromText(transcripts: DataFrame): DataFrame =
+    RuleCompiler.compile(bindingStream(transcripts),
+      ConstructParser.parse(constructText))
+
   /** Oracle SQL (DuckDB) reproducing [[triples]] over the `transcripts`
     * CTE. NT escaping: our text has no backslash/quote/control chars by
     * construction, so the escape chain is identity there; kept for parity.

