@@ -107,6 +107,19 @@ object Materializer {
     metrics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_metrics")
   }
 
+  /** Split output: one independent sink per rule group / provenance
+    * cluster (the reference clusters statements by source file and opens
+    * one sink per cluster — SparqlIntegrateCmdImpls.java:382-455). Each
+    * group gets its own resumable bucketed write under `outDir/<name>/`,
+    * so groups commit and resume independently.
+    */
+  def writeSplit(groups: Map[String, DataFrame], outDir: String,
+      nBuckets: Int = 64, resume: Boolean = false): Unit =
+    groups.foreach { case (name, df) =>
+      require(name.matches("[A-Za-z0-9_.-]+"), s"unsafe split name: $name")
+      write(df, s"$outDir/$name", nBuckets, resume)
+    }
+
   /** Lineage check: metrics table totals must equal the data itself. */
   def verifyCounts(spark: SparkSession, outDir: String): Boolean = {
     val data = spark.read.parquet(s"$outDir/triples")

@@ -101,6 +101,19 @@ object AlgebraSuite {
         .select(col("event_id"),
           explode(from_json(col("props"), MapType(StringType, StringType))))
         .select(col("event_id"), col("key"), col("value"))),
+    "env_subst" -> ((s, dir) => {
+      // <env:VAR> IRI substitution at plan build
+      // (SparqlIntegrateCmdImpls.java:196-207)
+      val q =
+        """PREFIX ex: <http://ex.org/>
+          |CONSTRUCT { GRAPH <env:TARGET_GRAPH> { ?c ex:name ?name . } }
+          |WHERE {
+          |  BIND(IRI(CONCAT("http://ex.org/c/", STR(?c_custkey))) AS ?c)
+          |  BIND(STR(?c_name) AS ?name)
+          |}""".stripMargin
+      graft.rules.RuleCompiler.compile(customer(s, dir),
+        graft.rules.ConstructParser.parse(q, Map("TARGET_GRAPH" -> "urn:graft:out")))
+    }),
     "rdf_trig_scan" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") +
         s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
@@ -159,6 +172,12 @@ object AlgebraSuite {
       "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",
     "macro_greet" ->
       "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
+    "env_subst" ->
+      """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+        |       '<http://ex.org/name>' AS pred,
+        |       '"' || c_name || '"' AS obj,
+        |       '<urn:graft:out>' AS graph
+        |FROM customer""".stripMargin,
     "rdf_trig_scan" ->
       """WITH nat AS (
         |  SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name,

@@ -92,9 +92,21 @@ object Kg {
     concat(lit("<"), col("component"), lit(">")).as("obj"),
     lit("<http://graft.io/g/entities>").as("graph"))
 
+  /** Session-scoped memo of the canonical triple table (localCheckpoint:
+    * computed once, lineage truncated, blocks GC'd with the session).
+    * Downstream consumers (stats, exports) share one computation instead
+    * of re-running extraction+linking+CC per query — the production shape
+    * is materialize-once, aggregate-many.
+    */
+  private val ctCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  def canonicalTriplesShared(spark: SparkSession, sfDir: String): DataFrame =
+    ctCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      canonicalTriples(spark, sfDir).localCheckpoint(false))
+
   /** Per-named-graph profile (VoID-style: reference qb1–qb5 queries). */
   def graphStats(spark: SparkSession, sfDir: String): DataFrame =
-    canonicalTriples(spark, sfDir).groupBy(col("graph"))
+    canonicalTriplesShared(spark, sfDir).groupBy(col("graph"))
       .agg(count(lit(1)).as("n_triples"),
         countDistinct(col("subj")).as("n_subjects"),
         countDistinct(col("pred")).as("n_preds"))

@@ -39,6 +39,21 @@ object ConstructParser {
 
   def parse(text: String): Seq[Rule] = new P(text).query()
 
+  /** `<env:VAR>` IRI substitution (SparqlIntegrateCmdImpls.java:196-207;
+    * NodeEnvsubst in SparqlStmtProcessor.java:48): every `<env:NAME>` IRI
+    * in the statement text is replaced from the given map BEFORE parsing
+    * — plan-build-time config injection, nothing at runtime. Unknown
+    * names fail loudly (a silently-unsubstituted endpoint is worse).
+    */
+  def envSubst(text: String, env: Map[String, String]): String =
+    "<env:([A-Za-z0-9_]+)>".r.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement("<" + env.getOrElse(m.group(1),
+        throw new IllegalArgumentException(
+          s"env substitution: ${m.group(1)} is not defined")) + ">"))
+
+  def parse(text: String, env: Map[String, String]): Seq[Rule] =
+    parse(envSubst(text, env))
+
   private final class P(s: String) {
     private var i = 0
     private val n = s.length
