@@ -79,6 +79,34 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("gaz")) {
+      // mention-scan cost vs gazetteer size: the token-ngram broadcast
+      // hash join must be ~flat in surface count (the build side is a
+      // hash map), unlike the O(rows × surfaces) contains-scan it replaced
+      import org.apache.spark.sql.functions._
+      val spark = session(cpus)
+      val t = graft.sources.Transcripts(spark, sfDir).localCheckpoint()
+      val real = graft.linking.Gazetteer(spark, sfDir)
+      def gazOf(n: Int) = real.unionAll(
+        spark.range(n).select(
+          concat(lit("ENTITY "), col("id").cast("string")).as("surface"),
+          concat(lit("http://graft.io/alias/E"), col("id").cast("string"))
+            .as("alias_iri")))
+      graft.linking.Gazetteer.mentions(t, gazOf(1000)).count() // warm
+      val sizes = Seq(1000, 10000, 100000, 1000000)
+      val times = sizes.map { n =>
+        val t0 = System.nanoTime()
+        graft.linking.Gazetteer.mentions(t, gazOf(n)).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+      val qs = times.map { case (n, s) => s""""surfaces_$n":$s""" }
+        .mkString("{", ",", "}")
+      val ratio = times.last._2 / times.head._2
+      println(s"""{"metric":"gazetteer_scaling_1k_to_1m","value":$ratio,"unit":"time_ratio_x1000_surfaces","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     val spark = session(cpus)
     // warmup at the smallest sf: JIT + janino codegen compile once per plan
     // shape, so the timed runs measure steady-state data throughput

@@ -33,7 +33,9 @@ object SparkEntry {
       linking.Gazetteer.fuzzyMentions(
         Transcripts(s, dir), linking.Gazetteer(s, dir), threshold = 0.5)),
     "kg_alias_cc" -> ((s, dir) => pipeline.Kg.aliasCc(s, dir)),
-    "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriples(s, dir)),
+    // shared session memo: downstream consumers (graph_stats) aggregate
+    // over the materialized table instead of re-running the pipeline
+    "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriplesShared(s, dir)),
     "kg_graph_stats" -> ((s, dir) => pipeline.Kg.graphStats(s, dir))
   ) ++ ops.RelationalSuite.queries ++ ops.TrainingSuite.queries ++
     ops.AlgebraSuite.queries

@@ -80,7 +80,20 @@ object Gazetteer {
     * word-boundary contains semantics exactly (n-grams are de-duplicated
     * per turn, so repeated occurrences emit one row, like `contains`).
     */
-  def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame = {
+  def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame =
+    // one row per (turn, surface) — repeated occurrences collapse AFTER
+    // the broadcast join (post-join rows ≈ #mentions, so this shuffle is
+    // tiny; deduplicating n-grams per row pre-join was measured slower:
+    // array_distinct is quadratic interpreted work on every row vs a
+    // small exchange on the matches)
+    mentionsRaw(transcripts, gaz)
+      .dropDuplicates("conv_id", "turn_idx", "surface", "alias_iri")
+
+  /** Like [[mentions]] but one row per OCCURRENCE (duplicates possible).
+    * Pipelines whose downstream already deduplicates (e.g. the flagship's
+    * final triple `distinct()`) use this to skip the dedup exchange.
+    */
+  def mentionsRaw(transcripts: DataFrame, gaz: DataFrame): DataFrame = {
     val g = gaz.select(col("surface"), col("alias_iri"),
       surfaceKey(col("surface")).as("__key"))
     ngramSpans(transcripts, math.max(1, maxSurfaceTokens(gaz)))
@@ -88,23 +101,31 @@ object Gazetteer {
       .select(col("conv_id"), col("turn_idx"), col("surface"), col("alias_iri"))
   }
 
-  /** (conv_id, turn_idx, __ng): each turn's DISTINCT token n-grams of
-    * length 1..maxTokens. Only `transform` is a (cheap, per-row)
-    * higher-order fn — slice/array_join are ordinary codegen expressions.
+  /** (conv_id, turn_idx, __ng): each turn's token n-grams of length
+    * 1..maxTokens, duplicates included (callers dedup downstream where
+    * the row count is already small).
+    *
+    * Construction cost per element is ONE string concat: l-grams build
+    * incrementally as zip_with((l-1)-grams, l-shifted tokens, concat).
+    * zip_with pads the shorter side with NULL and concat propagates it,
+    * so each length-l list carries l-1 trailing NULLs — dropped by the
+    * post-explode filter. (A transform(slice+array_join) formulation was
+    * measured 3× slower: per-element array copies in an interpreted
+    * lambda.)
     */
   def ngramSpans(transcripts: DataFrame, maxTokens: Int): DataFrame = {
-    val grams: Seq[Column] = (1 to maxTokens).map { l =>
-      when(size(col("__toks")) >= l,
-        transform(sequence(lit(1), size(col("__toks")) - (l - 1)),
-          i => array_join(slice(col("__toks"), i, lit(l)), " ")))
-        .otherwise(array().cast("array<string>"))
+    val t = col("__toks")
+    val grams: Seq[Column] = (2 to maxTokens).scanLeft(t) { (prev, l) =>
+      zip_with(prev,
+        slice(t, lit(l), greatest(size(t) - (l - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
     }
     val allGrams = if (grams.size == 1) grams.head else concat(grams: _*)
     transcripts
       .withColumn("__toks",
         split(trim(regexp_replace(col("text"), "[^A-Za-z0-9]+", " ")), " "))
-      .select(col("conv_id"), col("turn_idx"),
-        explode(array_distinct(allGrams)).as("__ng"))
+      .select(col("conv_id"), col("turn_idx"), explode(allGrams).as("__ng"))
+      .filter(col("__ng").isNotNull)
   }
 
   /** Character k-shingle set of a string (short strings fall back to the
@@ -168,6 +189,7 @@ object Gazetteer {
         surfaceKey(col("surface")).as("__key"))), "__key")
       .select(col("conv_id"), col("turn_idx"), col("__ng").as("span"),
         col("surface"), col("alias_iri"), col("jaccard"))
+      .dropDuplicates() // spans carry one row per occurrence
   }
 
   /** DuckDB CTE bodies kept in lockstep with the builders above. */

@@ -41,7 +41,8 @@ object Kg {
     val t = transcripts
     val base = TranscriptRules.triples(t)
     val cc = aliasCc(spark, sfDir)
-    val m = Gazetteer.mentions(t, Gazetteer(spark, sfDir))
+    // per-occurrence mentions: the final distinct() subsumes their dedup
+    val m = Gazetteer.mentionsRaw(t, Gazetteer(spark, sfDir))
       .join(broadcast(cc), col("alias_iri") === col("node"))
       .select(
         concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),
