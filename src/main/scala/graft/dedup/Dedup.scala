@@ -33,18 +33,33 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"), col("group_size"))
   }
 
+  /** Tokens of the normalized text — same token sequence as
+    * `split(normalized, ' ')` but via the codegen tokenizer (no regex
+    * engine on the hot path; see [[graft.functions.Tokenize]]).
+    */
+  private def tokens(text: Column): Column =
+    graft.functions.Tokenize.wsTokens(text)
+
   /** Word n-gram shingles of the normalized text, distinct per doc.
     * Documents shorter than n tokens yield NO shingles (standard w-shingle
-    * semantics; keeps parity with the SQL oracle's index join).
+    * semantics; keeps parity with the SQL oracle's index join). Shingle
+    * arrays build incrementally with zip_with+concat (one concat per
+    * element) in their own Project; the generator explodes a plain
+    * attribute (see Gazetteer.ngramSpans for the why).
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(normalized(col("text")), " ").as("__toks"))
-      .select(col("doc_id"), explode(
-        when(size(col("__toks")) >= n,
-          transform(sequence(lit(0), size(col("__toks")) - n),
-            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val t = col("__toks")
+    val sh = (2 to n).foldLeft(t) { (prev, l) =>
+      zip_with(prev,
+        slice(t, lit(l), greatest(size(t) - (l - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .withColumn("__sh", sh)
+      .select(col("doc_id"), explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .distinct()
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b), similarity ≥ threshold.
     * Self-join on shared shingles. `maxShingleFreq` (default: no cap) is
@@ -190,7 +205,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-        explode(split(normalized(col("text")), " ")).as("tok"))
+        explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)

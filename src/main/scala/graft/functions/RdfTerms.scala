@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object RdfTerms {
 
-  /** Escape a string for an N-Triples literal body. Backslash first. */
+  /** Escape a string for an N-Triples literal body. Backslash first.
+    * Literal `replace` (codegen substring search), NOT regexp_replace —
+    * the regex engine costs ~40× on hot text columns (see
+    * [[graft.functions.Tokenize]]).
+    */
   def ntEscape(c: Column): Column = {
-    val bs = regexp_replace(c, "\\\\", "\\\\\\\\")
-    val q  = regexp_replace(bs, "\"", "\\\\\"")
-    val n  = regexp_replace(q, "\n", "\\\\n")
-    val r  = regexp_replace(n, "\r", "\\\\r")
-    regexp_replace(r, "\t", "\\\\t")
+    val bs = replace(c, lit("\\"), lit("\\\\"))
+    val q  = replace(bs, lit("\""), lit("\\\""))
+    val n  = replace(q, lit("\n"), lit("\\n"))
+    val r  = replace(n, lit("\r"), lit("\\r"))
+    replace(r, lit("\t"), lit("\\t"))
   }
 
   /** `<iri>` */

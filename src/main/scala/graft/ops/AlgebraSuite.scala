@@ -70,6 +70,23 @@ object AlgebraSuite {
           Map.empty[String, String]).as("r"))
         .select(col("r.k").as("k"), col("r.name").as("name"),
           col("r.seg").as("seg"))),
+    "csv_scan" -> ((s, dir) => {
+      // csv:parse as a real FILE source (docs/examples/README.md:390-413
+      // streams CSV rows into bindings): deterministic fixture written
+      // from customer, read back through the csv reader with a header
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
+      val rows = customer(s, dir)
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey").collect()
+      val sb = new StringBuilder("k,name,seg\n")
+      rows.foreach(r =>
+        sb.append(r.getLong(0)).append(',').append(r.getString(1))
+          .append(',').append(r.getString(2)).append('\n'))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      s.read.option("header", "true")
+        .schema("k BIGINT, name STRING, seg STRING").csv(path)
+    }),
     "xml_path" -> ((s, dir) =>
       // xml:path port (docs/examples/README.md:456-500): XML literal +
       // XPath scalar extraction
@@ -167,6 +184,8 @@ object AlgebraSuite {
          |UNION ALL
          |SELECT subj, NULL, obj FROM trip WHERE pred = '<${P}tool>'""".stripMargin,
     "csv_parse" ->
+      "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
+    "csv_scan" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "xml_path" ->
       "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",

@@ -85,6 +85,23 @@ object RdfIO {
       .toDF("graph", "subj", "pred", "obj")
   }
 
+  /** Auto-probing RDF scan (the reference sniffs content type +
+    * compression before parsing — NgsCmdImpls.java:289-305): peeks at the
+    * first non-comment line of the first file; a line that parses as
+    * N-Quads/N-Triples routes to the line reader, anything else (prefix
+    * directives, graph blocks, prefixed names) to the TriG reader.
+    * Compression never needs probing — both readers decompress via the
+    * Hadoop codec inferred from the extension.
+    */
+  def readRdfAuto(spark: SparkSession, path: String,
+      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
+    val head = spark.read.textFile(path)
+      .filter(l => { val t = l.trim; t.nonEmpty && !t.startsWith("#") })
+      .head()
+    if (parseLine(head) != null) readNQuads(spark, path, defaultGraph)
+    else readTrig(spark, path, defaultGraph)
+  }
+
   /** Read TriG / Turtle documents into (graph, subj, pred, obj), terms in
     * canonical N-Quads lexical form (prefix expansion, multi-line
     * statements, `;`/`,` lists, graph blocks, typed/lang literals — see

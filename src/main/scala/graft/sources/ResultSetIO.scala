@@ -80,6 +80,46 @@ object ResultSetIO {
     }: _*)
   }
 
+  /** SPARQL-results TSV scan (the reference's third result-set format,
+    * SbsCmdImpls.java:101-120): header row = `?var` names, cells already
+    * N-Triples lexical terms, empty cell = unbound → NULL. Line-oriented,
+    * so this splits freely at any file size (unlike the one-JSON-value
+    * SRJ document).
+    */
+  def readTsv(spark: SparkSession, path: String): DataFrame = {
+    // quote handling OFF: cells are raw N-Triples terms; a plain-literal
+    // cell like "error" must keep its quotes
+    val df = spark.read.option("header", "true").option("sep", "\t")
+      .option("quote", "").csv(path)
+    df.select(df.columns.map(c =>
+      col("`" + c + "`").as(c.stripPrefix("?"))): _*)
+  }
+
+  /** Deterministic SPARQL-results TSV fixture (same logical content as
+    * the SRJ fixture, so the two scans share one oracle).
+    */
+  def writeTsvFixture(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long"),
+        col("user_id").cast("long"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .orderBy("event_id").collect()
+    val XsdInt = "<http://www.w3.org/2001/XMLSchema#integer>"
+    val sb = new StringBuilder("?id\t?etype\t?cents\t?actor\t?k\n")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      sb.append(s""""$id"^^$XsdInt""").append('\t')
+        .append('"').append(r.getString(1)).append('"').append('\t')
+        .append(s""""${r.getLong(2)}"^^$XsdInt""").append('\t')
+        .append(s"<urn:user:${r.getLong(3)}>").append('\t')
+        .append(if (id % 5 == 0) "" else s""""${r.getLong(4)}"^^$XsdInt""")
+        .append('\n')
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
   /** Deterministic SRJ fixture from `events` (event_id < 2000): typed
     * integer literals, plain literals, IRIs, and an unbound var every 5th
     * row. The oracle re-derives the decoded output from the same table.

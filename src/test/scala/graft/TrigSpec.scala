@@ -68,6 +68,21 @@ class TrigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("ex:s ex:p ex:o ."))
   }
 
+  test("readRdfAuto probes content: nquads routes to line reader, trig to doc reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto")
+    val trig = dir.resolve("a.trig").toString
+    RdfIO.writeTrigFixture(spark, TestSpark.sf0001, trig)
+    val viaAuto = RdfIO.readRdfAuto(spark, trig)
+    val viaTrig = RdfIO.readTrig(spark, trig)
+    assert(viaAuto.exceptAll(viaTrig).count() === 0)
+    assert(viaAuto.count() === viaTrig.count())
+    val nq = dir.resolve("b.nq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nq),
+      "# comment first\n<s> <p> \"o\" <g> .\n")
+    val got = RdfIO.readRdfAuto(spark, nq).collect()
+    assert(got.length === 1 && got(0).getString(1) === "<s>")
+  }
+
   test("readTrig over files (plain + gz) matches the fixture's oracle shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft-trig")
     val f = dir.resolve("fix.trig").toString
