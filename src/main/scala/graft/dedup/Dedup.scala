@@ -200,6 +200,44 @@ object Dedup {
     cross.unionAll(intra)
   }
 
+  /** Embedding-cosine near-duplicate pairs, EXACT all-pairs baseline:
+    * every (a < b) with cosine ≥ threshold. Quadratic by design — the
+    * small-scale oracle twin of [[embeddingPairsLsh]], like
+    * [[jaccardPairs]] is for [[minhashPairs]].
+    */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    import graft.embed.Similarity.cosine
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val base = embeddings.select(col("vec_id"), v.as("v"))
+    base.as("x").join(base.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: multi-table hyperplane-LSH
+    * blocking (same-bucket-in-any-table candidates, an equi-join — never
+    * all-pairs) verified with exact cosine. Precision 1.0 w.r.t. the
+    * threshold; recall = the band-OR collision probability (high in the
+    * near-duplicate regime this targets — TrainingSpec measures it vs
+    * [[embeddingPairs]]).
+    */
+  def embeddingPairsLsh(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    import graft.embed.Similarity.{cosine, lshSignature}
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val base = embeddings.select(col("vec_id"), v.as("v"))
+    val bucketed = base.withColumn("tb",
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshSignature(col("v"), nPlanes, t).as("b"))): _*)))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.tb") === col("y.tb") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .dropDuplicates("a", "b")
+      .filter(col("cos") >= threshold)
+  }
+
   /** 64-bit SimHash over word tokens: sum ±1 per bit weighted by token
     * hash bits, sign → fingerprint bit. Pure column expressions.
     */

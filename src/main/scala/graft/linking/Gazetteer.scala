@@ -73,6 +73,17 @@ object Gazetteer {
   def maxSurfaceTokens(gaz: DataFrame): Int =
     gaz.agg(max(size(split(surfaceKey(col("surface")), " ")))).head.getInt(0)
 
+  /** (shortest, longest) surface length in tokens: lengths outside the
+    * range never match, so the explode skips them entirely (e.g. an
+    * all-bigram gazetteer halves the emitted rows).
+    */
+  def surfaceTokenRange(gaz: DataFrame): (Int, Int) = {
+    val r = gaz.agg(
+      min(size(split(surfaceKey(col("surface")), " "))),
+      max(size(split(surfaceKey(col("surface")), " ")))).head
+    (math.max(1, r.getInt(0)), math.max(1, r.getInt(1)))
+  }
+
   /** Mention detection as a broadcast HASH equi-join (never a nested-loop
     * contains scan): each turn's text explodes into its distinct token
     * n-grams of length 1..maxSurfaceTokens, which join the gazetteer on
@@ -83,23 +94,31 @@ object Gazetteer {
     * word-boundary contains semantics exactly (n-grams are de-duplicated
     * per turn, so repeated occurrences emit one row, like `contains`).
     */
-  def mentions(transcripts: DataFrame, gaz: DataFrame): DataFrame =
-    // one row per (turn, surface) — repeated occurrences collapse AFTER
-    // the broadcast join (post-join rows ≈ #mentions, so this shuffle is
-    // tiny; deduplicating n-grams per row pre-join was measured slower:
-    // array_distinct is quadratic interpreted work on every row vs a
-    // small exchange on the matches)
-    mentionsRaw(transcripts, gaz)
+  /** One row per (turn, surface) — repeated occurrences collapse AFTER
+    * the broadcast join (post-join rows ≈ #mentions, so this shuffle is
+    * tiny; deduplicating n-grams per row pre-join was measured slower:
+    * array_distinct is quadratic interpreted work on every row vs a
+    * small exchange on the matches). `maxTokens` ≤ 0 means "compute from
+    * the gazetteer" (one metadata-scale job; pass it explicitly to skip).
+    */
+  def mentions(transcripts: DataFrame, gaz: DataFrame,
+      tokenRange: (Int, Int) = (0, 0)): DataFrame =
+    mentionsRaw(transcripts, gaz, tokenRange)
       .dropDuplicates("conv_id", "turn_idx", "surface", "alias_iri")
 
   /** Like [[mentions]] but one row per OCCURRENCE (duplicates possible).
     * Pipelines whose downstream already deduplicates (e.g. the flagship's
     * final triple `distinct()`) use this to skip the dedup exchange.
+    * `tokenRange` = (min, max) surface token lengths; (0, 0) means
+    * "compute from the gazetteer" (one metadata-scale job).
     */
-  def mentionsRaw(transcripts: DataFrame, gaz: DataFrame): DataFrame = {
+  def mentionsRaw(transcripts: DataFrame, gaz: DataFrame,
+      tokenRange: (Int, Int) = (0, 0)): DataFrame = {
+    val (lo, hi) =
+      if (tokenRange._2 > 0) tokenRange else surfaceTokenRange(gaz)
     val g = gaz.select(col("surface"), col("alias_iri"),
       surfaceKey(col("surface")).as("__key"))
-    ngramSpans(transcripts, math.max(1, maxSurfaceTokens(gaz)))
+    ngramSpans(transcripts, hi, lo)
       .join(broadcast(g), col("__ng") === col("__key"))
       .select(col("conv_id"), col("turn_idx"), col("surface"), col("alias_iri"))
   }
@@ -116,13 +135,16 @@ object Gazetteer {
     * measured 3× slower: per-element array copies in an interpreted
     * lambda.)
     */
-  def ngramSpans(transcripts: DataFrame, maxTokens: Int): DataFrame = {
+  def ngramSpans(transcripts: DataFrame, maxTokens: Int,
+      minTokens: Int = 1): DataFrame = {
     val t = col("__toks")
-    val grams: Seq[Column] = (2 to maxTokens).scanLeft(t) { (prev, l) =>
+    val gramsByLen: Seq[Column] = (2 to maxTokens).scanLeft(t) { (prev, l) =>
       zip_with(prev,
         slice(t, lit(l), greatest(size(t) - (l - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
+    // emit only lengths the key set can match (length-range pruning)
+    val grams = gramsByLen.drop(math.max(0, minTokens - 1))
     val allGrams = if (grams.size == 1) grams.head else concat(grams: _*)
     transcripts
       // tokenize via codegen translate + literal split — see

@@ -48,6 +48,15 @@ object TrainingSuite {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(dupCorpus(s, dir), n = 3, threshold = 0.6)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(dupCorpus(s, dir))),
+    // exact all-pairs embedding-cosine near-dup (the oracle baseline for
+    // the LSH-blocked scale path, tested in TrainingSpec)
+    "dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingPairs(
+        embeddings(s, dir).filter(col("vec_id") < 500), threshold = 0.35)),
+    "text_bpe_tokens" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextFns.bpeTokenCount(col("text")).as("n_bpe"),
+        TextFns.tokenCount(col("text")).as("n_ws"))),
     "text_quality" -> ((s, dir) => TextFns.quality(documents(s, dir))),
     "text_langid" -> ((s, dir) => TextFns.langId(documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextFns.fingerprint(documents(s, dir))),
@@ -94,6 +103,19 @@ object TrainingSuite {
          |         round(c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE), 6) AS jaccard
          |  FROM common c JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
          |) WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_embed" ->
+      """SELECT a, b, cos FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |  WHERE x.vec_id < 500 AND y.vec_id < 500
+        |) WHERE cos >= 0.35""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

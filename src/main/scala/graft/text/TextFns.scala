@@ -12,6 +12,18 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
 
+  /** GPT-2-style BPE pre-tokenizer pattern (the public regex shape:
+    * contractions | letter runs | digit runs | punctuation runs |
+    * whitespace runs, each with an optional leading space). Counting its
+    * matches approximates subword-token counts closely enough for corpus
+    * budgeting without a vocab file.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   /** Quality facets: char length, alpha ratio, stopword ratio, mean token
     * length — the usual cheap heuristics for corpus filtering.
     */

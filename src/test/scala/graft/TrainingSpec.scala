@@ -128,6 +128,29 @@ class TrainingSpec extends AnyFunSuite {
       "band-OR tables must not lower recall vs a single table")
   }
 
+  test("embedding-cosine LSH dedup: precision 1.0, recall >= 0.9 on near-dups") {
+    import org.apache.spark.sql.Column
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val unit = (j: Column, i: Column, id: Column) =>
+      (pmod(xxhash64(j, i, id), lit(2001L)) - 1000L) / 1000.0
+    val planted = emb.filter(col("vec_id") < 50)
+      .crossJoin(spark.range(3).select($"id".as("j")))
+      .select(($"vec_id" * 10 + $"j" + 100000L).as("vec_id"),
+        zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+          (x, i) => (x * (lit(1.0) + lit(0.2) * unit($"j", i, $"vec_id")))
+            .cast("float")).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(planted)
+    val exact = Dedup.embeddingPairs(corpus, 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(corpus, 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verified candidates => precision 1.0
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    info(f"embedding near-dup recall=$recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
   test("ann results are consistent with brute force sims") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 50)
