@@ -126,6 +126,21 @@ object NgsOps {
       RdfTerms.graphNameForSubject(col("subj")).as("graph"),
       col("subj"), col("pred"), col("obj"))
 
+  /** `ngs merge` — union two named-graph streams; same-named graphs
+    * merge (set semantics). Declared wip/unimplemented in the reference
+    * (NgsCmdImpls.java:283-286 throws); the relational form is free.
+    */
+  def mergeStreams(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** `ngs join` — graphs present in BOTH streams, with the union of both
+    * sides' quads for those graphs (reference: unimplemented, ibid.).
+    */
+  def joinStreams(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = a.select("graph").intersect(b.select("graph"))
+    mergeStreams(a, b).join(common, Seq("graph"), "left_semi")
+  }
+
   /** `ngs wc` — graph + quad counts (NgsCmdImpls.java:382-421). */
   def wc(quads: DataFrame): DataFrame =
     quads.agg(countDistinct(col("graph")).as("n_graphs"),

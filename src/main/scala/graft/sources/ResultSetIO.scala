@@ -120,6 +120,114 @@ object ResultSetIO {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 
+  /** One SRX document → (result index, var, term) rows, terms in
+    * canonical N-Triples lexical form. StAX pull parsing (JDK built-in,
+    * no DTD/external entities), namespace-agnostic local names.
+    */
+  private[graft] def parseSrx(doc: String): Iterator[(Long, String, String)] = {
+    import javax.xml.stream.XMLStreamConstants._
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    val r = f.createXMLStreamReader(new java.io.StringReader(doc))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    var idx = -1L
+    var curVar: String = null
+    var kind: String = null
+    var dt: String = null
+    var lang: String = null
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case START_ELEMENT => r.getLocalName match {
+          case "result" => idx += 1
+          case "binding" => curVar = r.getAttributeValue(null, "name")
+          case "uri" | "bnode" => kind = r.getLocalName; text.clear()
+          case "literal" =>
+            kind = "literal"; text.clear()
+            dt = r.getAttributeValue(null, "datatype")
+            lang = r.getAttributeValue(
+              "http://www.w3.org/XML/1998/namespace", "lang")
+          case _ =>
+        }
+        case CHARACTERS | CDATA if kind != null => text.append(r.getText)
+        case END_ELEMENT => r.getLocalName match {
+          case "uri" =>
+            out += ((idx, curVar, "<" + text.toString + ">")); kind = null
+          case "bnode" =>
+            out += ((idx, curVar, "_:" + text.toString)); kind = null
+          case "literal" =>
+            val body = "\"" + TrigParser.ntEscape(text.toString) + "\""
+            val term =
+              if (lang != null) body + "@" + lang
+              else if (dt != null) body + "^^<" + dt + ">"
+              else body
+            out += ((idx, curVar, term))
+            kind = null; dt = null; lang = null
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    r.close()
+    out.iterator
+  }
+
+  /** SPARQL-results XML scan (the reference's result-set formats include
+    * SRX — SbsCmdImpls.java:101-120). Parallel unit = FILE (one result
+    * document per task); bindings pivot to one column per var. Vars bound
+    * nowhere in the data are omitted (SRX head parsing is per-document;
+    * pass explicit downstream selects for ghost vars).
+    */
+  def readSrx(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val long = spark.read.option("wholetext", "true").textFile(path)
+      .flatMap { doc =>
+        val h = doc.hashCode.toLong << 32 // file-scoped result key
+        parseSrx(doc).map { case (i, v, t) => (h | (i & 0xffffffffL), v, t) }
+      }.toDF("__row", "var", "term")
+    val vars = long.select("var").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    long.groupBy("__row").pivot("var", vars).agg(first("term"))
+      .select(vars.map(col): _*)
+  }
+
+  /** Deterministic SRX fixture (same logical content as the SRJ/TSV
+    * fixtures, so all three scans share one oracle).
+    */
+  def writeSrxFixture(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long"),
+        col("user_id").cast("long"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .orderBy("event_id").collect()
+    val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    def b(v: String, inner: String) =
+      s"""<binding name="$v">$inner</binding>"""
+    def intLit(v: Long) = s"""<literal datatype="$XsdInt">$v</literal>"""
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\"?>\n")
+    sb.append("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n")
+    sb.append("<head>")
+    Seq("id", "etype", "cents", "actor", "k").foreach(v =>
+      sb.append(s"""<variable name="$v"/>"""))
+    sb.append("</head>\n<results>\n")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      sb.append("<result>")
+        .append(b("id", intLit(id)))
+        .append(b("etype", s"<literal>${r.getString(1)}</literal>"))
+        .append(b("cents", intLit(r.getLong(2))))
+        .append(b("actor", s"<uri>urn:user:${r.getLong(3)}</uri>"))
+      if (id % 5 != 0) sb.append(b("k", intLit(r.getLong(4))))
+      sb.append("</result>\n")
+    }
+    sb.append("</results>\n</sparql>\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
   /** Deterministic SRJ fixture from `events` (event_id < 2000): typed
     * integer literals, plain literals, IRIs, and an unbound var every 5th
     * row. The oracle re-derives the decoded output from the same table.

@@ -106,6 +106,28 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("bgp pattern with a repeated variable enforces SPARQL equality") {
+    import graft.ops.Bgp
+    val t = Seq(("<a>", "<p>", "<a>"), ("<a>", "<p>", "<b>"),
+      ("<c>", "<q>", "<c>")).toDF("subj", "pred", "obj")
+    val r = Bgp.pattern(t, Right("x"), Left("<p>"), Right("x"))
+    assert(r.columns.toSeq === Seq("x")) // projected ONCE
+    assert(r.as[String].collect().toSeq === Seq("<a>"))
+  }
+
+  test("ngs merge/join streams") {
+    val b = Seq(
+      ("<g1>", "<s9>", "<p>", "\"9\""),
+      ("<g9>", "<s9>", "<p>", "\"x\""),
+      ("<g1>", "<s1>", "<p>", "\"1\"") // duplicate of a quad in `quads`
+    ).toDF("graph", "subj", "pred", "obj")
+    val m = NgsOps.mergeStreams(quads, b)
+    assert(m.count() === quads.count() + 2) // dup collapsed
+    val j = NgsOps.joinStreams(quads, b)
+    assert(j.select("graph").distinct().as[String].collect().toSet === Set("<g1>"))
+    assert(j.count() === 3) // g1's two quads + <s9> from b
+  }
+
   test("unionHeaders: union of vars, missing = NULL") {
     val a = Seq((1L, "x")).toDF("id", "name")
     val b = Seq((2L, 3.5)).toDF("id", "score")
