@@ -164,6 +164,27 @@ object RdfIO {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 
+  /** Serialize quads to TriG text: one named-graph block per graph (the
+    * reference's native `ngs` output format), default-graph quads as
+    * top-level triples. Terms are already canonical N-Quads lexical
+    * strings, which are valid TriG tokens as-is. One output row per
+    * graph — graphs parallelize across partitions; [[readTrig]] parses
+    * the result back (round-trip property-tested).
+    */
+  def trigLines(quads: DataFrame,
+      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
+    val stmt = concat_ws(" ", col("subj"), col("pred"), col("obj"))
+    quads.groupBy(col("graph"))
+      .agg(array_join(transform(collect_list(stmt),
+        t => concat(lit("  "), t, lit(" ."))), "\n").as("body"))
+      .select(when(col("graph") === defaultGraph, col("body"))
+        .otherwise(concat(col("graph"), lit(" {\n"), col("body"), lit("\n}")))
+        .as("value"))
+  }
+
+  def writeTrig(quads: DataFrame, path: String): Unit =
+    trigLines(quads).write.mode("overwrite").text(path)
+
   /** Serialize (graph, subj, pred, obj) to N-Quads text lines. */
   def nquadLines(quads: DataFrame): DataFrame =
     quads.select(concat_ws(" ", col("subj"), col("pred"), col("obj"),

@@ -68,6 +68,37 @@ class TrigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("ex:s ex:p ex:o ."))
   }
 
+  test("TriG sink roundtrip property: random quads -> trig text -> parse == identity") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val alnum = Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty)
+    val iri = alnum.map(s => s"<urn:x:$s>")
+    val bnode = alnum.map(s => s"_:b$s")
+    val rawText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', ' ', 'ü', '.')))
+      .map(_.mkString.take(30))
+    val literal = for {
+      body <- rawText
+      suffix <- Gen.oneOf("", "@en", "^^<urn:dt>")
+    } yield "\"" + TrigParser.ntEscape(body) + "\"" + suffix
+    val quad = for {
+      g <- Gen.oneOf(iri, Gen.const("<urn:x-arq:DefaultGraph>"))
+      s <- Gen.oneOf(iri, bnode)
+      p <- iri
+      o <- Gen.oneOf(iri, bnode, literal)
+    } yield (g, s, p, o)
+    val quadSets = Gen.listOfN(25, quad)
+    (1 to 20).foreach { seedI =>
+      val qs = quadSets(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seedI.toLong)).get.distinct
+      val df = qs.toDF("graph", "subj", "pred", "obj")
+      val doc = sources.RdfIO.trigLines(df).as[String].collect().mkString("\n")
+      val back = TrigParser.parse(doc, "<urn:x-arq:DefaultGraph>")
+        .map(q => (q.graph, q.subj, q.pred, q.obj)).toSet
+      assert(back === qs.toSet, s"seed=$seedI doc:\n${doc.take(500)}")
+    }
+  }
+
   test("readRdfAuto probes content: nquads routes to line reader, trig to doc reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft-auto")
     val trig = dir.resolve("a.trig").toString
