@@ -73,15 +73,15 @@ object Gazetteer {
   def maxSurfaceTokens(gaz: DataFrame): Int =
     gaz.agg(max(size(split(surfaceKey(col("surface")), " ")))).head.getInt(0)
 
-  /** (shortest, longest) surface length in tokens: lengths outside the
-    * range never match, so the explode skips them entirely (e.g. an
-    * all-bigram gazetteer halves the emitted rows).
+  /** The DISTINCT surface lengths (in tokens) present in the gazetteer:
+    * the explode emits only these lengths — real gazetteers are
+    * length-sparse (e.g. surfaces of 1 and 4 tokens skip 2 and 3
+    * entirely). One metadata-scale job.
     */
-  def surfaceTokenRange(gaz: DataFrame): (Int, Int) = {
-    val r = gaz.agg(
-      min(size(split(surfaceKey(col("surface")), " "))),
-      max(size(split(surfaceKey(col("surface")), " ")))).head
-    (math.max(1, r.getInt(0)), math.max(1, r.getInt(1)))
+  def surfaceTokenLengths(gaz: DataFrame): Seq[Int] = {
+    val ls = gaz.select(size(split(surfaceKey(col("surface")), " ")).as("l"))
+      .distinct().collect().map(_.getInt(0)).filter(_ >= 1).sorted.toSeq
+    if (ls.isEmpty) Seq(1) else ls
   }
 
   /** Mention detection as a broadcast HASH equi-join (never a nested-loop
@@ -102,23 +102,23 @@ object Gazetteer {
     * the gazetteer" (one metadata-scale job; pass it explicitly to skip).
     */
   def mentions(transcripts: DataFrame, gaz: DataFrame,
-      tokenRange: (Int, Int) = (0, 0)): DataFrame =
-    mentionsRaw(transcripts, gaz, tokenRange)
+      tokenLengths: Seq[Int] = Nil): DataFrame =
+    mentionsRaw(transcripts, gaz, tokenLengths)
       .dropDuplicates("conv_id", "turn_idx", "surface", "alias_iri")
 
   /** Like [[mentions]] but one row per OCCURRENCE (duplicates possible).
     * Pipelines whose downstream already deduplicates (e.g. the flagship's
     * final triple `distinct()`) use this to skip the dedup exchange.
-    * `tokenRange` = (min, max) surface token lengths; (0, 0) means
-    * "compute from the gazetteer" (one metadata-scale job).
+    * `tokenLengths` = the surface lengths to emit; Nil means "compute
+    * from the gazetteer" (one metadata-scale job).
     */
   def mentionsRaw(transcripts: DataFrame, gaz: DataFrame,
-      tokenRange: (Int, Int) = (0, 0)): DataFrame = {
-    val (lo, hi) =
-      if (tokenRange._2 > 0) tokenRange else surfaceTokenRange(gaz)
+      tokenLengths: Seq[Int] = Nil): DataFrame = {
+    val lengths =
+      if (tokenLengths.nonEmpty) tokenLengths else surfaceTokenLengths(gaz)
     val g = gaz.select(col("surface"), col("alias_iri"),
       surfaceKey(col("surface")).as("__key"))
-    ngramSpans(transcripts, hi, lo)
+    ngramSpans(transcripts, lengths)
       .join(broadcast(g), col("__ng") === col("__key"))
       .select(col("conv_id"), col("turn_idx"), col("surface"), col("alias_iri"))
   }
@@ -136,15 +136,23 @@ object Gazetteer {
     * lambda.)
     */
   def ngramSpans(transcripts: DataFrame, maxTokens: Int,
-      minTokens: Int = 1): DataFrame = {
+      minTokens: Int = 1): DataFrame =
+    ngramSpans(transcripts, (math.max(1, minTokens) to maxTokens))
+
+  /** As above, emitting ONLY the given n-gram lengths (length-set
+    * pruning: the intermediate lengths are still built incrementally —
+    * one concat per element — but never emitted or joined).
+    */
+  def ngramSpans(transcripts: DataFrame, lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1), s"bad lengths $lengths")
+    val maxTokens = lengths.max
     val t = col("__toks")
     val gramsByLen: Seq[Column] = (2 to maxTokens).scanLeft(t) { (prev, l) =>
       zip_with(prev,
         slice(t, lit(l), greatest(size(t) - (l - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    // emit only lengths the key set can match (length-range pruning)
-    val grams = gramsByLen.drop(math.max(0, minTokens - 1))
+    val grams = lengths.sorted.map(l => gramsByLen(l - 1))
     val allGrams = if (grams.size == 1) grams.head else concat(grams: _*)
     transcripts
       // tokenize via codegen translate + literal split — see

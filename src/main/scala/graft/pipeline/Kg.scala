@@ -24,18 +24,18 @@ object Kg {
   // production shape (a warm dimension cache). The corpus-scale work is
   // never memoized.
   private val gazCache =
-    scala.collection.concurrent.TrieMap[(Int, String), (DataFrame, (Int, Int))]()
-  private def gazFor(spark: SparkSession, sfDir: String): (DataFrame, (Int, Int)) =
+    scala.collection.concurrent.TrieMap[(Int, String), (DataFrame, Seq[Int])]()
+  private def gazFor(spark: SparkSession, sfDir: String): (DataFrame, Seq[Int]) =
     gazCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
       val g = Gazetteer(spark, sfDir).localCheckpoint(false)
-      (g, Gazetteer.surfaceTokenRange(g))
+      (g, Gazetteer.surfaceTokenLengths(g))
     })
   private val ccCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   def mentions(spark: SparkSession, sfDir: String): DataFrame = {
-    val (g, range) = gazFor(spark, sfDir)
-    Gazetteer.mentions(Transcripts(spark, sfDir), g, range)
+    val (g, lengths) = gazFor(spark, sfDir)
+    Gazetteer.mentions(Transcripts(spark, sfDir), g, lengths)
   }
 
   def aliasCc(spark: SparkSession, sfDir: String): DataFrame =
@@ -61,8 +61,8 @@ object Kg {
     val base = TranscriptRules.triples(t)
     val cc = aliasCc(spark, sfDir)
     // per-occurrence mentions: the final distinct() subsumes their dedup
-    val (gz, range) = gazFor(spark, sfDir)
-    val m = Gazetteer.mentionsRaw(t, gz, range)
+    val (gz, lengths) = gazFor(spark, sfDir)
+    val m = Gazetteer.mentionsRaw(t, gz, lengths)
       .join(broadcast(cc), col("alias_iri") === col("node"))
       .select(
         concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),
