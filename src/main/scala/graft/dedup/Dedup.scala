@@ -147,9 +147,20 @@ object Dedup {
     val sig = minhashSignatures(sh, numHashes)
     val buckets0 = lshBuckets(sig, numHashes, rowsPerBand)
     val buckets = if (maxBucketSize == Long.MaxValue) buckets0
-      else buckets0.withColumn("__bs",
+      else {
+        val sized = buckets0.withColumn("__bs",
           count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        .filter(col("__bs") <= maxBucketSize).drop("__bs")
+        // opt-in cap => the drop is LOGGED (silent truncation would read
+        // as full coverage); one extra aggregate job, only when capped
+        val d = sized.filter(col("__bs") > maxBucketSize)
+          .agg(count(lit(1)), countDistinct(struct(col("band"), col("key"))))
+          .head
+        if (d.getLong(0) > 0)
+          System.err.println(s"[dedup] minhash bucket cap $maxBucketSize: " +
+            s"dropped ${d.getLong(0)} entries in ${d.getLong(1)} oversized buckets " +
+            "(bounded recall loss)")
+        sized.filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -50,6 +50,19 @@ class TrainingSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("minhash bucket cap bounds work and is logged; uncapped == capped-at-infinity") {
+    val uncapped = Dedup.minhashPairs(corpus, 3, 0.6)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // a generous cap changes nothing on this corpus
+    val capped = Dedup.minhashPairs(corpus, 3, 0.6, maxBucketSize = 1000)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    // a cap of 1 drops every collision bucket => no candidate survives
+    // (reps are distinct texts; every bucket with a candidate pair has >=2)
+    val starved = Dedup.minhashPairs(corpus, 3, 0.6, maxBucketSize = 1)
+    assert(starved.filter($"jaccard" < 1.0d).count() === 0)
+  }
+
   test("simhash: identical normalized docs at hamming 0; pairs found") {
     val pairs = Dedup.simhashPairs(corpus)
     val exactTwins = pairs.filter($"a" + 200000 === $"b" && $"hamming" === 0)
