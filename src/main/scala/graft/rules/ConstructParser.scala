@@ -54,14 +54,32 @@ object ConstructParser {
   def parse(text: String, env: Map[String, String]): Seq[Rule] =
     parse(envSubst(text, env))
 
+  /** Parse a statement SEQUENCE (the reference's `.sparql` file model:
+    * several CONSTRUCT statements in order, PREFIX declarations carrying
+    * over across statements — SparqlScriptProcessor behavior, tested by
+    * the reference's namespace-test.sparql). Returns one rule set per
+    * statement; run them in order with [[RuleCompiler]] / `pipeline.Script`.
+    */
+  def parseSequence(text: String): Seq[Seq[Rule]] = {
+    val p = new P(text)
+    val out = scala.collection.mutable.ArrayBuffer[Seq[Rule]]()
+    while (p.hasMore) out += p.query(expectEnd = false)
+    require(out.nonEmpty, "empty statement sequence")
+    out.toSeq
+  }
+
   private final class P(s: String) {
     private var i = 0
     private val n = s.length
     private val prefixes = scala.collection.mutable.HashMap[String, String]()
-    private val binds = scala.collection.mutable.LinkedHashMap[String, E]()
-    private val filters = scala.collection.mutable.ArrayBuffer[Column]()
+    private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
+    private var filters = scala.collection.mutable.ArrayBuffer[Column]()
 
-    def query(): Seq[Rule] = {
+    def hasMore: Boolean = { skipWs(); i < n }
+
+    def query(expectEnd: Boolean = true): Seq[Rule] = {
+      binds = scala.collection.mutable.LinkedHashMap[String, E]()
+      filters = scala.collection.mutable.ArrayBuffer[Column]()
       skipWs()
       while (kw("PREFIX")) {
         skipWs()
@@ -78,7 +96,9 @@ object ConstructParser {
       skipWs()
       whereBlock()
       skipWs()
-      if (i < n) fail("trailing input")
+      if (peek == ';') i += 1 // optional statement separator
+      skipWs()
+      if (expectEnd && i < n) fail("trailing input")
       // resolve templates now that all BINDs are known
       val where = filters.reduceOption(_ && _).getOrElse(lit(true))
       Seq(Rule("construct", where, templates.map { case (st, pt, ot, gt) =>

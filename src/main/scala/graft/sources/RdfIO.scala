@@ -182,15 +182,24 @@ object RdfIO {
         .as("value"))
   }
 
-  def writeTrig(quads: DataFrame, path: String): Unit =
-    trigLines(quads).write.mode("overwrite").text(path)
+  def writeTrig(quads: DataFrame, path: String,
+      compression: Option[String] = None): Unit = {
+    val w = trigLines(quads).write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
 
   /** Serialize (graph, subj, pred, obj) to N-Quads text lines. */
   def nquadLines(quads: DataFrame): DataFrame =
     quads.select(concat_ws(" ", col("subj"), col("pred"), col("obj"),
       col("graph"), lit(".")).as("value"))
 
-  /** Write N-Quads text (one part per partition, like any Spark sink). */
-  def writeNQuads(quads: DataFrame, path: String): Unit =
-    nquadLines(quads).write.mode("overwrite").text(path)
+  /** Write N-Quads text (one part per partition, like any Spark sink);
+    * `compression` = any Hadoop codec name (gzip/bzip2/…), like the
+    * reference's codec-by-extension outputs.
+    */
+  def writeNQuads(quads: DataFrame, path: String,
+      compression: Option[String] = None): Unit = {
+    val w = nquadLines(quads).write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
 }

@@ -73,6 +73,27 @@ class RulesSpec extends AnyFunSuite {
       ConstructParser.parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
   }
 
+  test("statement sequence parses with prefix carry-over across statements") {
+    import graft.rules.{ConstructParser, RuleCompiler}
+    val seq =
+      """PREFIX ex: <http://ex.org/>
+        |CONSTRUCT { GRAPH ex:g1 { ?s ex:first "1" . } }
+        |WHERE { BIND(IRI(CONCAT("http://ex.org/", ?id)) AS ?s) }
+        |# second statement reuses ex: AND adds a new prefix
+        |PREFIX p2: <http://p2.org/>
+        |CONSTRUCT { GRAPH p2:g2 { ?s ex:second "2" . } }
+        |WHERE { BIND(IRI(CONCAT("http://ex.org/", ?id)) AS ?s) }
+        |""".stripMargin
+    val stmts = graft.rules.ConstructParser.parseSequence(seq)
+    assert(stmts.size === 2)
+    val in = Seq("a").toDF("id")
+    val out1 = RuleCompiler.compile(in, stmts(0)).collect()
+    val out2 = RuleCompiler.compile(in, stmts(1)).collect()
+    assert(out1.head.getString(3) === "<http://ex.org/g1>")
+    assert(out2.head.getString(1) === "<http://ex.org/second>") // ex: carried
+    assert(out2.head.getString(3) === "<http://p2.org/g2>")
+  }
+
   test("NULL dynamic array suppresses only its own rule, not the row") {
     import graft.rules.{Rule, RuleCompiler, TripleTemplate}
     val in = Seq(("a", 1), ("b", 2)).toDF("id", "v")
