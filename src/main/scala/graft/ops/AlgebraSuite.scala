@@ -97,6 +97,29 @@ object AlgebraSuite {
         .select(col("c_custkey"),
           xpath_string(col("xml"), lit("/r/n")).as("name"),
           xpath_string(col("xml"), lit("/r/s")).as("seg"))),
+    "sparql_fns" -> ((s, dir) =>
+      // SPARQL 1.1 scalar battery (SURVEY §2.8: CONCAT/STR/STRLEN/UCASE/
+      // LCASE/SUBSTR/STRSTARTS/CONTAINS/REPLACE/ABS/CEIL/FLOOR/ROUND/
+      // SHA256/MD5/COALESCE/IF) — built-ins 1:1, exercised together
+      customer(s, dir).select(col("c_custkey"),
+        concat(col("c_name"), lit("/"), col("c_mktsegment")).as("f_concat"),
+        length(col("c_name")).cast("long").as("f_strlen"),
+        upper(col("c_mktsegment")).as("f_ucase"),
+        lower(col("c_name")).as("f_lcase"),
+        substring(col("c_name"), 1, 8).as("f_substr"),
+        col("c_name").startsWith("Customer").as("f_strstarts"),
+        col("c_mktsegment").contains("MACH").as("f_contains"),
+        regexp_replace(col("c_name"), "0+", "0").as("f_replace"),
+        abs(col("c_acctbal")).cast("double").as("f_abs"),
+        ceil(col("c_acctbal")).cast("long").as("f_ceil"),
+        floor(col("c_acctbal")).cast("long").as("f_floor"),
+        round(col("c_acctbal"), 1).as("f_round"),
+        sha2(col("c_name"), 256).as("f_sha256"),
+        md5(col("c_mktsegment")).as("f_md5"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("none"))
+          .as("f_coalesce"),
+        when(col("c_custkey") % 2 === 0, lit("even")).otherwise(lit("odd"))
+          .as("f_if"))),
     "macro_greet" -> ((s, dir) =>
       // macro expansion at plan-build time (macros.md example)
       customer(s, dir).select(col("c_custkey"),
@@ -191,6 +214,25 @@ object AlgebraSuite {
       "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",
     "macro_greet" ->
       "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
+    "sparql_fns" ->
+      """SELECT c_custkey,
+        |  c_name || '/' || c_mktsegment AS f_concat,
+        |  CAST(length(c_name) AS BIGINT) AS f_strlen,
+        |  upper(c_mktsegment) AS f_ucase,
+        |  lower(c_name) AS f_lcase,
+        |  substr(c_name, 1, 8) AS f_substr,
+        |  starts_with(c_name, 'Customer') AS f_strstarts,
+        |  contains(c_mktsegment, 'MACH') AS f_contains,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS f_replace,
+        |  abs(c_acctbal) AS f_abs,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS f_ceil,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS f_floor,
+        |  round(c_acctbal, 1) AS f_round,
+        |  sha256(c_name) AS f_sha256,
+        |  md5(c_mktsegment) AS f_md5,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS f_coalesce,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS f_if
+        |FROM customer""".stripMargin,
     "env_subst" ->
       """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
         |       '<http://ex.org/name>' AS pred,

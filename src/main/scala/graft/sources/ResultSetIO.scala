@@ -181,10 +181,18 @@ object ResultSetIO {
     */
   def readSrx(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    // collision-free result key: (partition id, doc index in partition,
+    // result index) — deterministic because the wholetext file list is
+    // sorted (one file per partition)
     val long = spark.read.option("wholetext", "true").textFile(path)
-      .flatMap { doc =>
-        val h = doc.hashCode.toLong << 32 // file-scoped result key
-        parseSrx(doc).map { case (i, v, t) => (h | (i & 0xffffffffL), v, t) }
+      .mapPartitions { docs =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong << 44
+        var d = 0L
+        docs.flatMap { doc =>
+          d += 1
+          val base = pid | (d << 24)
+          parseSrx(doc).map { case (i, v, t) => (base | (i & 0xffffffL), v, t) }
+        }
       }.toDF("__row", "var", "term")
     val vars = long.select("var").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
