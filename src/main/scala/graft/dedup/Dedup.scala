@@ -249,6 +249,19 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS from a pair list (a, b): connected
+    * components over the pair graph; cluster_id = least doc_id in the
+    * component (ids zero-padded before the string CC so lexicographic
+    * min == numeric min). The keep-one-per-cluster step of a dedup
+    * pipeline is then `filter(doc_id === cluster_id)`.
+    */
+  def clusters(pairs: DataFrame): DataFrame =
+    graft.graphops.ConnectedComponents(
+      pairs.select(lpad(col("a").cast("string"), 15, "0").as("src"),
+        lpad(col("b").cast("string"), 15, "0").as("dst")))
+      .select(col("node").cast("long").as("doc_id"),
+        col("component").cast("long").as("cluster_id"))
+
   /** 64-bit SimHash over word tokens: sum ±1 per bit weighted by token
     * hash bits, sign → fingerprint bit. Pure column expressions.
     */

@@ -47,6 +47,8 @@ object TrainingSuite {
       Dedup.jaccardPairs(dupCorpus(s, dir), n = 3, threshold = 0.6)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(dupCorpus(s, dir), n = 3, threshold = 0.6)),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.jaccardPairs(dupCorpus(s, dir), n = 3, threshold = 0.6))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(dupCorpus(s, dir))),
     // exact all-pairs embedding-cosine near-dup (the oracle baseline for
     // the LSH-blocked scale path, tested in TrainingSpec)
@@ -72,6 +74,34 @@ object TrainingSuite {
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+  /** Exact 3-gram-Jaccard pair list over `corpus` as a CTE named `jp` —
+    * shared by the dedup_jaccard and dedup_clusters oracles.
+    */
+  private val jaccardPairsCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+       |  FROM (SELECT doc_id, string_split($norm, ' ') AS l FROM corpus)
+       |),
+       |sh AS (
+       |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+       |  FROM toks t1
+       |  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+       |  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jp AS (
+       |  SELECT a, b, jaccard FROM (
+       |    SELECT c.a, c.b,
+       |           round(c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE), 6) AS jaccard
+       |    FROM common c JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+       |  ) WHERE jaccard >= 0.6
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $dupCorpusCte,
@@ -82,27 +112,21 @@ object TrainingSuite {
          |FROM hashed""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $dupCorpusCte,
-         |toks AS (
-         |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
-         |  FROM (SELECT doc_id, string_split($norm, ' ') AS l FROM corpus)
-         |),
-         |sh AS (
-         |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
-         |  FROM toks t1
-         |  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
-         |  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
+         |$jaccardPairsCte
+         |SELECT a, b, jaccard FROM jp""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $dupCorpusCte,
+         |$jaccardPairsCte,
+         |nodes AS (SELECT a AS n FROM jp UNION SELECT b FROM jp),
+         |sym AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+         |walk(node, lbl) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.a, w.lbl FROM sym s JOIN walk w ON w.node = s.b
          |)
-         |SELECT a, b, jaccard FROM (
-         |  SELECT c.a, c.b,
-         |         round(c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE), 6) AS jaccard
-         |  FROM common c JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
-         |) WHERE jaccard >= 0.6""".stripMargin,
+         |SELECT CAST(node AS BIGINT) AS doc_id,
+         |       CAST(min(lbl) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin,
     "dedup_embed" ->
       """SELECT a, b, cos FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
