@@ -120,6 +120,20 @@ object Materializer {
       write(df, s"$outDir/$name", nBuckets, resume)
     }
 
+  /** Point lookup of ONE named graph in a materialized store: the bucket
+    * predicate is built from the same pmod(xxhash64) expression over a
+    * LITERAL, so Catalyst constant-folds it and the parquet scan prunes
+    * to a single bucket directory (PartitionFilters — asserted in
+    * MaterializerSpec). This is the store's index: graph → bucket,
+    * then subject-sorted parquet min/max stats inside the bucket.
+    */
+  def readGraph(spark: SparkSession, outDir: String, graphIri: String,
+      nBuckets: Int = 64): DataFrame =
+    spark.read.parquet(s"$outDir/triples")
+      .filter(col("bucket") ===
+        pmod(xxhash64(lit(graphIri)), lit(nBuckets)).cast("int") &&
+        col("graph") === graphIri)
+
   /** Lineage check: metrics table totals must equal the data itself. */
   def verifyCounts(spark: SparkSession, outDir: String): Boolean = {
     val data = spark.read.parquet(s"$outDir/triples")

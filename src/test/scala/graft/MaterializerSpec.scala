@@ -93,6 +93,25 @@ class MaterializerSpec extends AnyFunSuite {
     }
   }
 
+  test("readGraph prunes the scan to one bucket directory") {
+    val out = tmp()
+    val triples = Kg.canonicalTriples(spark, TestSpark.sf0001).cache()
+    Materializer.write(triples, out, nBuckets = 8)
+    val g = triples.select("graph").head.getString(0)
+    val got = Materializer.readGraph(spark, out, g, nBuckets = 8)
+    val expected = triples.filter($"graph" === g)
+    assert(got.count() === expected.count())
+    assert(got.select(expected.columns.map(col): _*)
+      .exceptAll(expected).count() === 0)
+    // the bucket predicate constant-folds into a partition filter:
+    // exactly ONE bucket=N directory survives pruning
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val scannedBuckets = got.select(input_file_name()).distinct()
+      .as[String].collect().map(_.replaceAll(".*bucket=([0-9]+).*", "$1")).toSet
+    assert(scannedBuckets.size === 1, scannedBuckets)
+  }
+
   test("nquads serialization shape") {
     val df = Seq(("<s>", "<p>", "\"o\"", "<g>")).toDF("subj", "pred", "obj", "graph")
     assert(Materializer.toNQuads(df).as[String].head ===
