@@ -97,6 +97,21 @@ object AlgebraSuite {
         .select(col("c_custkey"),
           xpath_string(col("xml"), lit("/r/n")).as("name"),
           xpath_string(col("xml"), lit("/r/s")).as("seg"))),
+    "construct_sequence" -> ((s, dir) => {
+      // two-statement sequence, prefixes carrying over; outputs union to
+      // one sink (reference integrate semantics)
+      val seq =
+        """PREFIX ex: <http://ex.org/>
+          |CONSTRUCT { GRAPH ex:g { ?c ex:name ?name . } }
+          |WHERE { BIND(IRI(CONCAT("http://ex.org/c/", STR(?c_custkey))) AS ?c)
+          |        BIND(STR(?c_name) AS ?name) }
+          |CONSTRUCT { GRAPH ex:g { ?c ex:segment ?seg . } }
+          |WHERE { BIND(IRI(CONCAT("http://ex.org/c/", STR(?c_custkey))) AS ?c)
+          |        BIND(STR(?c_mktsegment) AS ?seg)
+          |        FILTER(?c_mktsegment != "BUILDING") }
+          |""".stripMargin
+      graft.pipeline.Script.runConstructSequence(customer(s, dir), seq)
+    }),
     "sparql_fns" -> ((s, dir) =>
       // SPARQL 1.1 scalar battery (SURVEY §2.8: CONCAT/STR/STRLEN/UCASE/
       // LCASE/SUBSTR/STRSTARTS/CONTAINS/REPLACE/ABS/CEIL/FLOOR/ROUND/
@@ -214,6 +229,16 @@ object AlgebraSuite {
       "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",
     "macro_greet" ->
       "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
+    "construct_sequence" ->
+      """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+        |       '<http://ex.org/name>' AS pred, '"' || c_name || '"' AS obj,
+        |       '<http://ex.org/g>' AS graph
+        |FROM customer
+        |UNION ALL
+        |SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+        |       '<http://ex.org/segment>', '"' || c_mktsegment || '"',
+        |       '<http://ex.org/g>'
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'""".stripMargin,
     "sparql_fns" ->
       """SELECT c_custkey,
         |  c_name || '/' || c_mktsegment AS f_concat,

@@ -110,6 +110,27 @@ class RulesSpec extends AnyFunSuite {
     assert(out.count() === 3) // 2 fixed + 1 dynamic
   }
 
+  test("extraction is deterministic under arbitrary repartitioning") {
+    val t = Transcripts(spark, TestSpark.sf0001)
+    val a = TranscriptRules.triples(t)
+    val b = TranscriptRules.triples(t.repartition(7))
+    val c = TranscriptRules.triples(t.repartition(3, $"role"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.exceptAll(c).count() === 0)
+  }
+
+  test("exact dedup is idempotent: deduped corpus has only singleton groups") {
+    import graft.dedup.Dedup
+    val corpus = graft.ops.TrainingSuite.dupCorpus(spark, TestSpark.sf0001)
+    val reps = corpus.join(
+      Dedup.exact(corpus).filter($"doc_id" === $"rep_id").select("doc_id"),
+      "doc_id")
+    val again = Dedup.exact(reps)
+    assert(again.filter($"group_size" =!= 1).count() === 0)
+    assert(again.filter($"doc_id" =!= $"rep_id").count() === 0)
+  }
+
   test("ntEscape handles quotes, newlines, tabs, backslashes") {
     val df = Seq("""a"b""", "a\nb", "a\tb", "a\\b", "plain", "a\rb")
       .toDF("s").select(RdfTerms.strLit($"s").as("l"))
