@@ -18,9 +18,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Canonical text normalization shared by all dedup flavors. */
+  /** Canonical text normalization shared by ALL dedup flavors — defined
+    * as the rejoined token sequence of [[tokens]], so `exact()` groups,
+    * shingle sets, and fingerprints share ONE tokenization (an exact
+    * group always has identical shingles — the invariant minhashPairs'
+    * representative expansion relies on).
+    */
   def normalized(text: Column): Column =
-    regexp_replace(trim(lower(text)), "\\s+", " ")
+    array_join(graft.functions.Tokenize.wsTokens(text), " ")
 
   /** Exact dedup: groups of identical normalized text; representative =
     * least doc_id. Emits (doc_id, rep_id, group_size).
@@ -251,16 +256,24 @@ object Dedup {
 
   /** Near-duplicate CLUSTERS from a pair list (a, b): connected
     * components over the pair graph; cluster_id = least doc_id in the
-    * component (ids zero-padded before the string CC so lexicographic
-    * min == numeric min). The keep-one-per-cluster step of a dedup
-    * pipeline is then `filter(doc_id === cluster_id)`.
+    * component (ids zero-padded to the full Long width before the string
+    * CC so lexicographic min == numeric min — lpad TRUNCATES overlong
+    * input, so the pad must cover max-Long's 19 digits; negative ids are
+    * rejected, their lexicographic order would be wrong). The
+    * keep-one-per-cluster step of a dedup pipeline is then
+    * `filter(doc_id === cluster_id)`.
     */
-  def clusters(pairs: DataFrame): DataFrame =
+  def clusters(pairs: DataFrame): DataFrame = {
+    def key(c: Column) = {
+      val guarded = when(c < 0,
+        raise_error(lit("clusters(): negative doc_id"))).otherwise(c)
+      lpad(guarded.cast("string"), 19, "0")
+    }
     graft.graphops.ConnectedComponents(
-      pairs.select(lpad(col("a").cast("string"), 15, "0").as("src"),
-        lpad(col("b").cast("string"), 15, "0").as("dst")))
+      pairs.select(key(col("a")).as("src"), key(col("b")).as("dst")))
       .select(col("node").cast("long").as("doc_id"),
         col("component").cast("long").as("cluster_id"))
+  }
 
   /** 64-bit SimHash over word tokens: sum ±1 per bit weighted by token
     * hash bits, sign → fingerprint bit. Pure column expressions.

@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
-  /** Every printable ASCII non-alphanumeric char, plus \t \n \r. */
+  /** Every ASCII non-alphanumeric char (controls included — built
+    * programmatically so no raw control bytes land in this source file).
+    */
   val AsciiSeps: String =
-    ((0x09 :: 0x0a :: 0x0d :: (0x20 to 0x7e).toList)
-      .map(_.toChar).filterNot(_.isLetterOrDigit)).mkString
+    (0x00 to 0x7f).map(_.toChar).filterNot(_.isLetterOrDigit).mkString
 
   private val AsciiSpaces: String = " " * AsciiSeps.length
 
@@ -30,7 +31,10 @@ object Tokenize {
     array_remove(
       split(translate(text, AsciiSeps, AsciiSpaces), " ", -1), "")
 
-  private val WsSeps = "\t\n\f\r"
+  // RE2 \s (what the DuckDB oracles use): tab/newline/formfeed/CR/space
+  // - deliberately NOT Java \s (which adds \u000B); all dedup
+  // normalization routes through here so Spark and oracle agree
+  private val WsSeps = "\t\n\f\r"
 
   /** Lowercased whitespace-delimited tokens (the dedup normalization:
     * same token sequence as `split(regexp_replace(trim(lower(text)),

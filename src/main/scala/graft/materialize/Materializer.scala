@@ -126,13 +126,22 @@ object Materializer {
     * to a single bucket directory (PartitionFilters — asserted in
     * MaterializerSpec). This is the store's index: graph → bucket,
     * then subject-sorted parquet min/max stats inside the bucket.
+    * nBuckets comes from the store's OWN `_manifest.json` (a caller-
+    * supplied count that disagreed would silently prune to the wrong
+    * directory and return nothing).
     */
-  def readGraph(spark: SparkSession, outDir: String, graphIri: String,
-      nBuckets: Int = 64): DataFrame =
+  def readGraph(spark: SparkSession, outDir: String, graphIri: String): DataFrame = {
+    val manifest = Paths.get(s"$outDir/_manifest.json")
+    require(Files.exists(manifest), s"no _manifest.json in $outDir")
+    val m = Files.readString(manifest)
+    val nBuckets = "\"nBuckets\":(\\d+)".r.findFirstMatchIn(m)
+      .getOrElse(throw new IllegalArgumentException(s"bad manifest: $m"))
+      .group(1).toInt
     spark.read.parquet(s"$outDir/triples")
       .filter(col("bucket") ===
         pmod(xxhash64(lit(graphIri)), lit(nBuckets)).cast("int") &&
         col("graph") === graphIri)
+  }
 
   /** Lineage check: metrics table totals must equal the data itself. */
   def verifyCounts(spark: SparkSession, outDir: String): Boolean = {

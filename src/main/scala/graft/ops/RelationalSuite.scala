@@ -10,11 +10,16 @@ import graft.sources.SyntheticQuads
 object RelationalSuite {
 
   private def quads(s: SparkSession, dir: String) = SyntheticQuads(s, dir)
-  private def srjFixture(s: SparkSession, dir: String): String = {
-    val p = graft.sources.ResultSetIO.fixturePath(dir)
-    graft.sources.ResultSetIO.writeSrjFixture(s, dir, p)
-    p
-  }
+  // fixture files are deterministic functions of (dir); write once per
+  // JVM instead of on every query construction (three queries share the
+  // SRJ file — repeated driver-side collect+write would land in bench time)
+  private val fixtureOnce = scala.collection.concurrent.TrieMap[String, String]()
+  private def srjFixture(s: SparkSession, dir: String): String =
+    fixtureOnce.getOrElseUpdate("srj:" + dir, {
+      val p = graft.sources.ResultSetIO.fixturePath(dir)
+      graft.sources.ResultSetIO.writeSrjFixture(s, dir, p)
+      p
+    })
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String) =

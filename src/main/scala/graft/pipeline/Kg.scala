@@ -23,15 +23,18 @@ object Kg {
   // corpus-independent, recomputed only when the dimension changes — the
   // production shape (a warm dimension cache). The corpus-scale work is
   // never memoized.
+  // keyed by the session OBJECT (reference identity — hash collisions of
+  // identityHashCode could otherwise serve a stopped session's blocks);
+  // entries live as long as the JVM, bounded by (#sessions x #dirs)
   private val gazCache =
-    scala.collection.concurrent.TrieMap[(Int, String), (DataFrame, Seq[Int])]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, Seq[Int])]()
   private def gazFor(spark: SparkSession, sfDir: String): (DataFrame, Seq[Int]) =
-    gazCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    gazCache.getOrElseUpdate((spark, sfDir), {
       val g = Gazetteer(spark, sfDir).localCheckpoint(false)
       (g, Gazetteer.surfaceTokenLengths(g))
     })
   private val ccCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   def mentions(spark: SparkSession, sfDir: String): DataFrame = {
     val (g, lengths) = gazFor(spark, sfDir)
@@ -39,7 +42,7 @@ object Kg {
   }
 
   def aliasCc(spark: SparkSession, sfDir: String): DataFrame =
-    ccCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    ccCache.getOrElseUpdate((spark, sfDir),
       ConnectedComponents(Gazetteer.aliasEdges(spark, sfDir))
         .localCheckpoint(false))
 
@@ -120,9 +123,9 @@ object Kg {
     * is materialize-once, aggregate-many.
     */
   private val ctCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   def canonicalTriplesShared(spark: SparkSession, sfDir: String): DataFrame =
-    ctCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    ctCache.getOrElseUpdate((spark, sfDir),
       canonicalTriples(spark, sfDir).localCheckpoint(false))
 
   /** Per-named-graph profile (VoID-style: reference qb1–qb5 queries). */

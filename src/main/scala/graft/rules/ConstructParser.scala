@@ -364,13 +364,24 @@ object ConstructParser {
       expect('"')
       val b = new StringBuilder
       while (i < n && s.charAt(i) != '"') {
-        if (s.charAt(i) == '\\' && i + 1 < n) {
+        if (s.charAt(i) == '\\') {
+          if (i + 1 >= n) fail("dangling escape")
           i += 1
-          b.append(s.charAt(i) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-            case o => o
-          })
-          i += 1
+          s.charAt(i) match {
+            case 'n' => b.append('\n'); i += 1
+            case 't' => b.append('\t'); i += 1
+            case 'r' => b.append('\r'); i += 1
+            case 'b' => b.append('\b'); i += 1
+            case 'f' => b.append('\f'); i += 1
+            case '"' => b.append('"'); i += 1
+            case '\'' => b.append('\''); i += 1
+            case '\\' => b.append('\\'); i += 1
+            case 'u' =>
+              if (i + 5 > n) fail("bad \\u escape")
+              b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 5
+            case o => fail(s"unsupported escape \\$o") // never drop silently
+          }
         } else { b.append(s.charAt(i)); i += 1 }
       }
       expect('"')

@@ -86,19 +86,30 @@ object RdfIO {
   }
 
   /** Auto-probing RDF scan (the reference sniffs content type +
-    * compression before parsing — NgsCmdImpls.java:289-305): peeks at the
-    * first non-comment line of the first file; a line that parses as
-    * N-Quads/N-Triples routes to the line reader, anything else (prefix
-    * directives, graph blocks, prefixed names) to the TriG reader.
-    * Compression never needs probing — both readers decompress via the
-    * Hadoop codec inferred from the extension.
+    * compression before parsing — NgsCmdImpls.java:289-305): probes the
+    * first 200 non-comment lines; the LINE reader is chosen only when
+    * EVERY probed line parses as N-Quads/N-Triples and none carries a
+    * TriG marker (directive or graph-block brace) — otherwise the TriG
+    * document reader. An empty input yields an empty frame. Compression
+    * never needs probing — both readers decompress via the Hadoop codec.
+    * Residual ambiguity: a TriG document whose first 200 statements are
+    * also valid N-Triples lines parses identically under either reader
+    * up to that point; pass the reader explicitly when the format is
+    * known.
     */
   def readRdfAuto(spark: SparkSession, path: String,
       defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
-    val head = spark.read.textFile(path)
+    val probe = spark.read.textFile(path)
       .filter(l => { val t = l.trim; t.nonEmpty && !t.startsWith("#") })
-      .head()
-    if (parseLine(head) != null) readNQuads(spark, path, defaultGraph)
+      .take(200)
+    def trigMarker(l: String) = {
+      val t = l.trim
+      t.contains("{") || t.startsWith("@prefix") || t.startsWith("@base") ||
+        t.toUpperCase.startsWith("PREFIX") || t.toUpperCase.startsWith("BASE")
+    }
+    val nquadsish = probe.nonEmpty &&
+      probe.forall(l => parseLine(l) != null && !trigMarker(l))
+    if (nquadsish || probe.isEmpty) readNQuads(spark, path, defaultGraph)
     else readTrig(spark, path, defaultGraph)
   }
 

@@ -9,9 +9,10 @@ import graft.functions.RdfTerms
   * bindings; W3C "SPARQL 1.1 Query Results JSON Format").
   *
   * An SRJ document is `{"head":{"vars":[…]},"results":{"bindings":[{var:
-  * {type,value,datatype?,"xml:lang"?}}…]}}`. Columns follow `head.vars`
-  * order; a var missing from a binding is unbound → NULL (the reference's
-  * Binding semantics).
+  * {type,value,datatype?,"xml:lang"?}}…]}}`. Output columns are the head
+  * vars in NAME order (the driver compare sorts by name anyway); a var
+  * missing from a binding is unbound → NULL (the reference's Binding
+  * semantics).
   *
   * Scale: one SRJ document = one JSON value, so the parallel unit is the
   * FILE (a directory of SRJ files scans as one task each — multiLine
@@ -183,15 +184,21 @@ object ResultSetIO {
     import spark.implicits._
     // collision-free result key: (partition id, doc index in partition,
     // result index) — deterministic because the wholetext file list is
-    // sorted (one file per partition)
+    // sorted (one file per partition). Field widths are generous (2^20
+    // docs/partition, 2^24 results/doc) and overflow FAILS instead of
+    // silently merging rows.
     val long = spark.read.option("wholetext", "true").textFile(path)
       .mapPartitions { docs =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong << 44
         var d = 0L
         docs.flatMap { doc =>
           d += 1
+          require(d < (1L << 20), "readSrx: >2^20 documents in one partition")
           val base = pid | (d << 24)
-          parseSrx(doc).map { case (i, v, t) => (base | (i & 0xffffffL), v, t) }
+          parseSrx(doc).map { case (i, v, t) =>
+            require(i < (1L << 24), "readSrx: >2^24 results in one document")
+            (base | i, v, t)
+          }
         }
       }.toDF("__row", "var", "term")
     val vars = long.select("var").distinct()

@@ -98,7 +98,7 @@ class MaterializerSpec extends AnyFunSuite {
     val triples = Kg.canonicalTriples(spark, TestSpark.sf0001).cache()
     Materializer.write(triples, out, nBuckets = 8)
     val g = triples.select("graph").head.getString(0)
-    val got = Materializer.readGraph(spark, out, g, nBuckets = 8)
+    val got = Materializer.readGraph(spark, out, g) // nBuckets from manifest
     val expected = triples.filter($"graph" === g)
     assert(got.count() === expected.count())
     assert(got.select(expected.columns.map(col): _*)
