@@ -68,6 +68,23 @@ class TrigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("ex:s ex:p ex:o ."))
   }
 
+  test("malformed documents fail loudly (no hangs, no silent drops)") {
+    val bads = Seq(
+      "<s> <p> \"unterminated .",
+      "<s> <p> <unterminated",
+      "<g> { <s> <p> <o> .", // unclosed graph block
+      "@prefix ex <http://x/> .", // missing colon
+      "<s> <p> \"\"\"unclosed long",
+      "<s> <p> \"x\"^^<dangling", // unterminated datatype IRI
+      "<s> <p>", // missing object entirely
+      "GRAPH <g>") // missing block
+    bads.foreach { doc =>
+      intercept[IllegalArgumentException] {
+        TrigParser.parse(doc, "<dg>").toList
+      }
+    }
+  }
+
   test("TriG sink roundtrip property: random quads -> trig text -> parse == identity") {
     import org.scalacheck.Gen
     import spark.implicits._
