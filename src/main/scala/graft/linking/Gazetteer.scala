@@ -70,8 +70,10 @@ object Gazetteer {
   /** Longest surface in tokens — bounds the n-gram explode. One
     * metadata-scale job over the (small, broadcastable) gazetteer.
     */
-  def maxSurfaceTokens(gaz: DataFrame): Int =
-    gaz.agg(max(size(split(surfaceKey(col("surface")), " ")))).head.getInt(0)
+  def maxSurfaceTokens(gaz: DataFrame): Int = {
+    val r = gaz.agg(max(size(split(surfaceKey(col("surface")), " ")))).head
+    if (r.isNullAt(0)) 0 else r.getInt(0) // 0 = empty gazetteer
+  }
 
   /** The DISTINCT surface lengths (in tokens) present in the gazetteer:
     * the explode emits only these lengths — real gazetteers are
@@ -196,7 +198,19 @@ object Gazetteer {
       threshold: Double = 0.5, numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     import graft.dedup.Dedup.{minhashSignatures, lshBuckets}
-    val spans = ngramSpans(transcripts, math.max(1, maxSurfaceTokens(gaz)))
+    val maxTok = maxSurfaceTokens(gaz)
+    if (maxTok == 0) // empty gazetteer: well-typed empty result, not an NPE
+      return transcripts.filter(lit(false)).select(col("conv_id"),
+        col("turn_idx"), lit("").as("span"), lit("").as("surface"),
+        lit("").as("alias_iri"), lit(0.0d).as("jaccard"))
+    // the span explode is the dominant corpus-scale stage and feeds BOTH
+    // the signature path (via spanKeys) and the final join — materialize
+    // it once (same pattern as minhashPairs; reliable checkpoint on a
+    // cluster) instead of recomputing the n-gram chain twice.
+    // Span side deliberately uses ALL lengths 1..maxTok (no length-set
+    // pruning like the exact path): fuzzy matches may differ in token
+    // count from every gazetteer surface (typos add/drop separators).
+    val spans = ngramSpans(transcripts, maxTok).localCheckpoint(false)
     val spanKeys = spans.select(col("__ng")).distinct()
     val spanSh = spanKeys
       .select(col("__ng").as("doc_id"), explode(charShingles(col("__ng"), 3)).as("shingle"))

@@ -270,7 +270,8 @@ object AlgebraSuite {
         |         CAST(n_regionkey AS VARCHAR) AS r,
         |         replace(replace('about "' || n_name || '" ' || chr(92) || ' end',
         |                 chr(92), chr(92)||chr(92)),
-        |                 '"', chr(92)||'"') AS c
+        |                 '"', chr(92)||'"') AS c,
+        |         3 * (row_number() OVER (ORDER BY n_nationkey) - 1) AS g0
         |  FROM nation
         |)
         |SELECT graph, subj, pred, obj FROM (
@@ -294,6 +295,22 @@ object AlgebraSuite {
         |         '<http://example.org/comment>', '"second note"@en' FROM nat
         |  UNION ALL SELECT '<http://example.org/g' || k || '>', '_:b' || k,
         |         '<http://example.org/refersTo>', '<http://example.org/n' || k || '>' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '<http://example.org/n' || k || '>',
+        |         '<http://example.org/meta>', '_:gen' || CAST(g0 AS VARCHAR) FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 AS VARCHAR),
+        |         '<http://example.org/rank>',
+        |         '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 AS VARCHAR),
+        |         '<http://example.org/tags>', '_:gen' || CAST(g0 + 1 AS VARCHAR) FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 + 1 AS VARCHAR),
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>', '"a"' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 + 1 AS VARCHAR),
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>', '_:gen' || CAST(g0 + 2 AS VARCHAR) FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 + 2 AS VARCHAR),
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>', '"b"' FROM nat
+        |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 + 2 AS VARCHAR),
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>',
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>' FROM nat
         |)""".stripMargin,
     "rdf_roundtrip" ->
       s"""WITH ${SyntheticQuads.oracleCte}

@@ -58,19 +58,23 @@ object NgsOps {
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(false)
-    val Stride = 8589934592L // 2^33, monotonically_increasing_id stride
+    // pid/position recovered with exact integer bit ops (id = pid<<33 | pos);
+    // float division would only be exact below 2^53 and pmod costs a branch
     val counts = sorted
-      .groupBy((col("__mid") / Stride).cast("long").as("__pid"))
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    require(total <= Int.MaxValue,
+      s"rankByOrder: $total rows exceed the int rank range — widen rank to long")
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
     val offsetCol =
       if (offsets.isEmpty) lit(0L)
-      else element_at(typedLit(offsets), (col("__mid") / Stride).cast("long"))
+      else element_at(typedLit(offsets), shiftright(col("__mid"), 33))
     sorted.withColumn("rank",
-        (offsetCol + pmod(col("__mid"), lit(Stride)) + 1L).cast("int"))
+        (offsetCol + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L).cast("int"))
       .drop("__mid")
   }
 

@@ -104,7 +104,11 @@ object RdfIO {
       .take(200)
     def trigMarker(l: String) = {
       val t = l.trim
-      t.contains("{") || t.startsWith("@prefix") || t.startsWith("@base") ||
+      // '{' is only a graph-block marker when the line is NOT itself a
+      // valid N-Quads line — a '{' inside a quoted literal body (e.g. the
+      // xsd:json literals this engine emits) must not misroute the file
+      (t.contains("{") && parseLine(l) == null) ||
+        t.startsWith("@prefix") || t.startsWith("@base") ||
         t.toUpperCase.startsWith("PREFIX") || t.toUpperCase.startsWith("BASE")
     }
     val nquadsish = probe.nonEmpty &&
@@ -169,6 +173,11 @@ object RdfIO {
            |  ex:n$k ex:comment "$comment" , "second note"@en .
            |  _:b$k ex:refersTo ex:n$k .
            |}
+           |
+           |# anon bnode + collection: rows written in key order, so the
+           |# fresh _:genN labels are 3 per nation in row order (oracle
+           |# re-derives them via row_number)
+           |ex:n$k ex:meta [ ex:rank $k ; ex:tags ("a" "b") ] .
            |
            |""".stripMargin)
     }

@@ -13,9 +13,10 @@ import scala.collection.mutable.ArrayBuffer
   * (`<g> { … }` and `GRAPH <g> { … }`), default-graph statements, short and
   * long (triple-quoted) string literals with full escape decoding, numeric
   * (`xsd:integer`/`decimal`/`double`) and boolean shorthand, lang tags and
-  * `^^` datatypes, blank-node labels, and `#` comments. NOT covered (rare
-  * in data interchange, rejected loudly): anonymous blank nodes `[…]` and
-  * RDF collections `(…)`.
+  * `^^` datatypes, blank-node labels, anonymous blank nodes `[…]` (fresh
+  * deterministic `_:genN` labels in document order; nesting and
+  * subject-position `[…] .` included), RDF collections `(…)` as
+  * rdf:first/rest/nil chains, and `#` comments.
   *
   * Written from the W3C TriG/Turtle grammars — no reference code consulted
   * for the implementation.
@@ -53,6 +54,15 @@ object TrigParser {
     private var base = ""
     private val prefixes = scala.collection.mutable.HashMap[String, String]()
     private val out = ArrayBuffer[Quad4]()
+    // anonymous-bnode state: fresh labels are allocated in strict document
+    // order (deterministic — the oracle can re-derive them); curGraph is
+    // the graph the enclosing statement writes to, so `[…]`-internal
+    // triples land in the same graph as their parent statement
+    private var gen = 0
+    private var curGraph = defaultGraph
+    private var lastWasAnon = false
+
+    private def freshBnode(): String = { val l = "_:gen" + gen; gen += 1; l }
 
     def run(): Iterator[Quad4] = {
       skipWs()
@@ -80,9 +90,21 @@ object TrigParser {
       if (peek == c) i += 1 else fail(s"expected '$c'")
 
     private def keywordAhead(kw: String): Boolean = {
-      // case-insensitive keyword followed by a non-name char
+      // case-insensitive keyword followed by a non-name char (directives
+      // and GRAPH only — SPARQL-form TriG keywords are case-insensitive)
       if (i + kw.length > n) return false
       if (!s.regionMatches(true, i, kw, 0, kw.length)) return false
+      val after = i + kw.length
+      after >= n || !isLocalChar(s.charAt(after))
+    }
+
+    /** Case-SENSITIVE keyword: `a`, `true`, `false` are case-sensitive in
+      * the Turtle grammar — `A` between two terms or `TRUE` in object
+      * position must fail, not silently canonicalize.
+      */
+    private def keywordAheadCS(kw: String): Boolean = {
+      if (i + kw.length > n) return false
+      if (!s.regionMatches(false, i, kw, 0, kw.length)) return false
       val after = i + kw.length
       after >= n || !isLocalChar(s.charAt(after))
     }
@@ -98,7 +120,7 @@ object TrigParser {
         skipWs()
         val pfx = readPrefixLabel()
         skipWs()
-        val iri = readIriRef()
+        val iri = resolve(readIriRef()) // relative prefix IRIs resolve too
         prefixes(pfx) = iri
         skipWs()
         if (!sparqlForm) expect('.')
@@ -106,7 +128,7 @@ object TrigParser {
         val sparqlForm = peek != '@'
         i += (if (sparqlForm) "BASE".length else "@base".length)
         skipWs()
-        base = readIriRef()
+        base = resolve(readIriRef()) // a relative BASE resolves against the prior one
         skipWs()
         if (!sparqlForm) expect('.')
       } else if (keywordAhead("GRAPH")) {
@@ -120,9 +142,14 @@ object TrigParser {
       } else {
         // either `term { … }` (named graph block) or a triples statement
         val t = readTerm(subjectPos = true)
+        val anon = lastWasAnon
         skipWs()
         if (peek == '{') graphBlock(t)
-        else { predicateObjectList(defaultGraph, t); skipWs(); expect('.') }
+        else {
+          // `[ po-list ] .` — a bnode property list may be a whole statement
+          if (!(anon && peek == '.')) predicateObjectList(defaultGraph, t)
+          skipWs(); expect('.')
+        }
       }
     }
 
@@ -130,13 +157,18 @@ object TrigParser {
 
     private def graphBlock(g: String): Unit = {
       expect('{')
+      val prevGraph = curGraph
+      curGraph = g
       skipWs()
       while (peek != '}') {
         val subj = readTerm(subjectPos = true)
-        predicateObjectList(g, subj)
+        val anon = lastWasAnon
+        skipWs()
+        if (!(anon && (peek == '.' || peek == '}'))) predicateObjectList(g, subj)
         skipWs()
         if (peek == '.') { i += 1; skipWs() } // optional inside blocks
       }
+      curGraph = prevGraph
       expect('}')
       skipWs()
       if (peek == '.') i += 1 // tolerate `} .`
@@ -147,7 +179,7 @@ object TrigParser {
       while (more) {
         skipWs()
         val pred =
-          if (keywordAhead("a")) { i += 1; RdfType }
+          if (keywordAheadCS("a")) { i += 1; RdfType }
           else readTerm(subjectPos = false)
         var moreObjs = true
         while (moreObjs) {
@@ -160,33 +192,135 @@ object TrigParser {
         if (peek == ';') {
           i += 1
           skipWs()
-          // a ';' may be trailing (before '.' or '}')
-          if (peek == '.' || peek == '}' || peek == ';') more = false
+          // a ';' may be trailing (before '.', '}', or a closing ']')
+          if (peek == '.' || peek == '}' || peek == ';' || peek == ']') more = false
           else more = true
         } else more = false
+      }
+    }
+
+    private val RdfFirst = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+    private val RdfRest = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+    private val RdfNil = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+
+    /** `[ po-list? ]` — fresh bnode; inner triples go to the current graph. */
+    private def readAnonBnode(): String = {
+      expect('[')
+      val label = freshBnode()
+      skipWs()
+      if (peek != ']') predicateObjectList(curGraph, label)
+      skipWs()
+      expect(']')
+      label
+    }
+
+    /** `( item… )` — rdf:first/rest chain; `()` is rdf:nil. */
+    private def readCollection(): String = {
+      expect('(')
+      val items = ArrayBuffer[String]()
+      skipWs()
+      while (peek != ')') { items += readTerm(subjectPos = false); skipWs() }
+      i += 1 // ')'
+      if (items.isEmpty) RdfNil
+      else {
+        val nodes = items.map(_ => freshBnode())
+        items.indices.foreach { k =>
+          out += Quad4(curGraph, nodes(k), RdfFirst, items(k))
+          out += Quad4(curGraph, nodes(k), RdfRest,
+            if (k + 1 < nodes.length) nodes(k + 1) else RdfNil)
+        }
+        nodes.head
       }
     }
 
     /** Read one RDF term, returning its canonical N-Quads lexical form. */
     private def readTerm(subjectPos: Boolean): String = {
       skipWs()
+      lastWasAnon = false
       peek match {
         case '<' => "<" + resolve(readIriRef()) + ">"
         case '"' | '\'' => readLiteral()
         case '_' => readBnode()
-        case '[' => fail("anonymous blank nodes [] are not supported")
-        case '(' => fail("RDF collections () are not supported")
+        case '[' => val l = readAnonBnode(); lastWasAnon = true; l
+        case '(' => readCollection()
         case c if c.isDigit || c == '+' || c == '-' ||
             (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit) =>
           readNumber()
-        case _ if keywordAhead("true") => i += 4; "\"true\"^^" + XsdBoolean
-        case _ if keywordAhead("false") => i += 5; "\"false\"^^" + XsdBoolean
+        case _ if keywordAheadCS("true") => i += 4; "\"true\"^^" + XsdBoolean
+        case _ if keywordAheadCS("false") => i += 5; "\"false\"^^" + XsdBoolean
         case _ => readPrefixedName()
       }
     }
 
-    private def resolve(iri: String): String =
-      if (base.nonEmpty && !iri.contains(":")) base + iri else iri
+    /** RFC 3986 §5 reference resolution against `@base` (the reference
+      * resolves relative IRIs per RFC 3986 via Jena's IRIx; re-implemented
+      * from the RFC's merge + remove_dot_segments algorithms).
+      */
+    private def resolve(ref: String): String = {
+      if (hasScheme(ref)) return ref // absolute IRI
+      if (base.isEmpty) return ref   // no base declared: keep verbatim
+      val ci = base.indexOf(':')
+      if (ci <= 0 || !hasScheme(base)) fail(s"@base <$base> is not an absolute IRI")
+      val scheme = base.substring(0, ci)
+      val rest = base.substring(ci + 1)
+      val (authority, pathQF) =
+        if (rest.startsWith("//")) {
+          val pi = rest.indexWhere(c => c == '/' || c == '?' || c == '#', 2)
+          if (pi < 0) (rest, "") else (rest.take(pi), rest.substring(pi))
+        } else ("", rest)
+      val basePath = pathQF.takeWhile(c => c != '?' && c != '#')
+      if (ref.startsWith("//")) scheme + ":" + ref
+      else if (ref.startsWith("#"))
+        base.takeWhile(_ != '#') + ref // fragment replaces fragment
+      else if (ref.startsWith("?"))
+        scheme + ":" + authority + basePath + ref
+      else if (ref.startsWith("/"))
+        scheme + ":" + authority + removeDotSegments(ref)
+      else {
+        // merge (RFC 3986 §5.3): base path up to its last '/', then ref
+        val merged =
+          if (authority.nonEmpty && basePath.isEmpty) "/" + ref
+          else basePath.take(basePath.lastIndexOf('/') + 1) + ref
+        scheme + ":" + authority + removeDotSegments(merged)
+      }
+    }
+
+    private def hasScheme(iri: String): Boolean = {
+      if (iri.isEmpty || !iri.charAt(0).isLetter) return false
+      var j = 1
+      while (j < iri.length) {
+        val c = iri.charAt(j)
+        if (c == ':') return true
+        if (!(c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) return false
+        j += 1
+      }
+      false
+    }
+
+    /** remove_dot_segments, RFC 3986 §5.2.4 verbatim. */
+    private def removeDotSegments(path: String): String = {
+      var in = path
+      val out = new StringBuilder
+      def popOut(): Unit = {
+        val j = out.lastIndexOf("/")
+        out.setLength(if (j < 0) 0 else j)
+      }
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../")) { in = "/" + in.substring(4); popOut() }
+        else if (in == "/..") { in = "/"; popOut() }
+        else if (in == "." || in == "..") in = ""
+        else {
+          val j = in.indexOf('/', 1)
+          if (j < 0) { out.append(in); in = "" }
+          else { out.append(in.take(j)); in = in.substring(j) }
+        }
+      }
+      out.toString
+    }
 
     private def readIriRef(): String = {
       expect('<')

@@ -52,6 +52,24 @@ class KgSpec extends AnyFunSuite {
     fuzzy.unpersist()
   }
 
+  test("fuzzy mentions: span explode computed once (checkpointed), empty gazetteer is empty not NPE") {
+    import spark.implicits._
+    import graft.linking.Gazetteer
+    val t = Seq(("c1", 0, "user", "hello NATION_1 world",
+      null.asInstanceOf[String], java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // the n-gram chain (zip_with concat) must NOT appear in the final plan:
+    // spans are localCheckpoint'ed, so the dominant explode runs exactly once
+    val gaz = Gazetteer(spark, TestSpark.sf0001)
+    val plan = Gazetteer.fuzzyMentions(t, gaz).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("zip_with"), s"n-gram chain recomputed in final plan:\n$plan")
+    // empty gazetteer: typed empty frame, same schema
+    val emptyGaz = gaz.filter(org.apache.spark.sql.functions.lit(false))
+    val out = Gazetteer.fuzzyMentions(t, emptyGaz)
+    assert(out.columns.toSeq === Seq("conv_id", "turn_idx", "span", "surface", "alias_iri", "jaccard"))
+    assert(out.count() === 0)
+  }
+
   test("fused plan has exactly one transcript scan") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     spark.catalog.clearCache() // other suites may have cached the source

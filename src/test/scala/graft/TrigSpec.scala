@@ -63,9 +63,112 @@ class TrigSpec extends AnyFunSuite {
       "\"line1\\nline2\\ttab \\\"inner\\\" done\"")))
   }
 
-  test("unsupported constructs fail loudly; undeclared prefix fails") {
-    intercept[IllegalArgumentException](parse("<s> <p> [ <q> <o> ] ."))
+  test("@base resolves relative IRIs per RFC 3986") {
+    val doc =
+      """@base <http://ex.org/data/doc.ttl> .
+        |<item> <p> <other/item2> .
+        |</abs> <p> <../up> .
+        |<#frag> <p> <?q=1> .
+        |<//host2/x> <p> <http://absolute.org/keep> .
+        |""".stripMargin
+    val got = parse(doc)
+    assert(got.contains(("<dg>", "<http://ex.org/data/item>", "<http://ex.org/data/p>",
+      "<http://ex.org/data/other/item2>")))
+    assert(got.contains(("<dg>", "<http://ex.org/abs>", "<http://ex.org/data/p>",
+      "<http://ex.org/up>")))
+    assert(got.contains(("<dg>", "<http://ex.org/data/doc.ttl#frag>", "<http://ex.org/data/p>",
+      "<http://ex.org/data/doc.ttl?q=1>")))
+    assert(got.contains(("<dg>", "<http://host2/x>", "<http://ex.org/data/p>",
+      "<http://absolute.org/keep>")))
+  }
+
+  test("@base: slash-terminated base, relative re-BASE, relative prefix IRI") {
+    val doc =
+      """@base <http://ex.org/a/b/> .
+        |@prefix r: <rel/> .
+        |<x> <p> r:y .
+        |@base <c/> .
+        |<z> <p> <./w> .
+        |""".stripMargin
+    val got = parse(doc)
+    assert(got.contains(("<dg>", "<http://ex.org/a/b/x>", "<http://ex.org/a/b/p>",
+      "<http://ex.org/a/b/rel/y>")))
+    assert(got.contains(("<dg>", "<http://ex.org/a/b/c/z>", "<http://ex.org/a/b/c/p>",
+      "<http://ex.org/a/b/c/w>")))
+    // relative IRI with NO base in scope stays verbatim (legacy behavior)
+    assert(parse("<s> <p> <o> .").contains(("<dg>", "<s>", "<p>", "<o>")))
+  }
+
+  test("'a'/'true'/'false' are case-sensitive; directives stay case-insensitive") {
+    intercept[IllegalArgumentException](parse("<s> A <o> ."))
+    intercept[IllegalArgumentException](parse("<s> <p> TRUE ."))
+    intercept[IllegalArgumentException](parse("<s> <p> False ."))
+    val ok = parse("prefix ex: <http://x/>\nex:s a ex:T .")
+    assert(ok.contains(("<dg>", "<http://x/s>",
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<http://x/T>")))
+  }
+
+  test("readRdfAuto: '{' inside a literal does not misroute N-Quads to TriG") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto-brace")
+    val nq = dir.resolve("json.nq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nq),
+      "<s> <p> \"{\\\"k\\\":1}\"^^<http://www.w3.org/2001/XMLSchema#json> <g> .\n" +
+      "<s2> <p> \"plain { brace\" <g> .\n")
+    val got = RdfIO.readRdfAuto(spark, nq).collect()
+    assert(got.length === 2) // TriG reader would have failed on 4-term lines
+    assert(got.map(_.getString(1)).toSet === Set("<s>", "<s2>"))
+  }
+
+  test("malformed bnode/collection constructs fail loudly; undeclared prefix fails") {
+    intercept[IllegalArgumentException](parse("<s> <p> [ <q> <o> .")) // unclosed [
+    intercept[IllegalArgumentException](parse("<s> <p> (\"a\" ."))    // unclosed (
     intercept[IllegalArgumentException](parse("ex:s ex:p ex:o ."))
+  }
+
+  test("anonymous blank nodes: object, nested, subject-position, empty") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:meta [ ex:rank 1 ; ex:sub [ ex:deep "d" ] ] .
+        |[ ex:top "t" ] .
+        |ex:s ex:empty [] .
+        |ex:g1 { ex:a ex:m [ ex:inGraph true ] . }
+        |""".stripMargin
+    val got = parse(doc)
+    val E = "http://ex.org/"
+    // gen labels allocated in document order: gen0 = outer [..], gen1 =
+    // nested [..], gen2 = subject-position [..], gen3 = empty []
+    assert(got.contains(("<dg>", s"<${E}s>", s"<${E}meta>", "_:gen0")))
+    assert(got.contains(("<dg>", "_:gen0", s"<${E}rank>",
+      "\"1\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+    assert(got.contains(("<dg>", "_:gen0", s"<${E}sub>", "_:gen1")))
+    assert(got.contains(("<dg>", "_:gen1", s"<${E}deep>", "\"d\"")))
+    assert(got.contains(("<dg>", "_:gen2", s"<${E}top>", "\"t\"")))
+    assert(got.contains(("<dg>", s"<${E}s>", s"<${E}empty>", "_:gen3")))
+    // […] inside a named graph block emits into that graph
+    assert(got.contains((s"<${E}g1>", s"<${E}a>", s"<${E}m>", "_:gen4")))
+    assert(got.contains((s"<${E}g1>", "_:gen4", s"<${E}inGraph>",
+      "\"true\"^^<http://www.w3.org/2001/XMLSchema#boolean>")))
+    assert(got.size === 8)
+  }
+
+  test("collections: rdf:first/rest chains, empty list is rdf:nil") {
+    val R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:tags ("a" ex:b 3) .
+        |ex:s ex:none () .
+        |""".stripMargin
+    val got = parse(doc)
+    assert(got.contains(("<dg>", "<http://ex.org/s>", "<http://ex.org/tags>", "_:gen0")))
+    assert(got.contains(("<dg>", "_:gen0", s"<${R}first>", "\"a\"")))
+    assert(got.contains(("<dg>", "_:gen0", s"<${R}rest>", "_:gen1")))
+    assert(got.contains(("<dg>", "_:gen1", s"<${R}first>", "<http://ex.org/b>")))
+    assert(got.contains(("<dg>", "_:gen1", s"<${R}rest>", "_:gen2")))
+    assert(got.contains(("<dg>", "_:gen2", s"<${R}first>",
+      "\"3\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+    assert(got.contains(("<dg>", "_:gen2", s"<${R}rest>", s"<${R}nil>")))
+    assert(got.contains(("<dg>", "<http://ex.org/s>", "<http://ex.org/none>", s"<${R}nil>")))
+    assert(got.size === 8)
   }
 
   test("malformed documents fail loudly (no hangs, no silent drops)") {
@@ -137,7 +240,7 @@ class TrigSpec extends AnyFunSuite {
     RdfIO.writeTrigFixture(spark, TestSpark.sf0001, f)
     val df = RdfIO.readTrig(spark, f)
     val n = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet").count()
-    assert(df.count() === 8 * n) // 8 quads per nation row
+    assert(df.count() === 15 * n) // 15 quads per nation row (incl. [..] + (..))
     // gzip a copy: Hadoop codec path must yield identical quads
     val gz = dir.resolve("fix2.trig.gz")
     val out = new java.util.zip.GZIPOutputStream(

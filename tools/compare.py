@@ -14,8 +14,11 @@ for f in glob.glob(os.path.join(sfdir, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fail = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     pdir = os.path.join(outdir, name)
     if not os.path.isdir(pdir):
         print(f"MISSING spark output: {name}")
