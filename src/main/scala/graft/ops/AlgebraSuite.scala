@@ -58,6 +58,46 @@ object AlgebraSuite {
         Bgp.pattern(t, Right("t"), Left(s"<${P}role>"), Right("role")),
         Bgp.pattern(t, Right("t"), Left(s"<${P}tool>"), Right("tool")))
     }),
+    // --- SPARQL CONSTRUCT text with BGP WHERE (the reference's normal
+    // `integrate` query shape, SparqlIntegrateCmdImpls.java:337-345;
+    // example.sparql:23-37 matches BGPs against the dataset) -------------
+    "construct_bgp" -> ((s, dir) => {
+      // star + path shape with OPTIONAL and a term-comparison FILTER
+      val q =
+        """PREFIX p: <http://graft.io/p/>
+          |PREFIX ex: <http://ex.org/>
+          |CONSTRUCT { ?a ex:nextRole ?role . ?a ex:nextTool ?tool . }
+          |WHERE {
+          |  ?a p:next ?b .
+          |  ?b p:role ?role .
+          |  OPTIONAL { ?b p:tool ?tool . }
+          |  FILTER(?role != "assistant")
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseConstruct(q).run(trip(s, dir))
+    }),
+    "construct_bgp_union" -> ((s, dir) => {
+      val q =
+        """PREFIX p: <http://graft.io/p/>
+          |PREFIX ex: <http://ex.org/>
+          |CONSTRUCT { ?t ex:flag ?v . }
+          |WHERE {
+          |  { ?t p:role ?v . } UNION { ?t p:tool ?v . }
+          |  MINUS { ?t p:next ?x . }
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseConstruct(q).run(trip(s, dir))
+    }),
+    "construct_bgp_graph" -> ((s, dir) => {
+      // quad pattern (GRAPH ?g) + FILTER EXISTS, emitting into ?g
+      val q =
+        """PREFIX p: <http://graft.io/p/>
+          |PREFIX ex: <http://ex.org/>
+          |CONSTRUCT { GRAPH ?g { ?t ex:roleIn ?role . } }
+          |WHERE {
+          |  GRAPH ?g { ?t p:role ?role . }
+          |  FILTER EXISTS { ?t p:tool ?x . }
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseConstruct(q).run(trip(s, dir))
+    }),
     "csv_parse" -> ((s, dir) =>
       // csv:parse port: rows serialized as CSV lines, parsed back to typed
       // columns (reference: docs/examples/README.md:390-413)
@@ -221,6 +261,39 @@ object AlgebraSuite {
          |SELECT subj AS t, obj AS role, NULL AS tool FROM trip WHERE pred = '<${P}role>'
          |UNION ALL
          |SELECT subj, NULL, obj FROM trip WHERE pred = '<${P}tool>'""".stripMargin,
+    "construct_bgp" ->
+      s"""$tripCte,
+         |m AS (
+         |  SELECT a.subj AS s, r.obj AS role, t.obj AS tool
+         |  FROM trip a
+         |  JOIN trip r ON r.subj = a.obj AND r.pred = '<${P}role>'
+         |  LEFT JOIN trip t ON t.subj = a.obj AND t.pred = '<${P}tool>'
+         |  WHERE a.pred = '<${P}next>' AND r.obj <> '"assistant"'
+         |)
+         |SELECT s AS subj, '<http://ex.org/nextRole>' AS pred, role AS obj,
+         |       '<urn:x-arq:DefaultGraph>' AS graph FROM m
+         |UNION ALL
+         |SELECT s, '<http://ex.org/nextTool>', tool, '<urn:x-arq:DefaultGraph>'
+         |FROM m WHERE tool IS NOT NULL""".stripMargin,
+    "construct_bgp_union" ->
+      s"""$tripCte,
+         |u AS (
+         |  SELECT subj AS t, obj AS v FROM trip WHERE pred = '<${P}role>'
+         |  UNION ALL
+         |  SELECT subj, obj FROM trip WHERE pred = '<${P}tool>'
+         |)
+         |SELECT t AS subj, '<http://ex.org/flag>' AS pred, v AS obj,
+         |       '<urn:x-arq:DefaultGraph>' AS graph
+         |FROM u WHERE NOT EXISTS (SELECT 1 FROM trip n
+         |                         WHERE n.pred = '<${P}next>' AND n.subj = u.t)""".stripMargin,
+    "construct_bgp_graph" ->
+      s"""$tripCte
+         |SELECT r.subj AS subj, '<http://ex.org/roleIn>' AS pred, r.obj AS obj,
+         |       r.graph AS graph
+         |FROM trip r
+         |WHERE r.pred = '<${P}role>'
+         |  AND EXISTS (SELECT 1 FROM trip t
+         |              WHERE t.pred = '<${P}tool>' AND t.subj = r.subj)""".stripMargin,
     "csv_parse" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "csv_scan" ->

@@ -14,14 +14,28 @@ import org.apache.spark.sql.functions._
 object Bgp {
 
   /** One triple pattern: constants filter, variables project.
-    * `spec` maps position -> Left(constant) or Right(varName).
+    * Each position is Left(constant term) or Right(varName).
     */
   def pattern(triples: DataFrame,
       s: Either[String, String],
       p: Either[String, String],
-      o: Either[String, String]): DataFrame = {
-    val bind = Seq("subj" -> s, "pred" -> p, "obj" -> o)
-    val filtered = bind.foldLeft(triples) {
+      o: Either[String, String]): DataFrame =
+    bindPositions(triples, Seq("subj" -> s, "pred" -> p, "obj" -> o))
+
+  /** Quad pattern — a triple pattern inside `GRAPH g { … }` (SPARQL 1.1
+    * §13.3): the graph position filters/binds like any other.
+    */
+  def quadPattern(quads: DataFrame,
+      g: Either[String, String],
+      s: Either[String, String],
+      p: Either[String, String],
+      o: Either[String, String]): DataFrame =
+    bindPositions(quads,
+      Seq("graph" -> g, "subj" -> s, "pred" -> p, "obj" -> o))
+
+  private def bindPositions(df: DataFrame,
+      bind: Seq[(String, Either[String, String])]): DataFrame = {
+    val filtered = bind.foldLeft(df) {
       case (df, (c, Left(const))) => df.filter(col(c) === const)
       case (df, _) => df
     }

@@ -1,32 +1,51 @@
 package graft.rules
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.RdfTerms
+import graft.ops.Bgp
 
 /** SPARQL CONSTRUCT text → [[Rule]] compiler — the reference's front door
   * is "run this SPARQL statement text" (SparqlIntegrateCmdImpls.java:
   * 207,337-345); this makes the rule layer driveable by query text
   * instead of hand-built Scala.
   *
-  * Semantics follow `sbs map -s` (SbsCmdImpls.java:204-228): the incoming
-  * BINDING STREAM (a DataFrame, one var per column) REPLACES the query's
-  * WHERE pattern; the WHERE clause may add `BIND(expr AS ?v)` derived
-  * bindings and `FILTER(...)` conditions on top. A template triple with
-  * any unbound (NULL) term is suppressed, per SPARQL CONSTRUCT semantics
-  * (the compiled [[RuleCompiler]] already enforces this per triple).
+  * TWO WHERE modes, chosen by the query text itself:
+  *
+  * 1. '''Binding-stream mode''' (`sbs map` semantics, SbsCmdImpls.java:
+  *    204-228): a WHERE containing only `BIND`/`FILTER` runs against an
+  *    incoming binding stream (a DataFrame, one var per column) that
+  *    REPLACES the query's pattern.
+  * 2. '''BGP mode''' (the reference's normal `integrate` queries,
+  *    SparqlIntegrateCmdImpls.java:337-345; algebra at :673-677): a WHERE
+  *    containing triple patterns matches them against the input
+  *    triple/quad table via [[graft.ops.Bgp]] — conjunction = equi-join on
+  *    shared variables, `OPTIONAL` = left outer, `MINUS`/`FILTER NOT
+  *    EXISTS` = anti, `FILTER EXISTS` = semi, `{…} UNION {…}` = union,
+  *    `GRAPH g {…}` = quad patterns. Pattern variables hold canonical
+  *    N-Triples term strings; BIND/FILTER compose on top. Style note:
+  *    BIND/FILTER referencing a pattern variable must appear after the
+  *    patterns that bind it (standard SPARQL text order).
+  *
+  * A template triple with any unbound (NULL) term is suppressed, per
+  * SPARQL CONSTRUCT semantics (the compiled [[RuleCompiler]] already
+  * enforces this per triple).
   *
   * Grammar subset:
   *   PREFIX decls;
-  *   CONSTRUCT { tmpl… | GRAPH term { tmpl… } … }
-  *   WHERE { BIND(expr AS ?v)… FILTER(expr)… }
+  *   CONSTRUCT { tmpl… | GRAPH term { tmpl… } … }   (`;`/`,` lists ok)
+  *   WHERE { pattern… BIND(expr AS ?v)… FILTER(expr)… OPTIONAL {…}
+  *           {…} UNION {…}  MINUS {…}  FILTER [NOT] EXISTS {…}
+  *           GRAPH term {…} }
   * Expressions: ?var, "string", integer, IRIs (<…> or pfx:local),
   *   IRI(e), CONCAT(e…), STR(e), STRDT(e, iri), BOUND(?v), !e, e = e,
-  *   e && e.
+  *   e != e, e && e.
   *
-  * Everything compiles to Catalyst `Column`s at parse time — the macro
-  * model (SparqlIntegrateCmdImpls.java:584-605): no interpretation at
-  * runtime, plans stay in whole-stage codegen.
+  * Everything compiles to Catalyst `Column`s / DataFrame joins at parse
+  * time — the macro model (SparqlIntegrateCmdImpls.java:584-605): no
+  * interpretation at runtime, plans stay in whole-stage codegen and
+  * Catalyst reorders/broadcasts the pattern joins like any relational
+  * plan.
   */
 object ConstructParser {
 
@@ -37,7 +56,28 @@ object ConstructParser {
     */
   private final case class E(c: Column, term: Boolean)
 
-  def parse(text: String): Seq[Rule] = new P(text).query()
+  /** One parsed CONSTRUCT statement. `where` is Some(compiler) in BGP
+    * mode (input = a triple/quad DataFrame with columns subj/pred/obj
+    * [/graph]); None in binding-stream mode (input = the binding stream).
+    */
+  final case class ParsedConstruct(
+      rules: Seq[Rule],
+      where: Option[DataFrame => DataFrame]) {
+    def run(input: DataFrame): DataFrame =
+      RuleCompiler.compile(where.map(_(input)).getOrElse(input), rules)
+  }
+
+  def parseConstruct(text: String): ParsedConstruct = new P(text).query()
+
+  /** Binding-stream-mode parse (legacy API): fails loudly on a BGP WHERE
+    * (those need the quad-table input that [[ParsedConstruct.run]] takes).
+    */
+  def parse(text: String): Seq[Rule] = {
+    val q = parseConstruct(text)
+    require(q.where.isEmpty,
+      "query has triple patterns in WHERE: use parseConstruct(...).run(quads)")
+    q.rules
+  }
 
   /** `<env:VAR>` IRI substitution (SparqlIntegrateCmdImpls.java:196-207;
     * NodeEnvsubst in SparqlStmtProcessor.java:48): every `<env:NAME>` IRI
@@ -57,29 +97,42 @@ object ConstructParser {
   /** Parse a statement SEQUENCE (the reference's `.sparql` file model:
     * several CONSTRUCT statements in order, PREFIX declarations carrying
     * over across statements — SparqlScriptProcessor behavior, tested by
-    * the reference's namespace-test.sparql). Returns one rule set per
-    * statement; run them in order with [[RuleCompiler]] / `pipeline.Script`.
+    * the reference's namespace-test.sparql).
     */
-  def parseSequence(text: String): Seq[Seq[Rule]] = {
+  def parseConstructSequence(text: String): Seq[ParsedConstruct] = {
     val p = new P(text)
-    val out = scala.collection.mutable.ArrayBuffer[Seq[Rule]]()
+    val out = scala.collection.mutable.ArrayBuffer[ParsedConstruct]()
     while (p.hasMore) out += p.query(expectEnd = false)
     require(out.nonEmpty, "empty statement sequence")
     out.toSeq
   }
 
-  private final class P(s: String) {
+  /** Legacy binding-stream-mode sequence parse. */
+  def parseSequence(text: String): Seq[Seq[Rule]] =
+    parseConstructSequence(text).map { q =>
+      require(q.where.isEmpty,
+        "query has triple patterns in WHERE: use parseConstructSequence")
+      q.rules
+    }
+
+  private[rules] final class P(s: String) {
     private var i = 0
     private val n = s.length
     private val prefixes = scala.collection.mutable.HashMap[String, String]()
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
+    // BGP mode state: flips when the first triple pattern is parsed;
+    // bgpVarTerm maps every WHERE-bound variable to "holds a term?"
+    private var sawPattern = false
+    private val bgpVarTerm = scala.collection.mutable.LinkedHashMap[String, Boolean]()
 
     def hasMore: Boolean = { skipWs(); i < n }
 
-    def query(expectEnd: Boolean = true): Seq[Rule] = {
+    def query(expectEnd: Boolean = true): ParsedConstruct = {
       binds = scala.collection.mutable.LinkedHashMap[String, E]()
       filters = scala.collection.mutable.ArrayBuffer[Column]()
+      sawPattern = false
+      bgpVarTerm.clear()
       skipWs()
       while (kw("PREFIX")) {
         skipWs()
@@ -94,16 +147,33 @@ object ConstructParser {
       skipWs()
       if (!kw("WHERE")) fail("expected WHERE")
       skipWs()
-      whereBlock()
+      val els = groupBlock(graphCtx = None)
       skipWs()
       if (peek == ';') i += 1 // optional statement separator
       skipWs()
       if (expectEnd && i < n) fail("trailing input")
-      // resolve templates now that all BINDs are known
-      val where = filters.reduceOption(_ && _).getOrElse(lit(true))
-      Seq(Rule("construct", where, templates.map { case (st, pt, ot, gt) =>
-        TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
-      }))
+      if (!sawPattern) {
+        // binding-stream mode: WHERE may only hold BIND/FILTER
+        els.foreach {
+          case _: BindE => ()
+          case FilterE(c) => filters += c
+          case other => fail(s"$other requires triple patterns in WHERE " +
+            "(binding-stream mode allows only BIND and FILTER)")
+        }
+        val where = filters.reduceOption(_ && _).getOrElse(lit(true))
+        ParsedConstruct(Seq(Rule("construct", where,
+          templates.map { case (st, pt, ot, gt) =>
+            TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
+          })), None)
+      } else {
+        // BGP mode: the where-compiler turns the input quad table into a
+        // binding frame; FILTERs live inside the group compilation
+        val rules = Seq(Rule("construct", lit(true),
+          templates.map { case (st, pt, ot, gt) =>
+            TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
+          }))
+        ParsedConstruct(rules, Some(quads => compileGroup(els, quads)))
+      }
     }
 
     // ---------------------------------------------------------- templates
@@ -127,14 +197,12 @@ object ConstructParser {
           val g = tok()
           skipWs(); expect('{'); skipWs()
           while (peek != '}') {
-            val (a, b, c) = tripleTail()
-            out += ((a, b, c, g))
+            tripleLines().foreach { case (a, b, c) => out += ((a, b, c, g)) }
             skipWs()
           }
           expect('}')
         } else {
-          val (a, b, c) = tripleTail()
-          out += ((a, b, c, DefaultG))
+          tripleLines().foreach { case (a, b, c) => out += ((a, b, c, DefaultG)) }
         }
         skipWs()
       }
@@ -142,13 +210,30 @@ object ConstructParser {
       out.toSeq
     }
 
-    private def tripleTail(): (Tok, Tok, Tok) = {
-      val a = tok(); skipWs()
-      val b = if (kw("a")) IriT(RdfTerms.RdfType) else tok()
-      skipWs()
-      val c = tok(); skipWs()
-      if (peek == '.') i += 1
-      (a, b, c)
+    /** `subj pred obj (',' obj)* (';' pred obj…)* '.'?` — one triples
+      * statement with predicate/object lists, shared by templates and
+      * WHERE patterns (Turtle/SPARQL TriplesBlock shape).
+      */
+    private def tripleLines(): Seq[(Tok, Tok, Tok)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Tok, Tok, Tok)]()
+      val subj = tok(); skipWs()
+      var morePred = true
+      while (morePred) {
+        val p = if (kwCS("a")) IriT(RdfTerms.RdfType) else tok()
+        skipWs()
+        var moreObj = true
+        while (moreObj) {
+          val o = tok(); skipWs()
+          out += ((subj, p, o))
+          if (peek == ',') { i += 1; skipWs() } else moreObj = false
+        }
+        if (peek == ';') {
+          i += 1; skipWs()
+          if (peek == '.' || peek == '}') morePred = false // trailing ';'
+        } else morePred = false
+      }
+      if (peek == '.') { i += 1; skipWs() }
+      out.toSeq
     }
 
     private def tok(): Tok = {
@@ -168,11 +253,17 @@ object ConstructParser {
       case StrT(v) => lit("\"" + TrigEscape(v) + "\"")
       case NumT(lex) =>
         lit("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
-      case VarT(v) => binds.get(v) match {
-        case Some(E(c, true)) => c
-        case Some(E(c, false)) => RdfTerms.strLit(c.cast("string"))
-        case None => RdfTerms.strLit(col(v).cast("string"))
-      }
+      case VarT(v) =>
+        if (sawPattern) bgpVarTerm.get(v) match {
+          case Some(true) => col(v) // pattern var: already a term
+          case Some(false) => RdfTerms.strLit(col(v).cast("string"))
+          case None => fail(s"template variable ?$v is bound by no pattern or BIND")
+        }
+        else binds.get(v) match {
+          case Some(E(c, true)) => c
+          case Some(E(c, false)) => RdfTerms.strLit(c.cast("string"))
+          case None => RdfTerms.strLit(col(v).cast("string"))
+        }
     }
 
     private def TrigEscape(v: String): String =
@@ -184,8 +275,22 @@ object ConstructParser {
 
     // -------------------------------------------------------------- where
 
-    private def whereBlock(): Unit = {
+    private sealed trait WhereEl
+    private case class TpE(g: Option[Tok], s: Tok, p: Tok, o: Tok) extends WhereEl
+    private case class GroupE(els: Seq[WhereEl]) extends WhereEl
+    private case class UnionE(groups: Seq[Seq[WhereEl]]) extends WhereEl
+    private case class OptionalE(els: Seq[WhereEl]) extends WhereEl
+    private case class MinusE(els: Seq[WhereEl]) extends WhereEl
+    private case class ExistsE(els: Seq[WhereEl], negated: Boolean) extends WhereEl
+    private case class BindE(v: String, e: E) extends WhereEl
+    private case class FilterE(c: Column) extends WhereEl
+
+    /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
+      * `GRAPH term` token, threaded into each contained triple pattern.
+      */
+    private def groupBlock(graphCtx: Option[Tok]): Seq[WhereEl] = {
       expect('{')
+      val out = scala.collection.mutable.ArrayBuffer[WhereEl]()
       skipWs()
       while (peek != '}') {
         if (kw("BIND")) {
@@ -196,19 +301,117 @@ object ConstructParser {
           skipWs()
           val v = varName()
           skipWs(); expect(')')
-          binds(v) = e
+          out += BindE(v, e)
+          if (sawPattern) bgpVarTerm(v) = e.term else binds(v) = e
         } else if (kw("FILTER")) {
-          skipWs(); expect('(')
-          filters += boolOf(expr())
-          skipWs(); expect(')')
-        } else fail("expected BIND or FILTER (the binding stream replaces the pattern)")
+          skipWs()
+          if (kw("NOT")) {
+            skipWs()
+            if (!kw("EXISTS")) fail("expected EXISTS after FILTER NOT")
+            skipWs()
+            out += ExistsE(groupBlock(graphCtx), negated = true)
+          } else if (kw("EXISTS")) {
+            skipWs()
+            out += ExistsE(groupBlock(graphCtx), negated = false)
+          } else {
+            expect('(')
+            out += FilterE(expr().c)
+            skipWs(); expect(')')
+          }
+        } else if (kw("OPTIONAL")) {
+          skipWs()
+          out += OptionalE(groupBlock(graphCtx))
+        } else if (kw("MINUS")) {
+          skipWs()
+          out += MinusE(groupBlock(graphCtx))
+        } else if (kw("GRAPH")) {
+          skipWs()
+          val g = tok()
+          g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
+          skipWs()
+          out += GroupE(groupBlock(Some(g)))
+        } else if (peek == '{') {
+          val first = groupBlock(graphCtx)
+          skipWs()
+          var gs = List(first)
+          while (kw("UNION")) {
+            skipWs()
+            gs = gs :+ groupBlock(graphCtx)
+            skipWs()
+          }
+          out += (if (gs.size == 1) GroupE(first) else UnionE(gs))
+        } else {
+          // triple pattern(s) — flips the statement into BGP mode
+          if (!sawPattern) {
+            sawPattern = true
+            // BINDs parsed before the first pattern migrate to BGP vars
+            binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
+          }
+          tripleLines().foreach { case (a, b, c) =>
+            out += TpE(graphCtx, a, b, c)
+            Seq(a, b, c).foreach {
+              case VarT(v) => bgpVarTerm(v) = true
+              case _ => ()
+            }
+          }
+        }
         skipWs()
         if (peek == '.') { i += 1; skipWs() }
       }
       expect('}')
+      out.toSeq
     }
 
-    private def boolOf(e: E): Column = e.c
+    /** Compile a group against the quad/triple table: patterns join on
+      * shared vars (Catalyst reorders/broadcasts), OPTIONAL = left outer,
+      * MINUS / FILTER NOT EXISTS = anti, FILTER EXISTS = semi, UNION =
+      * union-by-name with NULLs for disjoint vars, BIND = withColumn,
+      * FILTER = post-group predicate (SPARQL §8: filters apply to the
+      * whole group regardless of position).
+      */
+    private def compileGroup(els: Seq[WhereEl], quads: DataFrame): DataFrame = {
+      var acc: DataFrame = null
+      def joinIn(df: DataFrame): Unit =
+        acc = if (acc == null) df else Bgp.join(acc, df)
+      val conds = scala.collection.mutable.ArrayBuffer[Column]()
+      els.foreach {
+        case TpE(g, a, b, c) =>
+          joinIn(g match {
+            case Some(gt) =>
+              Bgp.quadPattern(quads, specOf(gt), specOf(a), specOf(b), specOf(c))
+            case None => Bgp.pattern(quads, specOf(a), specOf(b), specOf(c))
+          })
+        case GroupE(inner) => joinIn(compileGroup(inner, quads))
+        case UnionE(gs) => joinIn(gs.map(compileGroup(_, quads)).reduce(Bgp.union))
+        case OptionalE(inner) =>
+          require(acc != null, "OPTIONAL with no preceding pattern")
+          acc = Bgp.optional(acc, compileGroup(inner, quads))
+        case MinusE(inner) =>
+          require(acc != null, "MINUS with no preceding pattern")
+          acc = Bgp.minus(acc, compileGroup(inner, quads))
+        case ExistsE(inner, neg) =>
+          require(acc != null, "FILTER EXISTS with no preceding pattern")
+          val sub = compileGroup(inner, quads)
+          acc = if (neg) Bgp.minus(acc, sub) else Bgp.exists(acc, sub)
+        case BindE(v, e) =>
+          require(acc != null, "BIND before any pattern in a BGP group")
+          acc = acc.withColumn(v, e.c)
+        case FilterE(c) => conds += c
+      }
+      require(acc != null, "empty group pattern")
+      conds.foldLeft(acc)(_ filter _)
+    }
+
+    /** Pattern-position spec: variables project, constants filter (as
+      * canonical term strings, matching the quad table's encoding).
+      */
+    private def specOf(t: Tok): Either[String, String] = t match {
+      case VarT(v) => Right(v)
+      case IriT(iri) => Left("<" + iri + ">")
+      case StrT(v) => Left("\"" + TrigEscape(v) + "\"")
+      case NumT(lex) =>
+        Left("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    }
 
     // -------------------------------------------------------- expressions
 
@@ -224,14 +427,25 @@ object ConstructParser {
       left
     }
 
+    /** `=`/`!=` compare RDF terms: when exactly one side is already a
+      * term, the raw side is promoted to its plain-literal term form so
+      * `?role != "system"` works against pattern-bound term columns.
+      */
     private def cmp(): E = {
       val left = unary()
       skipWs()
-      if (peek == '=') { i += 1; val r = unary(); E(left.c === r.c, term = false) }
-      else if (peek == '!' && i + 1 < n && s.charAt(i + 1) == '=') {
-        i += 2; val r = unary(); E(left.c =!= r.c, term = false)
+      def sides(r: E): (Column, Column) =
+        if (left.term == r.term) (left.c, r.c)
+        else (termCol(left), termCol(r))
+      if (peek == '=') {
+        i += 1; val r = unary(); val (a, b) = sides(r); E(a === b, term = false)
+      } else if (peek == '!' && i + 1 < n && s.charAt(i + 1) == '=') {
+        i += 2; val r = unary(); val (a, b) = sides(r); E(a =!= b, term = false)
       } else left
     }
+
+    private def termCol(e: E): Column =
+      if (e.term) e.c else RdfTerms.strLit(e.c.cast("string"))
 
     private def unary(): E = {
       skipWs()
@@ -244,7 +458,10 @@ object ConstructParser {
       peek match {
         case '?' =>
           val v = varName()
-          binds.getOrElse(v, E(col(v), term = false))
+          if (sawPattern)
+            bgpVarTerm.get(v).map(t => E(col(v), t))
+              .getOrElse(E(col(v), term = false))
+          else binds.getOrElse(v, E(col(v), term = false))
         case '"' => E(lit(stringLit()), term = false)
         case '<' => E(lit("<" + iriRef() + ">"), term = true)
         case '(' => i += 1; val e = expr(); skipWs(); expect(')'); e
@@ -275,11 +492,21 @@ object ConstructParser {
       }
     }
 
-    /** Raw string value of an expression (IRIs keep their <…>-free form
-      * only when built by IRI(); terms passed to CONCAT/STR are used as
-      * their string value).
+    /** Raw string value of an expression. For term-typed values (pattern
+      * variables, IRI() results) this is SPARQL `STR()`: IRIs drop their
+      * `<…>`, literals their quotes and `@lang`/`^^<dt>` suffix (escape
+      * sequences inside the literal body stay escaped — acceptable for
+      * the machine-generated terms this engine produces).
       */
-    private def raw(e: E): Column = e.c.cast("string")
+    private def raw(e: E): Column =
+      if (!e.term) e.c.cast("string")
+      else {
+        val c = e.c.cast("string")
+        when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
+          .when(c.startsWith("\""),
+            regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
+          .otherwise(c)
+      }
 
     private def argList(): Seq[E] = {
       skipWs(); expect('(')
@@ -316,8 +543,13 @@ object ConstructParser {
     private def expect(c: Char): Unit =
       if (peek == c) i += 1 else fail(s"expected '$c'")
 
-    private def kw(w: String): Boolean = {
-      if (i + w.length > n || !s.regionMatches(true, i, w, 0, w.length)) return false
+    private def kw(w: String): Boolean = kwImpl(w, ignoreCase = true)
+
+    /** Case-sensitive keyword (`a` in predicate position, SPARQL §19.8). */
+    private def kwCS(w: String): Boolean = kwImpl(w, ignoreCase = false)
+
+    private def kwImpl(w: String, ignoreCase: Boolean): Boolean = {
+      if (i + w.length > n || !s.regionMatches(ignoreCase, i, w, 0, w.length)) return false
       val after = i + w.length
       val ok = after >= n || !(Character.isLetterOrDigit(s.charAt(after)) ||
         s.charAt(after) == '_' || s.charAt(after) == ':')

@@ -73,6 +73,66 @@ class RulesSpec extends AnyFunSuite {
       ConstructParser.parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
   }
 
+  test("BGP text WHERE equals the hand-built Bgp composition") {
+    import graft.rules.{ConstructParser, Rule, RuleCompiler, TripleTemplate}
+    import graft.ops.Bgp
+    val t = TranscriptRules.triples(Transcripts(spark, TestSpark.sf0001))
+    val P = "http://graft.io/p/"
+    val q =
+      s"""PREFIX p: <$P>
+         |PREFIX ex: <http://ex.org/>
+         |CONSTRUCT { ?a ex:nextRole ?role . ?a ex:nextTool ?tool . }
+         |WHERE {
+         |  ?a p:next ?b .
+         |  ?b p:role ?role .
+         |  OPTIONAL { ?b p:tool ?tool . }
+         |  FILTER(?role != "assistant")
+         |}""".stripMargin
+    val viaText = ConstructParser.parseConstruct(q).run(t)
+    val bindings = Bgp.optional(
+        Bgp.join(
+          Bgp.pattern(t, Right("a"), Left(s"<${P}next>"), Right("b")),
+          Bgp.pattern(t, Right("b"), Left(s"<${P}role>"), Right("role"))),
+        Bgp.pattern(t, Right("b"), Left(s"<${P}tool>"), Right("tool")))
+      .filter($"role" =!= "\"assistant\"")
+    val G = lit("<urn:x-arq:DefaultGraph>")
+    val hand = RuleCompiler.compile(bindings, Seq(Rule("r", lit(true), Seq(
+      TripleTemplate($"a", lit("<http://ex.org/nextRole>"), $"role", G),
+      TripleTemplate($"a", lit("<http://ex.org/nextTool>"), $"tool", G)))))
+    assert(viaText.count() === hand.count())
+    assert(viaText.exceptAll(hand).count() === 0)
+    assert(hand.exceptAll(viaText).count() === 0)
+    // legacy parse() refuses a BGP WHERE loudly
+    intercept[IllegalArgumentException](ConstructParser.parse(q))
+  }
+
+  test("BGP text: UNION/MINUS/EXISTS/GRAPH shapes compile and misuse fails") {
+    import graft.rules.ConstructParser
+    val t = TranscriptRules.triples(Transcripts(spark, TestSpark.sf0001))
+    val P = "http://graft.io/p/"
+    // GRAPH var binds the graph position; EXISTS is a semi join
+    val g =
+      s"""PREFIX p: <$P>
+         |PREFIX ex: <http://ex.org/>
+         |CONSTRUCT { GRAPH ?g { ?t ex:roleIn ?role . } }
+         |WHERE { GRAPH ?g { ?t p:role ?role . }
+         |        FILTER EXISTS { ?t p:tool ?x . } }""".stripMargin
+    val out = ConstructParser.parseConstruct(g).run(t)
+    val expected = t.filter($"pred" === s"<${P}role>").alias("r")
+      .join(t.filter($"pred" === s"<${P}tool>").select($"subj").distinct().alias("x"),
+        $"r.subj" === $"x.subj", "left_semi")
+      .count()
+    assert(out.count() === expected)
+    // graph var flows into the emitted quad
+    assert(out.filter(!$"graph".startsWith("<http://graft.io/g/")).count() === 0)
+    // OPTIONAL with no preceding pattern fails loudly at run
+    val bad = ConstructParser.parseConstruct(
+      s"""PREFIX p: <$P>
+         |CONSTRUCT { ?t <urn:p> ?x . }
+         |WHERE { OPTIONAL { ?t p:tool ?x . } }""".stripMargin)
+    intercept[IllegalArgumentException](bad.run(t))
+  }
+
   test("statement sequence parses with prefix carry-over across statements") {
     import graft.rules.{ConstructParser, RuleCompiler}
     val seq =
