@@ -98,6 +98,15 @@ object AlgebraSuite {
           |}""".stripMargin
       graft.rules.ConstructParser.parseConstruct(q).run(trip(s, dir))
     }),
+    // SELECT text over a BGP WHERE: star join + GROUP BY from query text
+    "select_bgp_text" -> ((s, dir) => {
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?role (COUNT(*) AS ?n)
+           |WHERE { ?t p:role ?role . ?t p:tool ?tool . }
+           |GROUP BY ?role ORDER BY ?role""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "csv_parse" -> ((s, dir) =>
       // csv:parse port: rows serialized as CSV lines, parsed back to typed
       // columns (reference: docs/examples/README.md:390-413)
@@ -220,12 +229,54 @@ object AlgebraSuite {
         s"/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       RdfIO.writeNQuads(SyntheticQuads(s, dir).drop("idx"), path)
       RdfIO.readNQuads(s, path)
+    }),
+    // --- whole-script execution from text: LOAD + updates + query over
+    // one mutable dataset (docs/integrate/index.md:17-60) ----------------
+    "script_update_text" -> ((s, dir) => {
+      graft.pipeline.Script.runSparql(s, scriptText(s, dir)).dataset
+    }),
+    "script_query_text" -> ((s, dir) => {
+      graft.pipeline.Script.runSparql(s, scriptText(s, dir)).lastQuery.get
     })
   )
+
+  /** 6-statement mixed script over the TriG fixture: LOAD, INSERT DATA,
+    * DELETE DATA, INSERT…WHERE, DELETE WHERE, final CONSTRUCT query.
+    */
+  private def scriptText(s: SparkSession, dir: String): String = {
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+    RdfIO.writeTrigFixture(s, dir, path)
+    s"""PREFIX ex: <http://example.org/>
+       |LOAD <file://$path> ;
+       |INSERT DATA { GRAPH <urn:marker> { <urn:s> <urn:p> "done" . } } ;
+       |DELETE DATA { ex:n0 ex:key 0 . } ;
+       |INSERT { GRAPH <urn:derived> { ?n ex:inRegion ?r . } }
+       |WHERE { ?n ex:region ?r . } ;
+       |DELETE WHERE { ?s ex:active ?x . } ;
+       |CONSTRUCT { GRAPH <urn:q> { ?n ex:namedAs ?nm . } }
+       |WHERE { ?n ex:name ?nm . }
+       |""".stripMargin
+  }
 
   private def tripCte =
     s"""WITH ${Transcripts.oracleCte},
        |trip AS (${TranscriptRules.oracleSelect})""".stripMargin
+
+  /** DuckDB re-derivation of [[RdfIO.writeTrigFixture]]'s quads — shared
+    * by the rdf_trig_scan oracle and the script_* oracles (which LOAD the
+    * same fixture).
+    */
+  private val trigNatCte =
+    """nat AS (
+      |  SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name,
+      |         CAST(n_regionkey AS VARCHAR) AS r,
+      |         replace(replace('about "' || n_name || '" ' || chr(92) || ' end',
+      |                 chr(92), chr(92)||chr(92)),
+      |                 '"', chr(92)||'"') AS c,
+      |         3 * (row_number() OVER (ORDER BY n_nationkey) - 1) AS g0
+      |  FROM nation
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bgp_star_join" ->
@@ -294,6 +345,12 @@ object AlgebraSuite {
          |WHERE r.pred = '<${P}role>'
          |  AND EXISTS (SELECT 1 FROM trip t
          |              WHERE t.pred = '<${P}tool>' AND t.subj = r.subj)""".stripMargin,
+    "select_bgp_text" ->
+      s"""$tripCte
+         |SELECT a.obj AS role, count(*) AS n
+         |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
+         |WHERE a.pred = '<${P}role>'
+         |GROUP BY a.obj""".stripMargin,
     "csv_parse" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "csv_scan" ->
@@ -337,17 +394,40 @@ object AlgebraSuite {
         |       '"' || c_name || '"' AS obj,
         |       '<urn:graft:out>' AS graph
         |FROM customer""".stripMargin,
-    "rdf_trig_scan" ->
-      """WITH nat AS (
-        |  SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name,
-        |         CAST(n_regionkey AS VARCHAR) AS r,
-        |         replace(replace('about "' || n_name || '" ' || chr(92) || ' end',
-        |                 chr(92), chr(92)||chr(92)),
-        |                 '"', chr(92)||'"') AS c,
-        |         3 * (row_number() OVER (ORDER BY n_nationkey) - 1) AS g0
-        |  FROM nation
-        |)
-        |SELECT graph, subj, pred, obj FROM (
+    "rdf_trig_scan" -> s"WITH $trigNatCte\n$trigFixtureSelect"
+  ) ++ tailOracles ++ scriptOracles
+
+  /** Oracles for the whole-script driver queries: compose the fixture
+    * SELECT with each update statement's relational effect, stage by
+    * stage, exactly as [[graft.pipeline.Script.runSparql]] applies them.
+    */
+  private def scriptOracles: Map[String, String] = Map(
+    "script_update_text" ->
+      s"""WITH $trigNatCte,
+         |fixture AS ($trigFixtureSelect)
+         |SELECT graph, subj, pred, obj FROM fixture
+         |WHERE NOT (graph = '<urn:x-arq:DefaultGraph>'
+         |           AND pred = '<http://example.org/active>')
+         |  AND NOT (graph = '<urn:x-arq:DefaultGraph>'
+         |           AND subj = '<http://example.org/n0>'
+         |           AND pred = '<http://example.org/key>'
+         |           AND obj = '"0"^^<http://www.w3.org/2001/XMLSchema#integer>')
+         |UNION ALL
+         |SELECT '<urn:marker>', '<urn:s>', '<urn:p>', '"done"'
+         |UNION ALL
+         |SELECT '<urn:derived>', subj, '<http://example.org/inRegion>', obj
+         |FROM fixture WHERE pred = '<http://example.org/region>'""".stripMargin,
+    "script_query_text" ->
+      s"""WITH $trigNatCte,
+         |fixture AS ($trigFixtureSelect)
+         |SELECT '<urn:q>' AS graph, subj, '<http://example.org/namedAs>' AS pred,
+         |       obj
+         |FROM fixture WHERE pred = '<http://example.org/name>'""".stripMargin
+  )
+
+  /** The fixture's quads as a SELECT over [[trigNatCte]]. */
+  private lazy val trigFixtureSelect =
+      """SELECT graph, subj, pred, obj FROM (
         |  SELECT '<urn:x-arq:DefaultGraph>' AS graph,
         |         '<http://example.org/n' || k || '>' AS subj,
         |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
@@ -384,7 +464,9 @@ object AlgebraSuite {
         |  UNION ALL SELECT '<urn:x-arq:DefaultGraph>', '_:gen' || CAST(g0 + 2 AS VARCHAR),
         |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>',
         |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>' FROM nat
-        |)""".stripMargin,
+        |)""".stripMargin
+
+  private lazy val tailOracles: Map[String, String] = Map(
     "rdf_roundtrip" ->
       s"""WITH ${SyntheticQuads.oracleCte}
          |SELECT graph, subj, pred, obj FROM quads""".stripMargin,

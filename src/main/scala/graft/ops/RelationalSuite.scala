@@ -96,6 +96,38 @@ object RelationalSuite {
       SbsOps.mapGroupBy(events(s, dir), Seq(col("event_type")),
         Seq(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd_users"),
           round(sum(col("value")), 2).as("sum_value")))),
+    // the reference's SELECT short form, driven from TEXT (SbsCmdImpls.
+    // java:210-217, README-SBS.md) — same oracle as sbs_groupby
+    "sbs_select_text" -> ((s, dir) => {
+      val q =
+        """SELECT ?event_type (COUNT(*) AS ?n) (COUNT(DISTINCT ?user_id) AS ?nd_users)
+          |       (ROUND(SUM(?value), 2) AS ?sum_value)
+          |WHERE {}
+          |GROUP BY ?event_type ORDER BY DESC(?n)""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(events(s, dir))
+    }),
+    // extended aggregate battery from text: AVG/MIN/MAX/SAMPLE/GROUP_CONCAT
+    // (SURVEY §2.5; SAMPLE -> min and GROUP_CONCAT sorted for determinism)
+    "sbs_agg_full" -> ((s, dir) => {
+      val q =
+        """SELECT ?event_type (ROUND(AVG(?value), 4) AS ?avg_v)
+          |       (ROUND(MIN(?value), 2) AS ?min_v) (ROUND(MAX(?value), 2) AS ?max_v)
+          |       (SAMPLE(?utag) AS ?first_user)
+          |       (GROUP_CONCAT(DISTINCT ?utag; SEPARATOR="|") AS ?users)
+          |WHERE { BIND(STR(?user_id) AS ?utag) }
+          |GROUP BY ?event_type""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(events(s, dir))
+    }),
+    // plain (non-aggregating) SELECT from text: BIND + FILTER + ORDER BY +
+    // LIMIT/OFFSET over a binding stream
+    "sbs_select_proj" -> ((s, dir) => {
+      val q =
+        """SELECT ?event_id ?loud
+          |WHERE { BIND(CONCAT(?event_type, "!") AS ?loud)
+          |        FILTER(?event_type = "purchase") }
+          |ORDER BY ?event_id LIMIT 100 OFFSET 10""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(events(s, dir))
+    }),
     "sbs_union_headers" -> ((s, dir) => {
       val e = events(s, dir)
       SbsOps.unionHeaders(Seq(
@@ -270,6 +302,23 @@ object RelationalSuite {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_users,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "sbs_select_text" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sbs_agg_full" ->
+      """SELECT event_type,
+        |       round(avg(value), 4) AS avg_v,
+        |       round(min(value), 2) AS min_v,
+        |       round(max(value), 2) AS max_v,
+        |       min(CAST(user_id AS VARCHAR)) AS first_user,
+        |       string_agg(DISTINCT CAST(user_id AS VARCHAR), '|'
+        |                  ORDER BY CAST(user_id AS VARCHAR)) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sbs_select_proj" ->
+      """SELECT event_id, event_type || '!' AS loud
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id LIMIT 100 OFFSET 10""".stripMargin,
     "sbs_union_headers" ->
       """SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'signup'
         |UNION ALL

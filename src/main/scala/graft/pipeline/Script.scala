@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Ordered statement-sequence runner — the reference's `integrate` model:
   * a `.sparql` file is an ordered list of queries/updates sharing ONE
@@ -44,4 +45,57 @@ object Script {
     graft.rules.ConstructParser.parseSequence(text)
       .map(rules => graft.rules.RuleCompiler.compile(bindings, rules))
       .reduce(_ unionByName _)
+
+  /** Result of a whole-script run: the final dataset state and the last
+    * query statement's output (if the script had one).
+    */
+  final case class SparqlRun(dataset: DataFrame, lastQuery: Option[DataFrame])
+
+  /** Execute a full `.sparql` script TEXT — the reference's end-to-end
+    * `integrate` entry (docs/integrate/index.md:17-60): LOAD / INSERT
+    * DATA / DELETE DATA / INSERT…WHERE / DELETE…WHERE / CLEAR GRAPH
+    * mutate one quad dataset in statement order; CONSTRUCT/SELECT
+    * statements query the state as of their position.
+    *
+    * Spark-first: the dataset is a quad DataFrame; every update
+    * materializes eagerly (`localCheckpoint` — the reference applies
+    * updates eagerly too, SparqlIntegrateCmdImpls.java:363-379; swap for
+    * a reliable checkpoint / staged Iceberg table on a cluster so the
+    * state survives executor loss). DELETEs are anti-joins on the quad
+    * key, never row-at-a-time.
+    */
+  def runSparql(spark: SparkSession, text: String,
+      initial: Option[DataFrame] = None): SparqlRun = {
+    import graft.rules.ConstructParser._
+    import spark.implicits._
+    val QuadCols = Seq("graph", "subj", "pred", "obj")
+    def quadsDf(rows: Seq[(String, String, String, String)]): DataFrame =
+      rows.toDF(QuadCols: _*)
+    def anti(ds: DataFrame, del: DataFrame): DataFrame =
+      ds.join(del.select(QuadCols.map(col): _*), QuadCols, "left_anti")
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    var ds = initial.getOrElse(
+      Seq.empty[(String, String, String, String)].toDF(QuadCols: _*))
+    var last: Option[DataFrame] = None
+    parseScript(text).foreach {
+      case LoadStmt(path, g) =>
+        val loaded = graft.sources.RdfIO.readRdfAuto(spark, path)
+        ds = ckpt(ds.unionByName(
+          g.fold(loaded)(gi => loaded.withColumn("graph", lit(gi)))))
+      case InsertDataStmt(rows) =>
+        ds = ckpt(ds.unionByName(quadsDf(rows)))
+      case DeleteDataStmt(rows) =>
+        ds = ckpt(anti(ds, quadsDf(rows))) // constant side: broadcast anti
+      case InsertWhereStmt(q) =>
+        ds = ckpt(ds.unionByName(q.run(ds).select(QuadCols.map(col): _*)))
+      case DeleteWhereStmt(q) =>
+        ds = ckpt(anti(ds, q.run(ds)))
+      case ClearGraphStmt(g) =>
+        ds = ckpt(ds.filter(col("graph") =!= g))
+      case QueryStmt(q) => last = Some(q.run(ds))
+      case SelectQueryStmt(q) => last = Some(q.run(ds))
+    }
+    SparqlRun(ds, last)
+  }
 }

@@ -69,6 +69,25 @@ object ConstructParser {
 
   def parseConstruct(text: String): ParsedConstruct = new P(text).query()
 
+  /** One parsed SELECT statement: `run(input)` evaluates projection +
+    * aggregation + modifiers over the binding stream (sbs mode) or the
+    * BGP match against a quad table (BGP mode).
+    */
+  final case class ParsedSelect(run: DataFrame => DataFrame)
+
+  /** SPARQL SELECT text — the reference's `sbs map -s 'SELECT … GROUP BY
+    * …'` short form (SbsCmdImpls.java:210-217, README-SBS.md) and plain
+    * SELECT queries. Supports: `?var` and `(expr AS ?var)` projections,
+    * `*`, aggregates COUNT(*)/COUNT([DISTINCT] e)/SUM/AVG/MIN/MAX
+    * ([DISTINCT])/SAMPLE/GROUP_CONCAT(e; SEPARATOR="s"), ROUND(e, d),
+    * the same WHERE grammar as CONSTRUCT (both modes), GROUP BY, ORDER BY
+    * [ASC|DESC](?v), LIMIT, OFFSET. Determinism notes: SAMPLE compiles to
+    * min() and GROUP_CONCAT sorts its elements — SPARQL leaves both
+    * unspecified; a deterministic choice makes results reproducible and
+    * oracle-checkable.
+    */
+  def parseSelect(text: String): ParsedSelect = new P(text).selectQuery()
+
   /** Binding-stream-mode parse (legacy API): fails loudly on a BGP WHERE
     * (those need the quad-table input that [[ParsedConstruct.run]] takes).
     */
@@ -115,6 +134,32 @@ object ConstructParser {
       q.rules
     }
 
+  // ------------------------------------------------------- script grammar
+
+  /** One statement of a `.sparql` script — the reference's `integrate`
+    * file model: an ordered mix of queries and updates over one mutable
+    * dataset (docs/integrate/index.md:17-60; LOAD→INSERT materialization
+    * SparqlIntegrateCmdImpls.java:363-379). Executed by
+    * [[graft.pipeline.Script.runSparql]].
+    */
+  sealed trait ScriptStmt
+  final case class QueryStmt(q: ParsedConstruct) extends ScriptStmt
+  final case class SelectQueryStmt(q: ParsedSelect) extends ScriptStmt
+  /** Constant quads as (graph, subj, pred, obj) canonical term strings. */
+  final case class InsertDataStmt(rows: Seq[(String, String, String, String)]) extends ScriptStmt
+  final case class DeleteDataStmt(rows: Seq[(String, String, String, String)]) extends ScriptStmt
+  final case class InsertWhereStmt(q: ParsedConstruct) extends ScriptStmt
+  final case class DeleteWhereStmt(q: ParsedConstruct) extends ScriptStmt
+  final case class LoadStmt(path: String, graph: Option[String]) extends ScriptStmt
+  final case class ClearGraphStmt(graph: String) extends ScriptStmt
+
+  /** Parse a whole `.sparql` script: CONSTRUCT/SELECT queries, INSERT
+    * DATA / DELETE DATA, INSERT {…} WHERE {…} / DELETE {…} WHERE {…} /
+    * DELETE WHERE {…}, LOAD <file> [INTO GRAPH <g>], CLEAR GRAPH <g>;
+    * statements separated by optional `;`, PREFIX declarations carry over.
+    */
+  def parseScript(text: String): Seq[ScriptStmt] = new P(text).scriptStatements()
+
   private[rules] final class P(s: String) {
     private var i = 0
     private val n = s.length
@@ -128,11 +173,14 @@ object ConstructParser {
 
     def hasMore: Boolean = { skipWs(); i < n }
 
-    def query(expectEnd: Boolean = true): ParsedConstruct = {
+    private def resetState(): Unit = {
       binds = scala.collection.mutable.LinkedHashMap[String, E]()
       filters = scala.collection.mutable.ArrayBuffer[Column]()
       sawPattern = false
       bgpVarTerm.clear()
+    }
+
+    private def prefixLoop(): Unit = {
       skipWs()
       while (kw("PREFIX")) {
         skipWs()
@@ -141,6 +189,11 @@ object ConstructParser {
         prefixes(pfx) = iriRef()
         skipWs()
       }
+    }
+
+    def query(expectEnd: Boolean = true): ParsedConstruct = {
+      resetState()
+      prefixLoop()
       if (!kw("CONSTRUCT")) fail("expected CONSTRUCT")
       skipWs()
       val templates = templateBlock()
@@ -152,6 +205,13 @@ object ConstructParser {
       if (peek == ';') i += 1 // optional statement separator
       skipWs()
       if (expectEnd && i < n) fail("trailing input")
+      finishConstruct(templates, els)
+    }
+
+    /** Resolve templates + WHERE elements into a [[ParsedConstruct]]
+      * (shared by CONSTRUCT queries and INSERT/DELETE … WHERE updates).
+      */
+    private def finishConstruct(templates: Seq[T], els: Seq[WhereEl]): ParsedConstruct = {
       if (!sawPattern) {
         // binding-stream mode: WHERE may only hold BIND/FILTER
         els.foreach {
@@ -173,6 +233,301 @@ object ConstructParser {
             TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
           }))
         ParsedConstruct(rules, Some(quads => compileGroup(els, quads)))
+      }
+    }
+
+    // --------------------------------------------------------- script
+
+    def scriptStatements(): Seq[ScriptStmt] = {
+      val out = scala.collection.mutable.ArrayBuffer[ScriptStmt]()
+      while (hasMore) {
+        resetState()
+        prefixLoop()
+        skipWs()
+        if (kw("CONSTRUCT")) {
+          skipWs()
+          val templates = templateBlock()
+          skipWs()
+          if (!kw("WHERE")) fail("expected WHERE")
+          skipWs()
+          val els = groupBlock(graphCtx = None)
+          out += QueryStmt(finishConstruct(templates, els))
+        } else if (kw("SELECT")) {
+          // rewind so selectQuery re-reads the keyword
+          i -= "SELECT".length
+          out += SelectQueryStmt(selectQuery(expectEnd = false))
+        } else if (kw("INSERT")) {
+          skipWs()
+          if (kw("DATA")) {
+            skipWs()
+            out += InsertDataStmt(constQuads(templateBlock()))
+          } else {
+            val templates = templateBlock()
+            skipWs()
+            if (!kw("WHERE")) fail("expected WHERE after INSERT template")
+            skipWs()
+            out += InsertWhereStmt(finishConstruct(templates, groupBlock(None)))
+          }
+        } else if (kw("DELETE")) {
+          skipWs()
+          if (kw("DATA")) {
+            skipWs()
+            out += DeleteDataStmt(constQuads(templateBlock()))
+          } else if (kw("WHERE")) {
+            // DELETE WHERE { pattern }: template = pattern (SPARQL Update
+            // §3.1.3.3); un-GRAPHed patterns delete from the default graph
+            skipWs()
+            val els = groupBlock(None)
+            out += DeleteWhereStmt(finishConstruct(patternTemplates(els), els))
+          } else {
+            val templates = templateBlock()
+            skipWs()
+            if (!kw("WHERE")) fail("expected WHERE after DELETE template")
+            skipWs()
+            out += DeleteWhereStmt(finishConstruct(templates, groupBlock(None)))
+          }
+        } else if (kw("LOAD")) {
+          skipWs()
+          val iri = iriRef()
+          skipWs()
+          var g: Option[String] = None
+          if (kw("INTO")) {
+            skipWs()
+            if (!kw("GRAPH")) fail("expected GRAPH after INTO")
+            skipWs()
+            g = Some("<" + iriRef() + ">")
+          }
+          val path = if (iri.startsWith("file://")) iri.substring("file://".length) else iri
+          out += LoadStmt(path, g)
+        } else if (kw("CLEAR")) {
+          skipWs()
+          if (!kw("GRAPH")) fail("expected GRAPH after CLEAR")
+          skipWs()
+          out += ClearGraphStmt("<" + iriRef() + ">")
+        } else fail("expected CONSTRUCT/SELECT/INSERT/DELETE/LOAD/CLEAR")
+        skipWs()
+        if (peek == ';') { i += 1; skipWs() }
+      }
+      require(out.nonEmpty, "empty script")
+      out.toSeq
+    }
+
+    /** DATA-block templates must be constant quads. */
+    private def constQuads(ts: Seq[T]): Seq[(String, String, String, String)] =
+      ts.map { case (a, b, c, g) =>
+        (constTerm(g), constTerm(a), constTerm(b), constTerm(c))
+      }
+
+    private def constTerm(t: Tok): String = t match {
+      case VarT(v) => fail(s"variable ?$v is not allowed in a DATA block")
+      case other => specOf(other).swap.getOrElse(fail("constant term expected"))
+    }
+
+    /** DELETE WHERE: every group element must be a plain triple pattern;
+      * the patterns double as the deletion templates.
+      */
+    private def patternTemplates(els: Seq[WhereEl]): Seq[T] = els.flatMap {
+      case TpE(g, a, b, c) =>
+        Seq((a, b, c, g.getOrElse(IriT("urn:x-arq:DefaultGraph")): Tok))
+      case GroupE(inner) => patternTemplates(inner)
+      case other => fail(s"DELETE WHERE allows only triple patterns, got $other")
+    }
+
+    // -------------------------------------------------------------- select
+
+    private sealed trait SelItem
+    private case class PlainVar(v: String) extends SelItem
+    private case class Derived(v: String, c: Column, agg: Boolean) extends SelItem
+    private case object Star extends SelItem
+
+    def selectQuery(expectEnd: Boolean = true): ParsedSelect = {
+      binds = scala.collection.mutable.LinkedHashMap[String, E]()
+      filters = scala.collection.mutable.ArrayBuffer[Column]()
+      sawPattern = false
+      bgpVarTerm.clear()
+      skipWs()
+      while (kw("PREFIX")) {
+        skipWs()
+        val pfx = until(':'); i += 1
+        skipWs()
+        prefixes(pfx) = iriRef()
+        skipWs()
+      }
+      if (!kw("SELECT")) fail("expected SELECT")
+      val items = scala.collection.mutable.ArrayBuffer[SelItem]()
+      var more = true
+      while (more) {
+        skipWs()
+        if (peek == '*') { i += 1; items += Star }
+        else if (peek == '?') items += PlainVar(varName())
+        else if (peek == '(') {
+          i += 1
+          val (c, isAgg) = aggExpr()
+          skipWs()
+          if (!kw("AS")) fail("expected AS in (expr AS ?v)")
+          skipWs()
+          val v = varName()
+          skipWs(); expect(')')
+          items += Derived(v, c, isAgg)
+        } else more = false
+      }
+      if (items.isEmpty) fail("empty SELECT projection")
+      skipWs()
+      kw("WHERE") // optional keyword
+      skipWs()
+      val els = groupBlock(graphCtx = None)
+      skipWs()
+      val groupBys = scala.collection.mutable.ArrayBuffer[String]()
+      if (kw("GROUP")) {
+        skipWs()
+        if (!kw("BY")) fail("expected BY after GROUP")
+        skipWs()
+        while (peek == '?') { groupBys += varName(); skipWs() }
+        if (groupBys.isEmpty) fail("empty GROUP BY")
+      }
+      val orders = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+      skipWs()
+      if (kw("ORDER")) {
+        skipWs()
+        if (!kw("BY")) fail("expected BY after ORDER")
+        var m2 = true
+        while (m2) {
+          skipWs()
+          if (kw("DESC")) {
+            skipWs(); expect('('); skipWs()
+            orders += ((varName(), false))
+            skipWs(); expect(')')
+          } else if (kw("ASC")) {
+            skipWs(); expect('('); skipWs()
+            orders += ((varName(), true))
+            skipWs(); expect(')')
+          } else if (peek == '?') orders += ((varName(), true))
+          else m2 = false
+        }
+        if (orders.isEmpty) fail("empty ORDER BY")
+      }
+      var limitN: Option[Int] = None
+      var offsetN: Option[Int] = None
+      var m3 = true
+      while (m3) {
+        skipWs()
+        if (kw("LIMIT")) { skipWs(); limitN = Some(number().toInt) }
+        else if (kw("OFFSET")) { skipWs(); offsetN = Some(number().toInt) }
+        else m3 = false
+      }
+      skipWs()
+      if (peek == ';') i += 1
+      skipWs()
+      if (expectEnd && i < n) fail("trailing input after SELECT query")
+
+      val bgp = sawPattern
+      ParsedSelect { input =>
+        val bindings =
+          if (bgp) compileGroup(els, input)
+          else els.foldLeft(input) {
+            case (df, BindE(v, e)) => df.withColumn(v, e.c)
+            case (df, FilterE(c)) => df.filter(c)
+            case (_, other) => throw new IllegalArgumentException(
+              s"$other requires triple patterns in WHERE")
+          }
+        val hasAgg = groupBys.nonEmpty ||
+          items.exists { case Derived(_, _, true) => true; case _ => false }
+        val projected =
+          if (!hasAgg) {
+            if (items.toSeq == Seq(Star)) bindings
+            else bindings.select(items.toSeq.map {
+              case PlainVar(v) => col(v)
+              case Derived(v, c, _) => c.as(v)
+              case Star => throw new IllegalArgumentException(
+                "* cannot mix with named projections")
+            }: _*)
+          } else {
+            val plain = items.collect { case PlainVar(v) => v }
+            val badPlain = plain.filterNot(groupBys.contains)
+            require(badPlain.isEmpty,
+              s"non-aggregated SELECT vars $badPlain must appear in GROUP BY")
+            val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq
+            require(aggs.nonEmpty, "GROUP BY without any aggregate projection")
+            val g =
+              if (groupBys.isEmpty) bindings.agg(aggs.head, aggs.tail: _*)
+              else bindings.groupBy(groupBys.toSeq.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
+            g.select(items.toSeq.map {
+              case PlainVar(v) => col(v)
+              case Derived(v, _, _) => col(v)
+              case Star => throw new IllegalArgumentException(
+                "* cannot mix with aggregation")
+            }: _*)
+          }
+        val ordered =
+          if (orders.isEmpty) projected
+          else projected.orderBy(orders.toSeq.map { case (v, asc) =>
+            if (asc) col(v).asc else col(v).desc
+          }: _*)
+        val off = offsetN.map(ordered.offset).getOrElse(ordered)
+        limitN.map(off.limit).getOrElse(off)
+      }
+    }
+
+    /** Possibly-aggregating projection expression. Aggregate args use the
+      * column's NATIVE type (no string cast) so SUM/AVG over numeric
+      * binding columns keep their numeric semantics.
+      */
+    private def aggExpr(): (Column, Boolean) = {
+      skipWs()
+      if (kw("COUNT")) {
+        skipWs(); expect('('); skipWs()
+        val c =
+          if (peek == '*') { i += 1; count(lit(1)) }
+          else if (kw("DISTINCT")) countDistinct(expr().c)
+          else count(expr().c)
+        skipWs(); expect(')')
+        (c, true)
+      } else if (kw("SUM") || kw("AVG") || kw("MIN") || kw("MAX")) {
+        val f = s.substring(i - 3, i).toUpperCase
+        skipWs(); expect('('); skipWs()
+        val dist = kw("DISTINCT")
+        val a = { skipWs(); expr().c }
+        skipWs(); expect(')')
+        val c = f match {
+          case "SUM" => if (dist) sum_distinct(a) else sum(a)
+          case "AVG" => if (dist) sum_distinct(a) / countDistinct(a) else avg(a)
+          case "MIN" => min(a) // DISTINCT is a no-op for MIN/MAX
+          case "MAX" => max(a)
+        }
+        (c, true)
+      } else if (kw("SAMPLE")) {
+        skipWs(); expect('(')
+        val a = expr().c
+        skipWs(); expect(')')
+        (min(a), true) // deterministic SAMPLE (SPARQL: any value)
+      } else if (kw("GROUP_CONCAT")) {
+        skipWs(); expect('('); skipWs()
+        val dist = kw("DISTINCT")
+        val a = { skipWs(); expr().c.cast("string") }
+        skipWs()
+        var sep = " " // SPARQL default separator
+        if (peek == ';') {
+          i += 1; skipWs()
+          if (!kw("SEPARATOR")) fail("expected SEPARATOR")
+          skipWs(); expect('='); skipWs()
+          sep = stringLit()
+        }
+        skipWs(); expect(')')
+        val lst = if (dist) collect_set(a) else collect_list(a)
+        // sorted for determinism (SPARQL leaves concat order unspecified)
+        (array_join(sort_array(lst), sep), true)
+      } else if (kw("ROUND")) {
+        skipWs(); expect('(')
+        val (inner, isAgg) = aggExpr()
+        skipWs(); expect(',')
+        skipWs()
+        val d = number().toInt
+        skipWs(); expect(')')
+        (round(inner, d), isAgg)
+      } else {
+        val e = expr()
+        (e.c, false)
       }
     }
 

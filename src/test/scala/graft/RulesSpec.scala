@@ -133,6 +133,32 @@ class RulesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](bad.run(t))
   }
 
+  test("SELECT text: equals SbsOps.mapGroupBy; misuse fails loudly") {
+    import graft.rules.ConstructParser
+    val in = Seq(("a", 1, 1.5), ("a", 2, 2.5), ("b", 1, 10.0))
+      .toDF("k", "u", "v")
+    val got = ConstructParser.parseSelect(
+      """SELECT ?k (COUNT(*) AS ?n) (ROUND(SUM(?v), 2) AS ?sv)
+        |       (COUNT(DISTINCT ?u) AS ?nu) (GROUP_CONCAT(?k; SEPARATOR=",") AS ?ks)
+        |{} GROUP BY ?k ORDER BY DESC(?n)""".stripMargin).run(in)
+    val rows = got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq === Seq(("a", 2L, 4.0d, 2L, "a,a"), ("b", 1L, 10.0d, 1L, "b")))
+    // plain projection + LIMIT/OFFSET
+    val proj = ConstructParser.parseSelect(
+      "SELECT ?u WHERE { FILTER(?k = \"a\") } ORDER BY ?u LIMIT 1 OFFSET 1").run(in)
+    assert(proj.collect().map(_.getInt(0)).toSeq === Seq(2))
+    // AVG/MIN/MAX/SAMPLE over a global (no GROUP BY) aggregate
+    val glob = ConstructParser.parseSelect(
+      """SELECT (ROUND(AVG(?v), 2) AS ?a) (MIN(?u) AS ?mn) (MAX(?u) AS ?mx)
+        |       (SAMPLE(?k) AS ?s) {}""".stripMargin).run(in).collect().head
+    assert((glob.getDouble(0), glob.getInt(1), glob.getInt(2), glob.getString(3))
+      === (4.67d, 1, 2, "a"))
+    // non-aggregated var outside GROUP BY fails loudly
+    intercept[IllegalArgumentException](ConstructParser.parseSelect(
+      "SELECT ?u (COUNT(*) AS ?n) {} GROUP BY ?k").run(in))
+  }
+
   test("statement sequence parses with prefix carry-over across statements") {
     import graft.rules.{ConstructParser, RuleCompiler}
     val seq =

@@ -37,6 +37,37 @@ class ScriptSpec extends AnyFunSuite {
     }
   }
 
+  test("runSparql: LOAD INTO GRAPH, CLEAR GRAPH, SELECT statement, data ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-script")
+    val nq = dir.resolve("d.nq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(nq),
+      "<s1> <p> \"1\" .\n<s2> <p> \"2\" .\n")
+    val script =
+      s"""LOAD <file://$nq> INTO GRAPH <urn:in> ;
+         |INSERT DATA { GRAPH <urn:tmp> { <x> <y> "z" . }
+         |              <d1> <d2> "d3" . } ;
+         |CLEAR GRAPH <urn:tmp> ;
+         |DELETE DATA { <d1> <d2> "d3" . } ;
+         |SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o . } }
+         |GROUP BY ?g ORDER BY ?g
+         |""".stripMargin
+    val run = Script.runSparql(spark, script)
+    // dataset: the two loaded quads only (tmp cleared, default-graph data quad deleted)
+    assert(run.dataset.count() === 2)
+    assert(run.dataset.select("graph").distinct().as[String].collect().toSeq
+      === Seq("<urn:in>"))
+    // the SELECT statement saw the final state
+    val sel = run.lastQuery.get.collect()
+    assert(sel.map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("<urn:in>", 2L)))
+    // DELETE WHERE limited to patterns; a BIND inside fails loudly
+    intercept[IllegalArgumentException](graft.rules.ConstructParser.parseScript(
+      "DELETE WHERE { BIND(\"x\" AS ?v) }"))
+    // variables are rejected in DATA blocks
+    intercept[IllegalArgumentException](graft.rules.ConstructParser.parseScript(
+      "INSERT DATA { <a> <b> ?v . }"))
+  }
+
   test("env substitution: substituted text parses, unknown name fails") {
     import graft.rules.ConstructParser
     assert(ConstructParser.envSubst("GRAPH <env:G> {", Map("G" -> "urn:g"))
