@@ -66,6 +66,13 @@ object RelationalSuite {
       val p = srjFixture(s, dir)
       graft.sources.ResultSetIO.readSrj(s, p)
     }),
+    "sbs_srj_lines" -> ((s, dir) => {
+      // splittable line-oriented binding stream (one JSON object/line):
+      // the cluster-scale SRJ path, same decoder, same oracle
+      val p = graft.sources.ResultSetIO.fixturePath(dir) + ".jsonl"
+      graft.sources.ResultSetIO.writeSrjLinesFixture(s, dir, p)
+      graft.sources.ResultSetIO.readSrjLines(s, p)
+    }),
     "sbs_srx_scan" -> ((s, dir) => {
       val p = graft.sources.ResultSetIO.fixturePath(dir) + ".srx"
       graft.sources.ResultSetIO.writeSrxFixture(s, dir, p)
@@ -264,6 +271,14 @@ object RelationalSuite {
          |FROM quads q JOIN ranked r ON r.graph = q.graph, stop
          |WHERE r.rnk < stop.s""".stripMargin,
     "sbs_srj_scan" ->
+      """SELECT '"' || CAST(event_id AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS id,
+        |       '"' || event_type || '"' AS etype,
+        |       '"' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS cents,
+        |       '<urn:user:' || CAST(user_id AS VARCHAR) || '>' AS actor,
+        |       CASE WHEN event_id % 5 = 0 THEN NULL
+        |            ELSE '"' || (props->>'$.k') || '"^^<http://www.w3.org/2001/XMLSchema#integer>' END AS k
+        |FROM events WHERE event_id < 2000""".stripMargin,
+    "sbs_srj_lines" -> // same logical content as the SRJ document scan
       """SELECT '"' || CAST(event_id AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS id,
         |       '"' || event_type || '"' AS etype,
         |       '"' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS cents,

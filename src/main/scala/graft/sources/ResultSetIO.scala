@@ -81,6 +81,55 @@ object ResultSetIO {
     }: _*)
   }
 
+  /** Line-oriented SRJ bindings: ONE JSON binding object per line
+    * (`{"var":{"type":…,"value":…},…}`), the cluster-scale form of the
+    * binding stream — unlike the single-JSON-value SRJ document, this
+    * splits freely at any file size (Spark's line-oriented JSON scan
+    * assigns splits independently), so a multi-GB binding dump fans out
+    * across tasks instead of parsing as one. Decoding reuses
+    * [[decodeTerm]], so the output is bit-identical to [[readSrj]] on the
+    * same logical content. A var absent from every line is absent from
+    * the schema (there is no `head` section to declare it).
+    */
+  def readSrjLines(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val vars = raw.schema.fieldNames.filterNot(_ == "_corrupt_record").sorted.toSeq
+    require(vars.nonEmpty, s"readSrjLines: no binding vars inferred at $path")
+    raw.select(vars.map { v =>
+      val sub = raw.schema(v).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      decodeTerm(col(v), sub).as(v)
+    }: _*)
+  }
+
+  /** Deterministic line-oriented SRJ fixture (same logical content as the
+    * document fixture, so both scans share one oracle).
+    */
+  def writeSrjLinesFixture(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long"),
+        col("user_id").cast("long"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .orderBy("event_id").collect()
+    val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    def intLit(v: Long) =
+      s"""{"type":"literal","value":"$v","datatype":"$XsdInt"}"""
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val fields = Seq(
+        s""""id":${intLit(id)}""",
+        s""""etype":{"type":"literal","value":"${r.getString(1)}"}""",
+        s""""cents":${intLit(r.getLong(2))}""",
+        s""""actor":{"type":"uri","value":"urn:user:${r.getLong(3)}"}""") ++
+        (if (id % 5 == 0) Nil else Seq(s""""k":${intLit(r.getLong(4))}"""))
+      sb.append(fields.mkString("{", ",", "}")).append('\n')
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
   /** SPARQL-results TSV scan (the reference's third result-set format,
     * SbsCmdImpls.java:101-120): header row = `?var` names, cells already
     * N-Triples lexical terms, empty cell = unbound → NULL. Line-oriented,

@@ -36,4 +36,25 @@ class SrjSpec extends AnyFunSuite {
     assert(vals.contains(("b0", "hallo")))
     assert(vals.contains(("http://ex.org/d", null)))
   }
+
+  test("readSrjLines splits one big file across tasks and decodes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srjl")
+    val lines = dir.resolve("b.jsonl").toString
+    ResultSetIO.writeSrjLinesFixture(spark, TestSpark.sf0001, lines)
+    val doc = dir.resolve("b.srj").toString
+    ResultSetIO.writeSrjFixture(spark, TestSpark.sf0001, doc)
+    // force small input splits: the line-oriented scan must fan out
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      val viaLines = ResultSetIO.readSrjLines(spark, lines)
+      assert(viaLines.rdd.getNumPartitions > 1,
+        "line-oriented SRJ scan did not split")
+      // bit-identical to the document reader on the same logical content
+      val viaDoc = ResultSetIO.readSrj(spark, doc)
+      assert(viaLines.count() === viaDoc.count())
+      assert(viaLines.exceptAll(viaDoc).count() === 0)
+      assert(viaDoc.exceptAll(viaLines).count() === 0)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
