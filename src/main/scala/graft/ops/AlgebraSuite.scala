@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.{RdfIO, SyntheticQuads, Transcripts}
+import graft.sources.{RdfIO, SyntheticQuads, Transcripts, TrigChunker}
 import graft.rules.TranscriptRules
 import graft.functions.Macros
 
@@ -224,6 +224,21 @@ object AlgebraSuite {
       RdfIO.writeTrigFixture(s, dir, path)
       RdfIO.readTrig(s, path)
     }),
+    "rdf_trig_chunked" -> ((s, dir) => {
+      // document-parallel parse of ONE TriG file (minPartitions=8 forces
+      // multi-chunk even on the small fixture); anon-bnode statements are
+      // excluded because their fresh labels are chunk-scoped — the full
+      // structural equality incl. bnodes is TrigChunkerSpec's job
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      TrigChunker.readTrigChunked(s, path, minPartitions = 8)
+        .where(!col("pred").isin(
+          "<http://example.org/meta>", "<http://example.org/rank>",
+          "<http://example.org/tags>",
+          "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>",
+          "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"))
+    }),
     "rdf_roundtrip" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") +
         s"/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -394,7 +409,14 @@ object AlgebraSuite {
         |       '"' || c_name || '"' AS obj,
         |       '<urn:graft:out>' AS graph
         |FROM customer""".stripMargin,
-    "rdf_trig_scan" -> s"WITH $trigNatCte\n$trigFixtureSelect"
+    "rdf_trig_scan" -> s"WITH $trigNatCte\n$trigFixtureSelect",
+    "rdf_trig_chunked" ->
+      s"""WITH $trigNatCte
+         |SELECT * FROM ($trigFixtureSelect)
+         |WHERE pred NOT IN ('<http://example.org/meta>',
+         |  '<http://example.org/rank>', '<http://example.org/tags>',
+         |  '<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>',
+         |  '<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>')""".stripMargin
   ) ++ tailOracles ++ scriptOracles
 
   /** Oracles for the whole-script driver queries: compose the fixture

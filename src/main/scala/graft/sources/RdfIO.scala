@@ -122,11 +122,13 @@ object RdfIO {
     * statements, `;`/`,` lists, graph blocks, typed/lang literals — see
     * [[TrigParser]]).
     *
-    * TriG is not line-splittable (multi-line statements, file-scoped
-    * prefixes), so the unit of parallelism is the FILE (`wholetext`): a
-    * directory of N documents parses as N parallel tasks — the normal
-    * shape for interchange corpora; one giant document is inherently
-    * sequential (the reference also streams it single-threaded —
+    * TriG is not naively line-splittable (multi-line statements,
+    * file-scoped prefixes), so here the unit of parallelism is the FILE
+    * (`wholetext`): a directory of N documents parses as N parallel
+    * tasks — the normal shape for interchange corpora. For ONE giant
+    * document use [[TrigChunker.readTrigChunked]], which plans safe
+    * statement-boundary splits and parses chunks in parallel (the
+    * reference streams such a file single-threaded —
     * NgsCmdImpls.java:289-305). gz/bz2 decompress via Hadoop codecs.
     * Blank-node labels are kept verbatim; when unioning documents that
     * reuse labels, scope them yourself (e.g. suffix with a hash of

@@ -31,8 +31,14 @@ object TrigParser {
   private val XsdDouble = "<http://www.w3.org/2001/XMLSchema#double>"
   private val XsdBoolean = "<http://www.w3.org/2001/XMLSchema#boolean>"
 
-  def parse(doc: String, defaultGraph: String): Iterator[Quad4] =
-    new P(doc, defaultGraph).run()
+  /** `genPrefix` namespaces the fresh `_:genN` labels allocated for
+    * anonymous bnodes — chunked parallel parsing gives each chunk its own
+    * prefix so labels never collide across chunks (bnode labels are
+    * document-scoped and arbitrary per RDF semantics).
+    */
+  def parse(doc: String, defaultGraph: String,
+      genPrefix: String = "gen"): Iterator[Quad4] =
+    new P(doc, defaultGraph, genPrefix).run()
 
   /** N-Triples-escape a decoded literal body. */
   def ntEscape(s: String): String = {
@@ -48,7 +54,7 @@ object TrigParser {
     b.toString
   }
 
-  private final class P(s: String, defaultGraph: String) {
+  private final class P(s: String, defaultGraph: String, genPrefix: String = "gen") {
     private var i = 0
     private val n = s.length
     private var base = ""
@@ -62,7 +68,7 @@ object TrigParser {
     private var curGraph = defaultGraph
     private var lastWasAnon = false
 
-    private def freshBnode(): String = { val l = "_:gen" + gen; gen += 1; l }
+    private def freshBnode(): String = { val l = "_:" + genPrefix + gen; gen += 1; l }
 
     def run(): Iterator[Quad4] = {
       skipWs()
