@@ -98,6 +98,58 @@ object AlgebraSuite {
           |}""".stripMargin
       graft.rules.ConstructParser.parseConstruct(q).run(trip(s, dir))
     }),
+    // --- SPARQL 1.1 property paths from query text (§9; the reference
+    // runs the full Jena path grammar in any integrate query) ------------
+    "path_seq" -> ((s, dir) => {
+      // inverse + sequence: ?b's predecessor's role
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?b ?r WHERE { ?b ^p:next/p:role ?r . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "path_alt" -> ((s, dir) => {
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?t ?v WHERE { ?t p:role|p:tool ?v . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "path_neg" -> ((s, dir) => {
+      // negated property set (keeps only tool + next edges)
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?s ?o
+           |WHERE { ?s !(a|p:role|p:text|p:ts|p:conv|p:hasTurn) ?o . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "path_plus" -> ((s, dir) => {
+      // transitive closure over the turn-chain (doubling self-joins)
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?s ?o WHERE { ?s p:next+ ?o . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "path_star" -> ((s, dir) => {
+      // closure + zero-length identity over every graph node
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?s ?o WHERE { ?s p:next* ?o . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "values_filter" -> ((s, dir) => {
+      // inline data joins like any pattern (SPARQL 1.1 §10.2)
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?t ?role WHERE {
+           |  ?t p:role ?role .
+           |  VALUES ?role { "user" "assistant" }
+           |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "ask_text" -> ((s, dir) => {
+      val q = s"""PREFIX p: <$P>
+                 |ASK { ?s p:role "user" . }""".stripMargin
+      graft.rules.ConstructParser.parseAsk(q).run(trip(s, dir))
+    }),
     // SELECT text over a BGP WHERE: star join + GROUP BY from query text
     "select_bgp_text" -> ((s, dir) => {
       val q =
@@ -366,6 +418,54 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "path_seq" ->
+      s"""$tripCte
+         |SELECT n.obj AS b, r.obj AS r
+         |FROM trip n JOIN trip r ON r.subj = n.subj
+         |WHERE n.pred = '<${P}next>' AND r.pred = '<${P}role>'""".stripMargin,
+    "path_alt" ->
+      s"""$tripCte
+         |SELECT subj AS t, obj AS v FROM trip WHERE pred = '<${P}role>'
+         |UNION ALL
+         |SELECT subj, obj FROM trip WHERE pred = '<${P}tool>'""".stripMargin,
+    "path_neg" ->
+      s"""$tripCte
+         |SELECT subj AS s, obj AS o FROM trip
+         |WHERE pred NOT IN (
+         |  '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+         |  '<${P}role>', '<${P}text>', '<${P}ts>', '<${P}conv>',
+         |  '<${P}hasTurn>')""".stripMargin,
+    "path_plus" ->
+      s"""$tripCte,
+         |edge AS (SELECT subj AS s, obj AS o FROM trip WHERE pred = '<${P}next>'),
+         |reach AS (
+         |  SELECT s, o FROM edge
+         |  UNION
+         |  SELECT r.s, e.o FROM reach r JOIN edge e ON e.s = r.o
+         |)
+         |SELECT DISTINCT s, o FROM reach""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    "path_star" ->
+      s"""$tripCte,
+         |edge AS (SELECT subj AS s, obj AS o FROM trip WHERE pred = '<${P}next>'),
+         |reach AS (
+         |  SELECT s, o FROM edge
+         |  UNION
+         |  SELECT r.s, e.o FROM reach r JOIN edge e ON e.s = r.o
+         |)
+         |SELECT DISTINCT s, o FROM reach
+         |UNION
+         |SELECT n, n FROM (SELECT subj AS n FROM trip
+         |                  UNION SELECT obj FROM trip)""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    "values_filter" ->
+      s"""$tripCte
+         |SELECT subj AS t, obj AS role FROM trip
+         |WHERE pred = '<${P}role>' AND obj IN ('"user"', '"assistant"')""".stripMargin,
+    "ask_text" ->
+      s"""$tripCte
+         |SELECT count(*) > 0 AS ask FROM trip
+         |WHERE pred = '<${P}role>' AND obj = '"user"'""".stripMargin,
     "csv_parse" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "csv_scan" ->

@@ -33,7 +33,7 @@ object Bgp {
     bindPositions(quads,
       Seq("graph" -> g, "subj" -> s, "pred" -> p, "obj" -> o))
 
-  private def bindPositions(df: DataFrame,
+  private[ops] def bindPositions(df: DataFrame,
       bind: Seq[(String, Either[String, String])]): DataFrame = {
     val filtered = bind.foldLeft(df) {
       case (df, (c, Left(const))) => df.filter(col(c) === const)

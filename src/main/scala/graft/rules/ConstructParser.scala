@@ -1,9 +1,10 @@
 package graft.rules
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.functions.RdfTerms
-import graft.ops.Bgp
+import graft.ops.{Bgp, PathOps}
 
 /** SPARQL CONSTRUCT text → [[Rule]] compiler — the reference's front door
   * is "run this SPARQL statement text" (SparqlIntegrateCmdImpls.java:
@@ -87,6 +88,13 @@ object ConstructParser {
     * oracle-checkable.
     */
   def parseSelect(text: String): ParsedSelect = new P(text).selectQuery()
+
+  /** SPARQL ASK text — the reference's per-graph filter condition (`ngs
+    * filter --sparql 'ASK {…}'`, NgsCmdImpls.java filter route) and plain
+    * ASK queries. `run` yields ONE row with a boolean `ask` column,
+    * computed distributedly (no driver-side collect).
+    */
+  def parseAsk(text: String): ParsedSelect = new P(text).askQuery()
 
   /** Binding-stream-mode parse (legacy API): fails loudly on a BGP WHERE
     * (those need the quad-table input that [[ParsedConstruct.run]] takes).
@@ -333,6 +341,34 @@ object ConstructParser {
       case other => fail(s"DELETE WHERE allows only triple patterns, got $other")
     }
 
+    // ----------------------------------------------------------------- ask
+
+    def askQuery(): ParsedSelect = {
+      resetState()
+      prefixLoop()
+      if (!kw("ASK")) fail("expected ASK")
+      skipWs()
+      kw("WHERE") // optional keyword
+      skipWs()
+      val els = groupBlock(graphCtx = None)
+      skipWs()
+      if (peek == ';') i += 1
+      skipWs()
+      if (i < n) fail("trailing input after ASK query")
+      val bgp = sawPattern
+      ParsedSelect { input =>
+        val bindings =
+          if (bgp) compileGroup(els, input)
+          else els.foldLeft(input) {
+            case (df, BindE(v, e)) => df.withColumn(v, e.c)
+            case (df, FilterE(c)) => df.filter(c)
+            case (_, other) => throw new IllegalArgumentException(
+              s"$other requires triple patterns in WHERE")
+          }
+        bindings.agg((count(lit(1)) > 0).as("ask"))
+      }
+    }
+
     // -------------------------------------------------------------- select
 
     private sealed trait SelItem
@@ -540,6 +576,8 @@ object ConstructParser {
     private case class IriT(iri: String) extends Tok
     private case class StrT(v: String) extends Tok
     private case class NumT(lex: String) extends Tok
+    /** A property path in predicate position (WHERE patterns only). */
+    private case class PathT(p: PathOps.PathExpr) extends Tok
 
     private def templateBlock(): Seq[T] = {
       expect('{')
@@ -569,12 +607,15 @@ object ConstructParser {
       * statement with predicate/object lists, shared by templates and
       * WHERE patterns (Turtle/SPARQL TriplesBlock shape).
       */
-    private def tripleLines(): Seq[(Tok, Tok, Tok)] = {
+    private def tripleLines(allowPaths: Boolean = false): Seq[(Tok, Tok, Tok)] = {
       val out = scala.collection.mutable.ArrayBuffer[(Tok, Tok, Tok)]()
       val subj = tok(); skipWs()
       var morePred = true
       while (morePred) {
-        val p = if (kwCS("a")) IriT(RdfTerms.RdfType) else tok()
+        val p =
+          if (allowPaths) pathOrPredTok()
+          else if (kwCS("a")) IriT(RdfTerms.RdfType)
+          else tok()
         skipWs()
         var moreObj = true
         while (moreObj) {
@@ -602,6 +643,87 @@ object ConstructParser {
       }
     }
 
+    // ---------------------------------------------- property paths (§9)
+
+    /** Predicate position of a WHERE pattern: `?var`, or a property path.
+      * A path that is a single plain IRI collapses to [[IriT]], keeping
+      * the ordinary triple-pattern plan (filtered scan, no path machinery).
+      */
+    private def pathOrPredTok(): Tok = {
+      skipWs()
+      if (peek == '?') VarT(varName())
+      else pathAlt() match {
+        case PathOps.Link(iri) => IriT(iri)
+        case other => PathT(other)
+      }
+    }
+
+    private def pathAlt(): PathOps.PathExpr = {
+      val parts = scala.collection.mutable.ArrayBuffer(pathSeq())
+      skipWs()
+      while (peek == '|') { i += 1; skipWs(); parts += pathSeq(); skipWs() }
+      if (parts.size == 1) parts.head else PathOps.Alt(parts.toSeq)
+    }
+
+    private def pathSeq(): PathOps.PathExpr = {
+      val parts = scala.collection.mutable.ArrayBuffer(pathElt())
+      skipWs()
+      while (peek == '/') { i += 1; skipWs(); parts += pathElt(); skipWs() }
+      if (parts.size == 1) parts.head else PathOps.Sequence(parts.toSeq)
+    }
+
+    private def pathElt(): PathOps.PathExpr = {
+      skipWs()
+      if (peek == '^') { i += 1; skipWs(); PathOps.Inv(pathElt()) }
+      else {
+        val prim = pathPrimary()
+        // the `?` modifier binds tightly (a following `?var` must stay a
+        // variable); `+`/`*` may be whitespace-separated (nothing else
+        // can start with them after a predicate)
+        if (peek == '?' && (i + 1 >= n ||
+            !(Character.isLetterOrDigit(s.charAt(i + 1)) || s.charAt(i + 1) == '_'))) {
+          i += 1; PathOps.ZeroOrOne(prim)
+        } else {
+          skipWs()
+          if (peek == '+') { i += 1; PathOps.OneOrMore(prim) }
+          else if (peek == '*') { i += 1; PathOps.ZeroOrMore(prim) }
+          else prim
+        }
+      }
+    }
+
+    private def pathPrimary(): PathOps.PathExpr = {
+      skipWs()
+      if (peek == '(') { i += 1; val p = pathAlt(); skipWs(); expect(')'); p }
+      else if (peek == '!') { i += 1; negatedPropertySet() }
+      else if (kwCS("a")) PathOps.Link(RdfTerms.RdfType)
+      else if (peek == '<') PathOps.Link(iriRef())
+      else PathOps.Link(prefixedIri())
+    }
+
+    /** `!iri` or `!( iri | ^iri | … )` (SPARQL 1.1 §9.1 PathNegatedPropertySet). */
+    private def negatedPropertySet(): PathOps.PathExpr = {
+      val fwd = scala.collection.mutable.ArrayBuffer[String]()
+      val inv = scala.collection.mutable.ArrayBuffer[String]()
+      def one(): Unit = {
+        skipWs()
+        val isInv = peek == '^'
+        if (isInv) { i += 1; skipWs() }
+        val iri =
+          if (kwCS("a")) RdfTerms.RdfType
+          else if (peek == '<') iriRef()
+          else prefixedIri()
+        if (isInv) inv += iri else fwd += iri
+      }
+      skipWs()
+      if (peek == '(') {
+        i += 1; one(); skipWs()
+        while (peek == '|') { i += 1; one(); skipWs() }
+        expect(')')
+      } else one()
+      PathOps.NegatedSet(fwd.toSeq, inv.toSeq)
+    }
+
     /** Template token → final term Column. */
     private def termOf(t: Tok): Column = t match {
       case IriT(iri) => lit("<" + iri + ">")
@@ -619,6 +741,7 @@ object ConstructParser {
           case Some(E(c, false)) => RdfTerms.strLit(c.cast("string"))
           case None => RdfTerms.strLit(col(v).cast("string"))
         }
+      case PathT(_) => fail("property path in template position")
     }
 
     private def TrigEscape(v: String): String =
@@ -639,6 +762,8 @@ object ConstructParser {
     private case class ExistsE(els: Seq[WhereEl], negated: Boolean) extends WhereEl
     private case class BindE(v: String, e: E) extends WhereEl
     private case class FilterE(c: Column) extends WhereEl
+    /** Inline data: `rows` hold canonical term strings per var. */
+    private case class ValuesE(vars: Seq[String], rows: Seq[Seq[String]]) extends WhereEl
 
     /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
       * `GRAPH term` token, threaded into each contained triple pattern.
@@ -673,6 +798,40 @@ object ConstructParser {
             out += FilterE(expr().c)
             skipWs(); expect(')')
           }
+        } else if (kw("VALUES")) {
+          // inline data (SPARQL 1.1 §10.2): `VALUES ?v { t… }` or
+          // `VALUES (?v…) { (t…)… }`. UNDEF is rejected loudly — a strict
+          // equi-join on NULL would silently drop the wildcard semantics.
+          skipWs()
+          val vars = scala.collection.mutable.ArrayBuffer[String]()
+          val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+          def cell(): String = {
+            skipWs()
+            if (kw("UNDEF")) fail("UNDEF in VALUES is not supported")
+            specOf(tok()).swap.getOrElse(fail("VALUES data must be constant terms"))
+          }
+          if (peek == '(') {
+            i += 1; skipWs()
+            while (peek == '?') { vars += varName(); skipWs() }
+            expect(')'); skipWs(); expect('{'); skipWs()
+            while (peek == '(') {
+              i += 1
+              rows += Seq.fill(vars.size)(cell())
+              skipWs(); expect(')'); skipWs()
+            }
+            expect('}')
+          } else {
+            vars += varName()
+            skipWs(); expect('{'); skipWs()
+            while (peek != '}') { rows += Seq(cell()); skipWs() }
+            expect('}')
+          }
+          if (!sawPattern) {
+            sawPattern = true
+            binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
+          }
+          vars.foreach(v => bgpVarTerm(v) = true)
+          out += ValuesE(vars.toSeq, rows.toSeq)
         } else if (kw("OPTIONAL")) {
           skipWs()
           out += OptionalE(groupBlock(graphCtx))
@@ -702,7 +861,7 @@ object ConstructParser {
             // BINDs parsed before the first pattern migrate to BGP vars
             binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
           }
-          tripleLines().foreach { case (a, b, c) =>
+          tripleLines(allowPaths = true).foreach { case (a, b, c) =>
             out += TpE(graphCtx, a, b, c)
             Seq(a, b, c).foreach {
               case VarT(v) => bgpVarTerm(v) = true
@@ -730,6 +889,19 @@ object ConstructParser {
         acc = if (acc == null) df else Bgp.join(acc, df)
       val conds = scala.collection.mutable.ArrayBuffer[Column]()
       els.foreach {
+        case TpE(g, a, PathT(path), c) =>
+          // a property-path pattern: solutions are (s, o) pairs; a
+          // constant-graph context pre-filters the quad table (the path
+          // walk must stay inside that graph)
+          val scoped = g match {
+            case None => quads
+            case Some(IriT(iri)) if quads.columns.contains("graph") =>
+              quads.where(col("graph") === ("<" + iri + ">"))
+            case Some(IriT(_)) => quads
+            case Some(other) => fail(
+              s"property path inside GRAPH $other: only constant graphs are supported")
+          }
+          joinIn(PathOps.pathPattern(scoped, specOf(a), path, specOf(c)))
         case TpE(g, a, b, c) =>
           joinIn(g match {
             case Some(gt) =>
@@ -752,6 +924,12 @@ object ConstructParser {
           require(acc != null, "BIND before any pattern in a BGP group")
           acc = acc.withColumn(v, e.c)
         case FilterE(c) => conds += c
+        case ValuesE(vars, rows) =>
+          val spark = quads.sparkSession
+          val schema = StructType(vars.map(v => StructField(v, StringType)))
+          joinIn(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.map(r => Row(r: _*)), 1),
+            schema))
       }
       require(acc != null, "empty group pattern")
       conds.foldLeft(acc)(_ filter _)
@@ -766,6 +944,7 @@ object ConstructParser {
       case StrT(v) => Left("\"" + TrigEscape(v) + "\"")
       case NumT(lex) =>
         Left("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+      case PathT(_) => fail("property path outside predicate position")
     }
 
     // -------------------------------------------------------- expressions
@@ -941,8 +1120,10 @@ object ConstructParser {
       val pfx = s.substring(start, i)
       i += 1
       val lstart = i
+      // '/' is NOT a local-name char (SPARQL PN_LOCAL) — it is the path
+      // sequence operator, so `ex:a/ex:b` must split at the slash
       while (i < n && (Character.isLetterOrDigit(s.charAt(i)) ||
-        s.charAt(i) == '_' || s.charAt(i) == '-' || s.charAt(i) == '/')) i += 1
+        s.charAt(i) == '_' || s.charAt(i) == '-')) i += 1
       val ns = prefixes.getOrElse(pfx, fail(s"undeclared prefix '$pfx:'"))
       ns + s.substring(lstart, i)
     }

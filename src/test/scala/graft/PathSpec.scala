@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.ops.PathOps
+import graft.rules.ConstructParser
+
+/** SPARQL 1.1 property paths: algebra (incl. cyclic closure termination)
+  * and the query-text grammar (modifier vs variable `?`, sequence vs
+  * prefixed-name `/`, negated sets, VALUES, ASK).
+  */
+class PathSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import PathOps._
+
+  private val EX = "http://ex.org/"
+
+  private def triples(rows: (String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (s, p, o) =>
+      ("<" + EX + s + ">", "<" + EX + p + ">", "<" + EX + o + ">")
+    }.toDF("subj", "pred", "obj")
+  }
+
+  private def pairs(df: DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+  private def t(l: String) = "<" + EX + l + ">"
+
+  // 1→2→3→4 chain plus a 3-cycle x→y→z→x
+  private lazy val chain = triples(
+    ("n1", "next", "n2"), ("n2", "next", "n3"), ("n3", "next", "n4"),
+    ("x", "loop", "y"), ("y", "loop", "z"), ("z", "loop", "x"),
+    ("n1", "label", "a"))
+
+  test("sequence, inverse, alternative") {
+    val seq = eval(chain, Sequence(Seq(Link(EX + "next"), Link(EX + "next"))))
+    assert(pairs(seq) === Set((t("n1"), t("n3")), (t("n2"), t("n4"))))
+    val inv = eval(chain, Inv(Link(EX + "next")))
+    assert(pairs(inv).contains((t("n2"), t("n1"))))
+    val alt = eval(chain, Alt(Seq(Link(EX + "next"), Link(EX + "label"))))
+    assert(pairs(alt).size === 4)
+  }
+
+  test("oneOrMore on a chain is all ordered pairs; cycles terminate") {
+    val plus = eval(chain, OneOrMore(Link(EX + "next")))
+    assert(pairs(plus) === Set(
+      (t("n1"), t("n2")), (t("n1"), t("n3")), (t("n1"), t("n4")),
+      (t("n2"), t("n3")), (t("n2"), t("n4")), (t("n3"), t("n4"))))
+    val cyc = eval(chain, OneOrMore(Link(EX + "loop")))
+    // every cycle node reaches every cycle node (including itself)
+    assert(pairs(cyc) ===
+      (for (a <- Seq("x", "y", "z"); b <- Seq("x", "y", "z")) yield (t(a), t(b))).toSet)
+  }
+
+  test("zeroOrMore adds identity over ALL graph nodes") {
+    val star = eval(chain, ZeroOrMore(Link(EX + "next")))
+    val got = pairs(star)
+    assert(got.contains((t("n1"), t("n4"))))
+    // identity for every term of the graph, including non-chain nodes
+    Seq("n1", "n4", "x", "a", "label").foreach { l =>
+      if (l != "label") assert(got.contains((t(l), t(l))), s"identity for $l")
+    }
+    assert(!got.contains((t("n2"), t("n1"))))
+  }
+
+  test("zeroOrOne and negated property sets") {
+    val opt = eval(chain, ZeroOrOne(Link(EX + "label")))
+    assert(pairs(opt).contains((t("n1"), t("a"))))
+    assert(pairs(opt).contains((t("n2"), t("n2"))))
+    val neg = eval(chain, NegatedSet(Seq(EX + "next"), Nil))
+    assert(pairs(neg) === Set((t("x"), t("y")), (t("y"), t("z")),
+      (t("z"), t("x")), (t("n1"), t("a"))))
+  }
+
+  test("seeded closure from a constant endpoint equals the full closure") {
+    val fromN2 = PathOps.pathPattern(chain, Left(t("n2")),
+      OneOrMore(Link(EX + "next")), Right("o"))
+    assert(fromN2.collect().map(_.getString(0)).toSet === Set(t("n3"), t("n4")))
+    val toN3 = PathOps.pathPattern(chain, Right("s"),
+      ZeroOrMore(Link(EX + "next")), Left(t("n3")))
+    assert(toN3.collect().map(_.getString(0)).toSet ===
+      Set(t("n1"), t("n2"), t("n3")))
+  }
+
+  test("path text: sequence and + from a SELECT query") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s ex:next/ex:next ?o . }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(chain)
+    assert(pairs(got) === Set((t("n1"), t("n3")), (t("n2"), t("n4"))))
+    val qp =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s ex:next+ ?o . FILTER(?s = <${EX}n1>) }""".stripMargin
+    val gotP = ConstructParser.parseSelect(qp).run(chain)
+    assert(pairs(gotP) === Set((t("n1"), t("n2")), (t("n1"), t("n3")), (t("n1"), t("n4"))))
+  }
+
+  test("path text: `?` modifier does not swallow a following variable") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s ex:label? ?o . }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(chain)
+    assert(pairs(got).contains((t("n1"), t("a"))))
+    assert(pairs(got).contains((t("x"), t("x"))))
+  }
+
+  test("path text: inverse, alternation, negated set, parens") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s ^(ex:next|ex:label) ?o . }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(chain)
+    assert(pairs(got).contains((t("n2"), t("n1"))))
+    assert(pairs(got).contains((t("a"), t("n1"))))
+    val qn =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s !(ex:next|ex:loop) ?o . }""".stripMargin
+    assert(pairs(ConstructParser.parseSelect(qn).run(chain)) ===
+      Set((t("n1"), t("a"))))
+  }
+
+  test("path in CONSTRUCT joins with ordinary patterns") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |CONSTRUCT { ?s ex:reaches ?o . }
+         |WHERE { ?s ex:next+ ?o . ?s ex:label ?l . }""".stripMargin
+    val out = ConstructParser.parseConstruct(q).run(chain)
+    val got = out.collect()
+      .map(r => (r.getString(out.columns.indexOf("subj")),
+        r.getString(out.columns.indexOf("obj")))).toSet
+    assert(got === Set((t("n1"), t("n2")), (t("n1"), t("n3")), (t("n1"), t("n4"))))
+  }
+
+  test("VALUES: single-var and multi-var forms join as inline data") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s ex:next ?o . VALUES ?s { <${EX}n1> <${EX}n3> } }""".stripMargin
+    assert(pairs(ConstructParser.parseSelect(q).run(chain)) ===
+      Set((t("n1"), t("n2")), (t("n3"), t("n4"))))
+    val q2 =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE {
+         |  ?s ex:next ?o .
+         |  VALUES (?s ?o) { (<${EX}n1> <${EX}n2>) (<${EX}n9> <${EX}n9>) }
+         |}""".stripMargin
+    assert(pairs(ConstructParser.parseSelect(q2).run(chain)) ===
+      Set((t("n1"), t("n2"))))
+    intercept[Exception] {
+      ConstructParser.parseSelect(
+        s"PREFIX ex: <$EX>\nSELECT ?s WHERE { VALUES ?s { UNDEF } }")
+    }
+  }
+
+  test("ASK text: true and false cases, one boolean row") {
+    val yes = ConstructParser.parseAsk(
+      s"PREFIX ex: <$EX>\nASK { ?s ex:next ?o . }").run(chain).collect()
+    assert(yes.length === 1 && yes(0).getBoolean(0))
+    val no = ConstructParser.parseAsk(
+      s"PREFIX ex: <$EX>\nASK WHERE { ?s ex:missing ?o . }").run(chain).collect()
+    assert(no.length === 1 && !no(0).getBoolean(0))
+  }
+}
