@@ -150,6 +150,16 @@ object AlgebraSuite {
                  |ASK { ?s p:role "user" . }""".stripMargin
       graft.rules.ConstructParser.parseAsk(q).run(trip(s, dir))
     }),
+    "ngs_ask_sparql" -> ((s, dir) => {
+      // `ngs filter --sparql 'ASK {…}'`: keep graphs where the ASK's BGP
+      // holds WITHIN the graph — here: two consecutive purchase-tool
+      // turns (a 3-pattern same-graph join; selective on this corpus)
+      val ask =
+        s"""PREFIX p: <$P>
+           |ASK { ?s p:tool "tool_purchase" . ?s p:next ?nx .
+           |      ?nx p:tool "tool_purchase" . }""".stripMargin
+      NgsOps.askFilterSparql(trip(s, dir), ask)
+    }),
     // SELECT text over a BGP WHERE: star join + GROUP BY from query text
     "select_bgp_text" -> ((s, dir) => {
       val q =
@@ -466,6 +476,17 @@ object AlgebraSuite {
       s"""$tripCte
          |SELECT count(*) > 0 AS ask FROM trip
          |WHERE pred = '<${P}role>' AND obj = '"user"'""".stripMargin,
+    "ngs_ask_sparql" ->
+      s"""$tripCte
+         |SELECT t.subj, t.pred, t.obj, t.graph FROM trip t
+         |WHERE t.graph IN (
+         |  SELECT a.graph
+         |  FROM trip a
+         |  JOIN trip n ON n.subj = a.subj AND n.graph = a.graph
+         |  JOIN trip b ON b.subj = n.obj AND b.graph = a.graph
+         |  WHERE a.pred = '<${P}tool>' AND a.obj = '"tool_purchase"'
+         |    AND n.pred = '<${P}next>'
+         |    AND b.pred = '<${P}tool>' AND b.obj = '"tool_purchase"')""".stripMargin,
     "csv_parse" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "csv_scan" ->

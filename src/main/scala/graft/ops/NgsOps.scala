@@ -29,6 +29,20 @@ object NgsOps {
       .filter(col("__ok")).drop("__ok")
   }
 
+  /** `ngs filter --sparql 'ASK {…}'` — the full-SPARQL form: the ASK's
+    * BGP (joins, OPTIONAL, FILTER, …) is evaluated per named graph (every
+    * pattern scoped to one shared graph variable, so joins stay inside a
+    * graph, matching the reference's one-dataset-per-record semantics,
+    * NgsCmdImpls.java:88-104), and the quad stream is semi-joined (or
+    * anti-joined for `--drop`) against the passing-graph set — one
+    * distributed join, no per-graph query loop.
+    */
+  def askFilterSparql(quads: DataFrame, askText: String,
+      drop: Boolean = false): DataFrame = {
+    val passing = graft.rules.ConstructParser.parseGraphAsk(askText).run(quads)
+    quads.join(passing, Seq("graph"), if (drop) "left_anti" else "left_semi")
+  }
+
   /** `ngs head -n N` (NgsCmdImpls.java:107-126). The N-graph set is tiny →
     * TakeOrdered on the distinct-graph table + broadcast semi join.
     */

@@ -96,6 +96,16 @@ object ConstructParser {
     */
   def parseAsk(text: String): ParsedSelect = new P(text).askQuery()
 
+  /** Per-graph ASK (the reference's `ngs filter --sparql 'ASK {…}'`
+    * evaluates the ASK against EACH named graph's dataset,
+    * NgsCmdImpls.java:88-104): every un-GRAPHed triple pattern is scoped
+    * to one shared graph variable, so pattern joins stay within a single
+    * graph. `run` returns the DISTINCT passing graph names (column
+    * `graph`) — callers semi-join the quad stream against it
+    * ([[graft.ops.NgsOps.askFilterSparql]]).
+    */
+  def parseGraphAsk(text: String): ParsedSelect = new P(text).graphAskQuery()
+
   /** Binding-stream-mode parse (legacy API): fails loudly on a BGP WHERE
     * (those need the quad-table input that [[ParsedConstruct.run]] takes).
     */
@@ -366,6 +376,25 @@ object ConstructParser {
               s"$other requires triple patterns in WHERE")
           }
         bindings.agg((count(lit(1)) > 0).as("ask"))
+      }
+    }
+
+    def graphAskQuery(): ParsedSelect = {
+      resetState()
+      prefixLoop()
+      if (!kw("ASK")) fail("expected ASK")
+      skipWs()
+      kw("WHERE") // optional keyword
+      skipWs()
+      bgpVarTerm("__g") = true
+      val els = groupBlock(graphCtx = Some(VarT("__g")))
+      skipWs()
+      if (peek == ';') i += 1
+      skipWs()
+      if (i < n) fail("trailing input after ASK query")
+      require(sawPattern, "per-graph ASK needs at least one triple pattern")
+      ParsedSelect { input =>
+        compileGroup(els, input).select(col("__g").as("graph")).distinct()
       }
     }
 

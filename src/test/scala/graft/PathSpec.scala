@@ -150,6 +150,28 @@ class PathSpec extends AnyFunSuite {
     }
   }
 
+  test("per-graph ASK: pattern joins stay inside one graph") {
+    import spark.implicits._
+    // g1 has role+tool on the SAME subject; g2 has them split across
+    // subjects; g3 has role only — only g1 passes
+    val quads = Seq(
+      ("<g1>", "<s1>", "<" + EX + "role>", "\"a\""),
+      ("<g1>", "<s1>", "<" + EX + "tool>", "\"t\""),
+      ("<g2>", "<s2>", "<" + EX + "role>", "\"a\""),
+      ("<g2>", "<s3>", "<" + EX + "tool>", "\"t\""),
+      ("<g3>", "<s4>", "<" + EX + "role>", "\"a\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val ask = s"""PREFIX ex: <$EX>
+                 |ASK { ?s ex:role ?r . ?s ex:tool ?t . }""".stripMargin
+    val kept = graft.ops.NgsOps.askFilterSparql(quads, ask)
+    assert(kept.select("graph").distinct().collect().map(_.getString(0)).toSet
+      === Set("<g1>"))
+    assert(kept.count() === 2)
+    val dropped = graft.ops.NgsOps.askFilterSparql(quads, ask, drop = true)
+    assert(dropped.select("graph").distinct().collect().map(_.getString(0)).toSet
+      === Set("<g2>", "<g3>"))
+  }
+
   test("ASK text: true and false cases, one boolean row") {
     val yes = ConstructParser.parseAsk(
       s"PREFIX ex: <$EX>\nASK { ?s ex:next ?o . }").run(chain).collect()
