@@ -160,6 +160,18 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "select_having" -> ((s, dir) => {
+      // aggregate-level filter (SPARQL 1.1 §11.3): keep only roles with
+      // more than 1500 turns
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?role (COUNT(*) AS ?n)
+           |WHERE { ?t p:role ?role . }
+           |GROUP BY ?role
+           |HAVING (COUNT(*) > 1500)
+           |ORDER BY ?role""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     // SELECT text over a BGP WHERE: star join + GROUP BY from query text
     "select_bgp_text" -> ((s, dir) => {
       val q =
@@ -428,6 +440,11 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "select_having" ->
+      s"""$tripCte
+         |SELECT obj AS role, count(*) AS n FROM trip
+         |WHERE pred = '<${P}role>'
+         |GROUP BY obj HAVING count(*) > 1500""".stripMargin,
     "path_seq" ->
       s"""$tripCte
          |SELECT n.obj AS b, r.obj AS r

@@ -450,6 +450,35 @@ object ConstructParser {
         while (peek == '?') { groupBys += varName(); skipWs() }
         if (groupBys.isEmpty) fail("empty GROUP BY")
       }
+      // HAVING (aggExpr CMP literal|?var)… — SPARQL 1.1 §11.3: filters at
+      // the aggregate level; aggregate operands become hidden agg columns
+      val havings = scala.collection.mutable
+        .ArrayBuffer[(Column, Boolean, String, Column)]()
+      skipWs()
+      if (kw("HAVING")) {
+        skipWs()
+        while (peek == '(') {
+          i += 1
+          val (lc, lAgg) = aggExpr()
+          skipWs()
+          val op =
+            if (kwSym(">=")) ">=" else if (kwSym("<=")) "<="
+            else if (kwSym("!=")) "!=" else if (kwSym("=")) "="
+            else if (kwSym(">")) ">" else if (kwSym("<")) "<"
+            else fail("expected comparison in HAVING")
+          skipWs()
+          val rhs: Column = peek match {
+            case '"' => lit(stringLit())
+            case '?' => col(varName())
+            case c if c.isDigit || c == '-' => lit(number().toLong)
+            case _ => fail("HAVING rhs must be a literal or variable")
+          }
+          skipWs(); expect(')')
+          havings += ((lc, lAgg, op, rhs))
+          skipWs()
+        }
+        if (havings.isEmpty) fail("empty HAVING")
+      }
       val orders = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
       skipWs()
       if (kw("ORDER")) {
@@ -497,6 +526,8 @@ object ConstructParser {
           }
         val hasAgg = groupBys.nonEmpty ||
           items.exists { case Derived(_, _, true) => true; case _ => false }
+        require(havings.isEmpty || hasAgg,
+          "HAVING requires GROUP BY or an aggregate projection")
         val projected =
           if (!hasAgg) {
             if (items.toSeq == Seq(Star)) bindings
@@ -511,13 +542,29 @@ object ConstructParser {
             val badPlain = plain.filterNot(groupBys.contains)
             require(badPlain.isEmpty,
               s"non-aggregated SELECT vars $badPlain must appear in GROUP BY")
-            val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq
+            // HAVING aggregate operands ride along as hidden agg columns
+            val hidden = havings.zipWithIndex.collect {
+              case ((c, true, _, _), k) => c.as("__having" + k)
+            }
+            val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq ++ hidden
             require(aggs.nonEmpty, "GROUP BY without any aggregate projection")
             val g =
               if (groupBys.isEmpty) bindings.agg(aggs.head, aggs.tail: _*)
               else bindings.groupBy(groupBys.toSeq.map(col): _*)
                 .agg(aggs.head, aggs.tail: _*)
-            g.select(items.toSeq.map {
+            val filtered = havings.zipWithIndex.foldLeft(g) {
+              case (df, ((c, isAgg, op, rhs), k)) =>
+                val lhs = if (isAgg) col("__having" + k) else c
+                df.filter(op match {
+                  case "=" => lhs === rhs
+                  case "!=" => lhs =!= rhs
+                  case ">" => lhs > rhs
+                  case ">=" => lhs >= rhs
+                  case "<" => lhs < rhs
+                  case "<=" => lhs <= rhs
+                })
+            }
+            filtered.select(items.toSeq.map {
               case PlainVar(v) => col(v)
               case Derived(v, _, _) => col(v)
               case Star => throw new IllegalArgumentException(
@@ -1110,6 +1157,12 @@ object ConstructParser {
 
     /** Case-sensitive keyword (`a` in predicate position, SPARQL §19.8). */
     private def kwCS(w: String): Boolean = kwImpl(w, ignoreCase = false)
+
+    /** Symbolic token (no word-boundary check — `>1500` is fine). */
+    private def kwSym(w: String): Boolean = {
+      if (i + w.length > n || !s.regionMatches(false, i, w, 0, w.length)) false
+      else { i += w.length; true }
+    }
 
     private def kwImpl(w: String, ignoreCase: Boolean): Boolean = {
       if (i + w.length > n || !s.regionMatches(ignoreCase, i, w, 0, w.length)) return false

@@ -172,6 +172,22 @@ class PathSpec extends AnyFunSuite {
       === Set("<g2>", "<g3>"))
   }
 
+  test("HAVING filters at the aggregate level") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:next|ex:label ?o . }
+         |GROUP BY ?s HAVING (COUNT(*) >= 2) ORDER BY ?s""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(chain).collect()
+    // only n1 has two outgoing edges (next + label)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq((t("n1"), 2L)))
+    intercept[Exception] {
+      ConstructParser.parseSelect(
+        s"PREFIX ex: <$EX>\nSELECT ?s ?o WHERE { ?s ex:next ?o . } HAVING (COUNT(*) > 1)")
+        .run(chain)
+    }
+  }
+
   test("ASK text: true and false cases, one boolean row") {
     val yes = ConstructParser.parseAsk(
       s"PREFIX ex: <$EX>\nASK { ?s ex:next ?o . }").run(chain).collect()
