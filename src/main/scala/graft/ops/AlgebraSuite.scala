@@ -160,6 +160,42 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "sparql_fns_text" -> ((s, dir) => {
+      // the §17.4 function library FROM QUERY TEXT (binding-stream mode
+      // over the customer table): string, numeric, hash, term, and
+      // comparison/arithmetic operators in one oracled battery
+      val q =
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?c_custkey ?f_concat ?f_strlen ?f_ucase ?f_lcase ?f_substr
+          |       ?f_starts ?f_ends ?f_contains ?f_before ?f_after ?f_replace
+          |       ?f_regex ?f_md5 ?f_sha256 ?f_if ?f_coalesce ?f_arith ?f_cmp
+          |       ?f_strlang ?f_lang ?f_dt ?f_islit
+          |WHERE {
+          |  BIND(CONCAT(?c_name, "/", ?c_mktsegment) AS ?f_concat)
+          |  BIND(STRLEN(?c_name) AS ?f_strlen)
+          |  BIND(UCASE(?c_mktsegment) AS ?f_ucase)
+          |  BIND(LCASE(?c_name) AS ?f_lcase)
+          |  BIND(SUBSTR(?c_name, 1, 8) AS ?f_substr)
+          |  BIND(STRSTARTS(?c_name, "Customer") AS ?f_starts)
+          |  BIND(STRENDS(?c_name, "1") AS ?f_ends)
+          |  BIND(CONTAINS(?c_mktsegment, "MACH") AS ?f_contains)
+          |  BIND(STRBEFORE(?c_name, "#") AS ?f_before)
+          |  BIND(STRAFTER(?c_name, "#") AS ?f_after)
+          |  BIND(REPLACE(?c_name, "0+", "0") AS ?f_replace)
+          |  BIND(REGEX(?c_name, "00[1-4]$") AS ?f_regex)
+          |  BIND(MD5(?c_mktsegment) AS ?f_md5)
+          |  BIND(SHA256(?c_name) AS ?f_sha256)
+          |  BIND(IF(?c_mktsegment = "BUILDING", "b", "other") AS ?f_if)
+          |  BIND(COALESCE(?c_name, ?c_mktsegment) AS ?f_coalesce)
+          |  BIND((?c_custkey + 1) * 2 AS ?f_arith)
+          |  BIND(?c_custkey > 100 && ?c_custkey <= 1400 AS ?f_cmp)
+          |  BIND(STRLANG(?c_name, "en") AS ?f_strlang)
+          |  BIND(LANG(?f_strlang) AS ?f_lang)
+          |  BIND(DATATYPE(STRDT(?c_name, xsd:token)) AS ?f_dt)
+          |  BIND(ISLITERAL(?f_strlang) AS ?f_islit)
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(customer(s, dir))
+    }),
     "select_having" -> ((s, dir) => {
       // aggregate-level filter (SPARQL 1.1 §11.3): keep only roles with
       // more than 1500 turns
@@ -440,6 +476,33 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "sparql_fns_text" ->
+      """SELECT c_custkey,
+        |  c_name || '/' || c_mktsegment AS f_concat,
+        |  CAST(length(c_name) AS BIGINT) AS f_strlen,
+        |  upper(c_mktsegment) AS f_ucase,
+        |  lower(c_name) AS f_lcase,
+        |  substr(c_name, 1, 8) AS f_substr,
+        |  starts_with(c_name, 'Customer') AS f_starts,
+        |  ends_with(c_name, '1') AS f_ends,
+        |  contains(c_mktsegment, 'MACH') AS f_contains,
+        |  CASE WHEN strpos(c_name, '#') > 0
+        |       THEN substr(c_name, 1, strpos(c_name, '#') - 1) ELSE '' END AS f_before,
+        |  CASE WHEN strpos(c_name, '#') > 0
+        |       THEN substr(c_name, strpos(c_name, '#') + 1) ELSE '' END AS f_after,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS f_replace,
+        |  regexp_matches(c_name, '00[1-4]$') AS f_regex,
+        |  md5(c_mktsegment) AS f_md5,
+        |  sha256(c_name) AS f_sha256,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'b' ELSE 'other' END AS f_if,
+        |  COALESCE(c_name, c_mktsegment) AS f_coalesce,
+        |  CAST((c_custkey + 1) * 2 AS DOUBLE) AS f_arith,
+        |  (c_custkey > 100 AND c_custkey <= 1400) AS f_cmp,
+        |  '"' || c_name || '"@en' AS f_strlang,
+        |  'en' AS f_lang,
+        |  '<http://www.w3.org/2001/XMLSchema#token>' AS f_dt,
+        |  true AS f_islit
+        |FROM customer""".stripMargin,
     "select_having" ->
       s"""$tripCte
          |SELECT obj AS role, count(*) AS n FROM trip

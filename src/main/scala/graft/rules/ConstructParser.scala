@@ -53,20 +53,37 @@ object ConstructParser {
   /** A compiled expression: `term=true` means the Column already holds a
     * final N-Triples lexical term (`<iri>`, `"lit"^^…`); `term=false`
     * means a RAW value (plain string/number) that becomes a plain literal
-    * if used in a template position.
+    * if used in a template position. `num=true` marks numeric-valued
+    * expressions (number literals, arithmetic, STRLEN…) so ordering
+    * comparisons pick numeric rather than lexicographic semantics.
     */
-  private final case class E(c: Column, term: Boolean)
+  private final case class E(c: Column, term: Boolean, num: Boolean = false)
 
   /** One parsed CONSTRUCT statement. `where` is Some(compiler) in BGP
     * mode (input = a triple/quad DataFrame with columns subj/pred/obj
     * [/graph]); None in binding-stream mode (input = the binding stream).
+    * `needsRowId` = the templates mint fresh blank nodes (`_:label`), one
+    * per solution row (SPARQL §16.2.1): a hidden per-row id column is
+    * added BEFORE template evaluation so every template triple of one
+    * solution shares the same fresh node.
     */
   final case class ParsedConstruct(
       rules: Seq[Rule],
-      where: Option[DataFrame => DataFrame]) {
-    def run(input: DataFrame): DataFrame =
-      RuleCompiler.compile(where.map(_(input)).getOrElse(input), rules)
+      where: Option[DataFrame => DataFrame],
+      needsRowId: Boolean = false) {
+    def run(input: DataFrame): DataFrame = {
+      val bound = where.map(_(input)).getOrElse(input)
+      val prepped =
+        if (needsRowId)
+          bound.withColumn(ConstructParser.RowIdCol,
+            monotonically_increasing_id().cast("string"))
+        else bound
+      RuleCompiler.compile(prepped, rules)
+    }
   }
+
+  /** Hidden column carrying the per-solution id for fresh template bnodes. */
+  private[rules] val RowIdCol = "__construct_rowid"
 
   def parseConstruct(text: String): ParsedConstruct = new P(text).query()
 
@@ -230,6 +247,9 @@ object ConstructParser {
       * (shared by CONSTRUCT queries and INSERT/DELETE … WHERE updates).
       */
     private def finishConstruct(templates: Seq[T], els: Seq[WhereEl]): ParsedConstruct = {
+      val mintsBnodes = templates.exists { case (a, b, c, g) =>
+        Seq(a, b, c, g).exists(_.isInstanceOf[BnodeT])
+      }
       if (!sawPattern) {
         // binding-stream mode: WHERE may only hold BIND/FILTER
         els.foreach {
@@ -242,7 +262,7 @@ object ConstructParser {
         ParsedConstruct(Seq(Rule("construct", where,
           templates.map { case (st, pt, ot, gt) =>
             TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
-          })), None)
+          })), None, needsRowId = mintsBnodes)
       } else {
         // BGP mode: the where-compiler turns the input quad table into a
         // binding frame; FILTERs live inside the group compilation
@@ -250,7 +270,8 @@ object ConstructParser {
           templates.map { case (st, pt, ot, gt) =>
             TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
           }))
-        ParsedConstruct(rules, Some(quads => compileGroup(els, quads)))
+        ParsedConstruct(rules, Some(quads => compileGroup(els, quads)),
+          needsRowId = mintsBnodes)
       }
     }
 
@@ -338,6 +359,7 @@ object ConstructParser {
 
     private def constTerm(t: Tok): String = t match {
       case VarT(v) => fail(s"variable ?$v is not allowed in a DATA block")
+      case BnodeT(l) => "_:" + l // DATA blocks: label kept verbatim
       case other => specOf(other).swap.getOrElse(fail("constant term expected"))
     }
 
@@ -461,20 +483,26 @@ object ConstructParser {
           i += 1
           val (lc, lAgg) = aggExpr()
           skipWs()
-          val op =
-            if (kwSym(">=")) ">=" else if (kwSym("<=")) "<="
-            else if (kwSym("!=")) "!=" else if (kwSym("=")) "="
-            else if (kwSym(">")) ">" else if (kwSym("<")) "<"
-            else fail("expected comparison in HAVING")
-          skipWs()
-          val rhs: Column = peek match {
-            case '"' => lit(stringLit())
-            case '?' => col(varName())
-            case c if c.isDigit || c == '-' => lit(number().toLong)
-            case _ => fail("HAVING rhs must be a literal or variable")
+          if (peek == ')') {
+            // a non-aggregate expr() consumed the whole boolean condition
+            i += 1
+            havings += ((lc, lAgg, "bool", lit(true)))
+          } else {
+            val op =
+              if (kwSym(">=")) ">=" else if (kwSym("<=")) "<="
+              else if (kwSym("!=")) "!=" else if (kwSym("=")) "="
+              else if (kwSym(">")) ">" else if (kwSym("<")) "<"
+              else fail("expected comparison in HAVING")
+            skipWs()
+            val rhs: Column = peek match {
+              case '"' => lit(stringLit())
+              case '?' => col(varName())
+              case c if c.isDigit || c == '-' => lit(number().toLong)
+              case _ => fail("HAVING rhs must be a literal or variable")
+            }
+            skipWs(); expect(')')
+            havings += ((lc, lAgg, op, rhs))
           }
-          skipWs(); expect(')')
-          havings += ((lc, lAgg, op, rhs))
           skipWs()
         }
         if (havings.isEmpty) fail("empty HAVING")
@@ -556,6 +584,7 @@ object ConstructParser {
               case (df, ((c, isAgg, op, rhs), k)) =>
                 val lhs = if (isAgg) col("__having" + k) else c
                 df.filter(op match {
+                  case "bool" => lhs
                   case "=" => lhs === rhs
                   case "!=" => lhs =!= rhs
                   case ">" => lhs > rhs
@@ -654,6 +683,10 @@ object ConstructParser {
     private case class NumT(lex: String) extends Tok
     /** A property path in predicate position (WHERE patterns only). */
     private case class PathT(p: PathOps.PathExpr) extends Tok
+    /** `_:label` — fresh bnode per solution in templates (SPARQL §16.2.1);
+      * a plain scoped variable in WHERE patterns (§19.6).
+      */
+    private case class BnodeT(label: String) extends Tok
 
     private def templateBlock(): Seq[T] = {
       expect('{')
@@ -714,6 +747,13 @@ object ConstructParser {
         case '?' => VarT(varName())
         case '<' => IriT(iriRef())
         case '"' => StrT(stringLit())
+        case '_' if i + 1 < n && s.charAt(i + 1) == ':' =>
+          i += 2
+          val start = i
+          while (i < n && (Character.isLetterOrDigit(s.charAt(i)) ||
+            s.charAt(i) == '_' || s.charAt(i) == '-')) i += 1
+          if (i == start) fail("empty blank node label")
+          BnodeT(s.substring(start, i))
         case c if c.isDigit || c == '-' => NumT(number())
         case _ => IriT(prefixedIri())
       }
@@ -813,11 +853,15 @@ object ConstructParser {
           case None => fail(s"template variable ?$v is bound by no pattern or BIND")
         }
         else binds.get(v) match {
-          case Some(E(c, true)) => c
-          case Some(E(c, false)) => RdfTerms.strLit(c.cast("string"))
+          case Some(E(c, true, _)) => c
+          case Some(E(c, false, _)) => RdfTerms.strLit(c.cast("string"))
           case None => RdfTerms.strLit(col(v).cast("string"))
         }
       case PathT(_) => fail("property path in template position")
+      case BnodeT(l) =>
+        // fresh node per solution: label + hidden per-row id (partition id
+        // is encoded in the id, so labels are globally unique)
+        concat(lit("_:" + l + "r"), col(ConstructParser.RowIdCol))
     }
 
     private def TrigEscape(v: String): String =
@@ -1021,11 +1065,27 @@ object ConstructParser {
       case NumT(lex) =>
         Left("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
       case PathT(_) => fail("property path outside predicate position")
+      // a bnode in a WHERE pattern is a variable scoped to the query
+      // (SPARQL §19.6) — named so it cannot collide with real ?vars
+      case BnodeT(l) => Right("__bnode_" + l)
     }
 
     // -------------------------------------------------------- expressions
 
+    // precedence (SPARQL 1.1 §17): || < && < comparison < +- < */ < unary
     private def expr(): E = {
+      var left = andExpr()
+      skipWs()
+      while (peek == '|' && i + 1 < n && s.charAt(i + 1) == '|') {
+        i += 2
+        val right = andExpr()
+        left = E(left.c || right.c, term = false)
+        skipWs()
+      }
+      left
+    }
+
+    private def andExpr(): E = {
       var left = cmp()
       skipWs()
       while (peek == '&' && i + 1 < n && s.charAt(i + 1) == '&') {
@@ -1040,22 +1100,90 @@ object ConstructParser {
     /** `=`/`!=` compare RDF terms: when exactly one side is already a
       * term, the raw side is promoted to its plain-literal term form so
       * `?role != "system"` works against pattern-bound term columns.
+      * `<`/`<=`/`>`/`>=` compare numerically when either side is numeric,
+      * else lexicographically on raw values; `<` is an operator only when
+      * followed by whitespace (otherwise it opens an IRI).
       */
     private def cmp(): E = {
-      val left = unary()
+      val left = addExpr()
       skipWs()
-      def sides(r: E): (Column, Column) =
+      def termSides(r: E): (Column, Column) =
         if (left.term == r.term) (left.c, r.c)
         else (termCol(left), termCol(r))
-      if (peek == '=') {
-        i += 1; val r = unary(); val (a, b) = sides(r); E(a === b, term = false)
-      } else if (peek == '!' && i + 1 < n && s.charAt(i + 1) == '=') {
-        i += 2; val r = unary(); val (a, b) = sides(r); E(a =!= b, term = false)
+      def ordSides(r: E): (Column, Column) =
+        if (left.num || r.num) (numC(left), numC(r)) else (raw(left), raw(r))
+      if (kwSym("!=")) {
+        val r = addExpr(); val (a, b) = termSides(r); E(a =!= b, term = false)
+      } else if (kwSym("=")) {
+        val r = addExpr(); val (a, b) = termSides(r); E(a === b, term = false)
+      } else if (kwSym("<=")) {
+        val r = addExpr(); val (a, b) = ordSides(r); E(a <= b, term = false)
+      } else if (kwSym(">=")) {
+        val r = addExpr(); val (a, b) = ordSides(r); E(a >= b, term = false)
+      } else if (peek == '<' && i + 1 < n && s.charAt(i + 1).isWhitespace) {
+        i += 1
+        val r = addExpr(); val (a, b) = ordSides(r); E(a < b, term = false)
+      } else if (kwSym(">")) {
+        val r = addExpr(); val (a, b) = ordSides(r); E(a > b, term = false)
+      } else if (kw("IN")) inList(left, neg = false)
+      else if (kw("NOT")) {
+        skipWs()
+        if (!kw("IN")) fail("expected IN after NOT")
+        inList(left, neg = true)
       } else left
+    }
+
+    /** `e [NOT] IN (v, …)` — equality against each member with the same
+      * raw↔term promotion as `=`.
+      */
+    private def inList(left: E, neg: Boolean): E = {
+      val items = argList()
+      require(items.nonEmpty, "IN needs at least one value")
+      val cond = items.map { x =>
+        if (left.term == x.term) left.c === x.c
+        else termCol(left) === termCol(x)
+      }.reduce(_ || _)
+      E(if (neg) !cond else cond, term = false)
+    }
+
+    private def addExpr(): E = {
+      var left = mulExpr()
+      skipWs()
+      var go = true
+      while (go) {
+        if (peek == '+') {
+          i += 1; val r = mulExpr()
+          left = E(numC(left) + numC(r), term = false, num = true); skipWs()
+        } else if (peek == '-') {
+          i += 1; val r = mulExpr()
+          left = E(numC(left) - numC(r), term = false, num = true); skipWs()
+        } else go = false
+      }
+      left
+    }
+
+    private def mulExpr(): E = {
+      var left = unary()
+      skipWs()
+      var go = true
+      while (go) {
+        if (peek == '*') {
+          i += 1; val r = unary()
+          left = E(numC(left) * numC(r), term = false, num = true); skipWs()
+        } else if (peek == '/') {
+          i += 1; val r = unary()
+          left = E(numC(left) / numC(r), term = false, num = true); skipWs()
+        } else go = false
+      }
+      left
     }
 
     private def termCol(e: E): Column =
       if (e.term) e.c else RdfTerms.strLit(e.c.cast("string"))
+
+    /** Numeric value of an expression (term literals via their lexical form). */
+    private def numC(e: E): Column =
+      if (e.term) raw(e).cast("double") else e.c.cast("double")
 
     private def unary(): E = {
       skipWs()
@@ -1075,7 +1203,8 @@ object ConstructParser {
         case '"' => E(lit(stringLit()), term = false)
         case '<' => E(lit("<" + iriRef() + ">"), term = true)
         case '(' => i += 1; val e = expr(); skipWs(); expect(')'); e
-        case c if c.isDigit || c == '-' => E(lit(number()).cast("string"), term = false)
+        case c if c.isDigit || c == '-' =>
+          E(lit(exprNumber()).cast("string"), term = false, num = true)
         case _ if kw("IRI") || kw("URI") =>
           val args = argList()
           require(args.size == 1, "IRI takes 1 argument")
@@ -1096,10 +1225,129 @@ object ConstructParser {
           val args = argList()
           require(args.size == 1, "BOUND takes 1 argument")
           E(args.head.c.isNotNull, term = false)
+        // ---- SPARQL 1.1 §17.4 function library (string/numeric/hash/term)
+        case _ if kw("STRLEN") =>
+          E(length(raw(arg1())).cast("long"), term = false, num = true)
+        case _ if kw("UCASE") => E(upper(raw(arg1())), term = false)
+        case _ if kw("LCASE") => E(lower(raw(arg1())), term = false)
+        case _ if kw("SUBSTR") =>
+          val a = argList()
+          require(a.size == 2 || a.size == 3, "SUBSTR takes 2-3 arguments")
+          val str = raw(a.head)
+          val pos = numC(a(1)).cast("int")
+          E(if (a.size == 2) str.substr(pos, length(str))
+            else str.substr(pos, numC(a(2)).cast("int")), term = false)
+        case _ if kw("STRSTARTS") =>
+          val a = arg2(); E(raw(a._1).startsWith(raw(a._2)), term = false)
+        case _ if kw("STRENDS") =>
+          val a = arg2(); E(raw(a._1).endsWith(raw(a._2)), term = false)
+        case _ if kw("CONTAINS") =>
+          val a = arg2(); E(raw(a._1).contains(raw(a._2)), term = false)
+        case _ if kw("STRBEFORE") =>
+          val (s1, d) = arg2()
+          val str = raw(s1); val del = raw(d)
+          val pos = call_function("instr", str, del)
+          E(when(pos > 0, str.substr(lit(1), pos - 1)).otherwise(""), term = false)
+        case _ if kw("STRAFTER") =>
+          val (s1, d) = arg2()
+          val str = raw(s1); val del = raw(d)
+          val pos = call_function("instr", str, del)
+          E(when(pos > 0, str.substr(pos + length(del), length(str)))
+            .otherwise(""), term = false)
+        case _ if kw("REPLACE") =>
+          val a = argList()
+          require(a.size == 3 || a.size == 4, "REPLACE takes 3-4 arguments")
+          val pat = if (a.size == 4)
+            concat(lit("(?"), raw(a(3)), lit(")"), raw(a(1)))
+          else raw(a(1))
+          E(regexp_replace(raw(a.head), pat, raw(a(2))), term = false)
+        case _ if kw("REGEX") =>
+          val a = argList()
+          require(a.size == 2 || a.size == 3, "REGEX takes 2-3 arguments")
+          val pat = if (a.size == 3)
+            concat(lit("(?"), raw(a(2)), lit(")"), raw(a(1)))
+          else raw(a(1))
+          E(regexp_like(raw(a.head), pat), term = false)
+        case _ if kw("ABS") => E(abs(numC(arg1())), term = false, num = true)
+        case _ if kw("CEIL") =>
+          E(ceil(numC(arg1())).cast("long"), term = false, num = true)
+        case _ if kw("FLOOR") =>
+          E(floor(numC(arg1())).cast("long"), term = false, num = true)
+        case _ if kw("MD5") => E(md5(raw(arg1())), term = false)
+        case _ if kw("SHA1") => E(sha1(raw(arg1())), term = false)
+        case _ if kw("SHA256") => E(sha2(raw(arg1()), 256), term = false)
+        case _ if kw("SHA384") => E(sha2(raw(arg1()), 384), term = false)
+        case _ if kw("SHA512") => E(sha2(raw(arg1()), 512), term = false)
+        case _ if kw("COALESCE") =>
+          val a = argList()
+          require(a.nonEmpty, "COALESCE takes >=1 argument")
+          val anyTerm = a.exists(_.term)
+          E(coalesce(a.map(x => if (anyTerm) termCol(x) else x.c): _*), anyTerm)
+        case _ if kw("IF") =>
+          val a = argList()
+          require(a.size == 3, "IF takes 3 arguments")
+          val anyTerm = a(1).term || a(2).term
+          def side(x: E) = if (anyTerm) termCol(x) else x.c
+          E(when(a.head.c, side(a(1))).otherwise(side(a(2))), anyTerm)
+        case _ if kw("LANGMATCHES") =>
+          val (t1, r1) = arg2()
+          E(when(raw(r1) === "*", raw(t1) =!= "")
+            .otherwise(lower(raw(t1)) === lower(raw(r1))), term = false)
+        case _ if kw("LANG") =>
+          E(regexp_extract(termCol(arg1()), "@([A-Za-z0-9-]+)$", 1), term = false)
+        case _ if kw("DATATYPE") =>
+          val t = termCol(arg1())
+          val dt = regexp_extract(t, "\\^\\^<([^>]*)>$", 1)
+          E(when(dt =!= "", concat(lit("<"), dt, lit(">")))
+            .when(t.rlike("@[A-Za-z0-9-]+$"),
+              lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"))
+            .when(t.startsWith("\""),
+              lit("<http://www.w3.org/2001/XMLSchema#string>")), term = true)
+        case _ if kw("STRLANG") =>
+          val (l, g) = arg2()
+          E(concat(lit("\""), RdfTerms.ntEscape(raw(l)), lit("\"@"), raw(g)),
+            term = true)
+        case _ if kw("ENCODE_FOR_URI") =>
+          E(url_encode(raw(arg1())), term = false)
+        case _ if kw("ISIRI") || kw("ISURI") =>
+          E(termCol(arg1()).startsWith("<"), term = false)
+        case _ if kw("ISLITERAL") =>
+          E(termCol(arg1()).startsWith("\""), term = false)
+        case _ if kw("ISBLANK") =>
+          E(termCol(arg1()).startsWith("_:"), term = false)
         case c if Character.isLetter(c) || c == '_' =>
           E(lit("<" + prefixedIri() + ">"), term = true) // e.g. xsd:long
         case _ => fail("unsupported expression")
       }
+    }
+
+    private def arg1(): E = {
+      val a = argList(); require(a.size == 1, "expected 1 argument"); a.head
+    }
+
+    private def arg2(): (E, E) = {
+      val a = argList(); require(a.size == 2, "expected 2 arguments")
+      (a.head, a(1))
+    }
+
+    /** Expression-position numeric literal: integer, decimal, or double
+      * (templates/VALUES keep integer-only [[number]] so their datatype
+      * stays xsd:integer).
+      */
+    private def exprNumber(): String = {
+      val start = i
+      if (peek == '-') i += 1
+      while (i < n && s.charAt(i).isDigit) i += 1
+      if (peek == '.' && i + 1 < n && s.charAt(i + 1).isDigit) {
+        i += 1
+        while (i < n && s.charAt(i).isDigit) i += 1
+      }
+      if ((peek == 'e' || peek == 'E') && i + 1 < n &&
+          (s.charAt(i + 1).isDigit || s.charAt(i + 1) == '-' || s.charAt(i + 1) == '+')) {
+        i += 2
+        while (i < n && s.charAt(i).isDigit) i += 1
+      }
+      s.substring(start, i)
     }
 
     /** Raw string value of an expression. For term-typed values (pattern

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rules.ConstructParser
+
+/** SPARQL 1.1 §17 expression grammar from query text: operator precedence,
+  * numeric vs lexicographic comparison, and the function library.
+  */
+class FnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rows(q: String, df: org.apache.spark.sql.DataFrame) =
+    ConstructParser.parseSelect(q).run(df).collect()
+
+  private lazy val data = {
+    import spark.implicits._
+    Seq((1L, "alpha#one", "x"), (20L, "Beta#two", "y"), (300L, "gamma", "z"))
+      .toDF("k", "name", "tag")
+  }
+
+  test("arithmetic precedence and numeric comparison") {
+    val got = rows(
+      """SELECT ?k ?v WHERE {
+        |  BIND(?k + 2 * 10 AS ?v)
+        |  FILTER(?k < 250)
+        |}""".stripMargin, data)
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((1L, 21.0), (20L, 40.0)))
+  }
+
+  test("string comparison is lexicographic when nothing is numeric") {
+    val got = rows(
+      "SELECT ?name WHERE { FILTER(?name >= \"a\") }", data)
+    // "Beta#two" < "a" lexicographically (uppercase B)
+    assert(got.map(_.getString(0)).toSet === Set("alpha#one", "gamma"))
+  }
+
+  test("|| and grouped boolean expressions") {
+    val got = rows(
+      "SELECT ?k WHERE { FILTER(?k = 1 || (?k > 100 && ?name = \"gamma\")) }",
+      data)
+    assert(got.map(_.getLong(0)).toSet === Set(1L, 300L))
+  }
+
+  test("string functions: substr, before/after, replace, regex, case") {
+    val got = rows(
+      """SELECT ?name ?sub ?before ?after ?rep ?rx ?up WHERE {
+        |  BIND(SUBSTR(?name, 1, 4) AS ?sub)
+        |  BIND(STRBEFORE(?name, "#") AS ?before)
+        |  BIND(STRAFTER(?name, "#") AS ?after)
+        |  BIND(REPLACE(?name, "a", "A") AS ?rep)
+        |  BIND(REGEX(?name, "^ALPHA", "i") AS ?rx)
+        |  BIND(UCASE(?tag) AS ?up)
+        |}""".stripMargin, data)
+    val byName = got.map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+        r.getBoolean(5), r.getString(6))).toMap
+    assert(byName("alpha#one") === (("alph", "alpha", "one", "AlphA#one", true, "X")))
+    assert(byName("gamma") === (("gamm", "", "", "gAmmA", false, "Z")))
+  }
+
+  test("STRLEN/CEIL/FLOOR are numeric; division yields decimals") {
+    val got = rows(
+      """SELECT ?k ?len ?half ?c ?f WHERE {
+        |  BIND(STRLEN(?name) AS ?len)
+        |  BIND(?k / 2 AS ?half)
+        |  BIND(CEIL(?k / 2) AS ?c)
+        |  BIND(FLOOR(?k / 2) AS ?f)
+        |  FILTER(STRLEN(?name) > 5)
+        |}""".stripMargin, data)
+    val m = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(1L) === ((9L, 0.5, 1L, 0L)))
+    assert(m.size === 2) // gamma (len 5) filtered out
+  }
+
+  test("term functions: STRLANG/LANG/DATATYPE/isLiteral, IF/COALESCE") {
+    val got = rows(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?k ?lit ?lang ?dt ?islit ?choice WHERE {
+        |  BIND(STRLANG(?tag, "fr") AS ?lit)
+        |  BIND(LANG(?lit) AS ?lang)
+        |  BIND(DATATYPE(STRDT(?tag, xsd:token)) AS ?dt)
+        |  BIND(ISLITERAL(?lit) AS ?islit)
+        |  BIND(IF(?k > 10, "big", "small") AS ?choice)
+        |}""".stripMargin, data)
+    val m = got.map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4),
+        r.getString(5))).toMap
+    assert(m(1L) === (("\"x\"@fr", "fr",
+      "<http://www.w3.org/2001/XMLSchema#token>", true, "small")))
+    assert(m(300L)._5 === "big")
+  }
+
+  test("IN and NOT IN with term promotion") {
+    val got = rows(
+      "SELECT ?k WHERE { FILTER(?tag IN (\"x\", \"z\")) }", data)
+    assert(got.map(_.getLong(0)).toSet === Set(1L, 300L))
+    val got2 = rows(
+      "SELECT ?k WHERE { FILTER(?k NOT IN (1, 300)) }", data)
+    assert(got2.map(_.getLong(0)).toSet === Set(20L))
+  }
+
+  test("hash functions produce lowercase hex") {
+    val got = rows(
+      """SELECT ?m ?s WHERE { BIND(MD5(?tag) AS ?m) BIND(SHA256(?tag) AS ?s)
+        |  FILTER(?tag = "x") }""".stripMargin, data)
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "9dd4e461268c8034f5c8564e155c67a6")
+    assert(got(0).getString(1) ===
+      "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
+  }
+}

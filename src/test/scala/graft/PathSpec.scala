@@ -130,6 +130,35 @@ class PathSpec extends AnyFunSuite {
     assert(got === Set((t("n1"), t("n2")), (t("n1"), t("n3")), (t("n1"), t("n4"))))
   }
 
+  test("template blank nodes mint one fresh node per solution") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |CONSTRUCT { ?s ex:meta _:m . _:m ex:target ?o . }
+         |WHERE { ?s ex:next ?o . }""".stripMargin
+    val out = ConstructParser.parseConstruct(q).run(chain)
+    val si = out.columns.indexOf("subj"); val pi = out.columns.indexOf("pred")
+    val oi = out.columns.indexOf("obj")
+    val rows = out.collect().map(r =>
+      (r.getString(si), r.getString(pi), r.getString(oi)))
+    assert(rows.length === 6) // 3 solutions x 2 template triples
+    val minted = rows.collect {
+      case (_, p, o) if p == "<" + EX + "meta>" => o
+    }
+    assert(minted.distinct.length === 3, "one fresh bnode per solution")
+    assert(minted.forall(_.startsWith("_:mr")))
+    // the SAME node links both triples of one solution
+    minted.foreach { m =>
+      assert(rows.exists { case (s2, p2, _) =>
+        s2 == m && p2 == "<" + EX + "target>"
+      })
+    }
+    // WHERE-side bnodes act as scoped variables
+    val q2 = s"""PREFIX ex: <$EX>
+                |SELECT ?o WHERE { _:x ex:label ?o . }""".stripMargin
+    assert(ConstructParser.parseSelect(q2).run(chain).collect()
+      .map(_.getString(0)).toSeq === Seq(t("a")))
+  }
+
   test("VALUES: single-var and multi-var forms join as inline data") {
     val q =
       s"""PREFIX ex: <$EX>
