@@ -160,6 +160,25 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "describe_text" -> ((s, dir) => {
+      // DESCRIBE = subject-outgoing star of every matched resource
+      val q =
+        s"""PREFIX p: <$P>
+           |DESCRIBE ?c WHERE { ?t p:conv ?c . ?t p:tool "tool_purchase" . }""".stripMargin
+      graft.rules.ConstructParser.parseDescribe(q).run(trip(s, dir))
+    }),
+    "subselect_text" -> ((s, dir) => {
+      // SPARQL 1.1 §12 subquery: per-conversation turn counts joined back
+      // onto each turn
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?t ?conv ?n WHERE {
+           |  ?t p:conv ?conv .
+           |  { SELECT ?conv (COUNT(*) AS ?n)
+           |    WHERE { ?x p:conv ?conv . } GROUP BY ?conv }
+           |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "sparql_fns_text" -> ((s, dir) => {
       // the §17.4 function library FROM QUERY TEXT (binding-stream mode
       // over the customer table): string, numeric, hash, term, and
@@ -476,6 +495,20 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "describe_text" ->
+      s"""$tripCte
+         |SELECT t.subj, t.pred, t.obj, t.graph FROM trip t
+         |WHERE t.subj IN (
+         |  SELECT a.obj FROM trip a JOIN trip b ON b.subj = a.subj
+         |  WHERE a.pred = '<${P}conv>'
+         |    AND b.pred = '<${P}tool>' AND b.obj = '"tool_purchase"')""".stripMargin,
+    "subselect_text" ->
+      s"""$tripCte
+         |SELECT a.subj AS t, a.obj AS conv, c.n AS n
+         |FROM trip a
+         |JOIN (SELECT obj AS conv, count(*) AS n FROM trip
+         |      WHERE pred = '<${P}conv>' GROUP BY obj) c ON c.conv = a.obj
+         |WHERE a.pred = '<${P}conv>'""".stripMargin,
     "sparql_fns_text" ->
       """SELECT c_custkey,
         |  c_name || '/' || c_mktsegment AS f_concat,

@@ -123,6 +123,16 @@ object ConstructParser {
     */
   def parseGraphAsk(text: String): ParsedSelect = new P(text).graphAskQuery()
 
+  /** SPARQL DESCRIBE text (the 4th query form): `DESCRIBE <iri>… [WHERE
+    * {…}]` / `DESCRIBE ?v… WHERE {…}`. Emits every quad whose subject is
+    * a described resource (concise-bounded-description reduced to the
+    * subject-outgoing star — the reference delegates the same default to
+    * Jena). `run` input = the quad table; described vars resolve through
+    * the WHERE pattern, constants stand alone; the resource set is
+    * DISTINCT and semi-joins the quad stream.
+    */
+  def parseDescribe(text: String): ParsedSelect = new P(text).describeQuery()
+
   /** Binding-stream-mode parse (legacy API): fails loudly on a BGP WHERE
     * (those need the quad-table input that [[ParsedConstruct.run]] takes).
     */
@@ -205,6 +215,19 @@ object ConstructParser {
     // bgpVarTerm maps every WHERE-bound variable to "holds a term?"
     private var sawPattern = false
     private val bgpVarTerm = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    /** Projection of the most recent [[selectQuery]] parse:
+      * (var, holds-a-term?) — lets an enclosing group register a
+      * subquery's visible variables.
+      */
+    private var lastProjection: Seq[(String, Boolean)] = Nil
+
+    /** Lookahead: does the `{` at the cursor open a `{ SELECT … }` subquery? */
+    private def subselectAhead: Boolean = {
+      var j = i + 1
+      while (j < n && s.charAt(j).isWhitespace) j += 1
+      s.regionMatches(true, j, "SELECT", 0, 6) &&
+        (j + 6 >= n || !Character.isLetterOrDigit(s.charAt(j + 6)))
+    }
 
     def hasMore: Boolean = { skipWs(); i < n }
 
@@ -420,6 +443,56 @@ object ConstructParser {
       }
     }
 
+    def describeQuery(): ParsedSelect = {
+      resetState()
+      prefixLoop()
+      if (!kw("DESCRIBE")) fail("expected DESCRIBE")
+      val vars = scala.collection.mutable.ArrayBuffer[String]()
+      val consts = scala.collection.mutable.ArrayBuffer[String]()
+      var more = true
+      while (more) {
+        skipWs()
+        if (peek == '?') vars += varName()
+        else if (peek == '<') consts += "<" + iriRef() + ">"
+        else if (Character.isLetter(peek)) {
+          val save = i
+          if (kw("WHERE")) { i = save; more = false }
+          else consts += "<" + prefixedIri() + ">"
+        } else more = false
+      }
+      require(vars.nonEmpty || consts.nonEmpty, "empty DESCRIBE")
+      skipWs()
+      val els =
+        if (kw("WHERE")) { skipWs(); groupBlock(graphCtx = None) }
+        else if (peek == '{') groupBlock(graphCtx = None)
+        else Seq.empty
+      require(vars.isEmpty || els.nonEmpty,
+        "DESCRIBE with variables needs a WHERE pattern")
+      skipWs()
+      if (peek == ';') i += 1
+      skipWs()
+      if (i < n) fail("trailing input after DESCRIBE query")
+      ParsedSelect { quads =>
+        val spark = quads.sparkSession
+        val constDf =
+          if (consts.isEmpty) None
+          else Some(spark.createDataFrame(
+            spark.sparkContext.parallelize(consts.toSeq.map(Row(_)), 1),
+            StructType(Seq(StructField("__resource", StringType)))))
+        val varDf =
+          if (vars.isEmpty) None
+          else {
+            val bound = compileGroup(els, quads)
+            Some(vars.map(v => bound.select(col(v).as("__resource")))
+              .reduce(_ union _))
+          }
+        val resources = (constDf.toSeq ++ varDf.toSeq)
+          .reduce(_ union _).distinct()
+        quads.join(resources,
+          quads.col("subj") === resources.col("__resource"), "left_semi")
+      }
+    }
+
     // -------------------------------------------------------------- select
 
     private sealed trait SelItem
@@ -543,6 +616,11 @@ object ConstructParser {
       if (expectEnd && i < n) fail("trailing input after SELECT query")
 
       val bgp = sawPattern
+      lastProjection = items.toSeq.map {
+        case PlainVar(v) => (v, bgpVarTerm.getOrElse(v, true))
+        case Derived(v, _, _) => (v, false)
+        case Star => ("*", false)
+      }
       ParsedSelect { input =>
         val bindings =
           if (bgp) compileGroup(els, input)
@@ -884,6 +962,10 @@ object ConstructParser {
     private case class FilterE(c: Column) extends WhereEl
     /** Inline data: `rows` hold canonical term strings per var. */
     private case class ValuesE(vars: Seq[String], rows: Seq[Seq[String]]) extends WhereEl
+    /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
+      * are visible, so the compiled frame joins like any pattern.
+      */
+    private case class SubSelectE(q: ParsedSelect) extends WhereEl
 
     /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
       * `GRAPH term` token, threaded into each contained triple pattern.
@@ -964,6 +1046,29 @@ object ConstructParser {
           g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
           skipWs()
           out += GroupE(groupBlock(Some(g)))
+        } else if (peek == '{' && subselectAhead) {
+          i += 1
+          // selectQuery resets parser state — save and restore around it
+          val savedBinds = binds
+          val savedFilters = filters
+          val savedSaw = sawPattern
+          val savedTerm = bgpVarTerm.toMap
+          val sub = selectQuery(expectEnd = false)
+          val proj = lastProjection
+          skipWs(); expect('}')
+          binds = savedBinds
+          filters = savedFilters
+          sawPattern = savedSaw
+          bgpVarTerm.clear()
+          savedTerm.foreach { case (k, v) => bgpVarTerm(k) = v }
+          require(!proj.exists(_._1 == "*"),
+            "SELECT * subqueries are not supported: project explicit variables")
+          if (!sawPattern) {
+            sawPattern = true
+            binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
+          }
+          proj.foreach { case (v, t) => bgpVarTerm(v) = t }
+          out += SubSelectE(sub)
         } else if (peek == '{') {
           val first = groupBlock(graphCtx)
           skipWs()
@@ -1050,6 +1155,7 @@ object ConstructParser {
           joinIn(spark.createDataFrame(
             spark.sparkContext.parallelize(rows.map(r => Row(r: _*)), 1),
             schema))
+        case SubSelectE(q) => joinIn(q.run(quads))
       }
       require(acc != null, "empty group pattern")
       conds.foldLeft(acc)(_ filter _)

@@ -217,6 +217,38 @@ class PathSpec extends AnyFunSuite {
     }
   }
 
+  test("subquery: only projected vars are visible, joins like a pattern") {
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o ?n WHERE {
+         |  ?s ex:next ?o .
+         |  { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:next ?x . } GROUP BY ?s }
+         |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(chain).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((t("n1"), t("n2"), 1L), (t("n2"), t("n3"), 1L),
+      (t("n3"), t("n4"), 1L)))
+    // inner-only variables must NOT leak: ?x is not in scope outside
+    intercept[Exception] {
+      ConstructParser.parseSelect(
+        s"""PREFIX ex: <$EX>
+           |SELECT ?x WHERE {
+           |  { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:next ?x . } GROUP BY ?s }
+           |}""".stripMargin).run(chain).collect()
+    }
+  }
+
+  test("DESCRIBE: constant and variable resources, outgoing star") {
+    val d1 = ConstructParser.parseDescribe(
+      s"PREFIX ex: <$EX>\nDESCRIBE <${EX}n1>").run(chain).collect()
+    assert(d1.length === 2) // n1 next n2 ; n1 label a
+    val d2 = ConstructParser.parseDescribe(
+      s"""PREFIX ex: <$EX>
+         |DESCRIBE ?s WHERE { ?s ex:label ?o . }""".stripMargin)
+      .run(chain).collect()
+    assert(d2.length === 2) // n1's outgoing star
+  }
+
   test("ASK text: true and false cases, one boolean row") {
     val yes = ConstructParser.parseAsk(
       s"PREFIX ex: <$EX>\nASK { ?s ex:next ?o . }").run(chain).collect()
