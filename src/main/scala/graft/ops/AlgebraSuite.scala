@@ -160,6 +160,16 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "from_graph_text" -> ((s, dir) => {
+      // dataset clause (§13.2): FROM restricts the default graph that
+      // un-GRAPHed patterns match
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?s ?o
+           |FROM <http://graft.io/g/conv-000000000001>
+           |WHERE { ?s p:role ?o . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "describe_text" -> ((s, dir) => {
       // DESCRIBE = subject-outgoing star of every matched resource
       val q =
@@ -495,6 +505,11 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "from_graph_text" ->
+      s"""$tripCte
+         |SELECT subj AS s, obj AS o FROM trip
+         |WHERE pred = '<${P}role>'
+         |  AND graph = '<http://graft.io/g/conv-000000000001>'""".stripMargin,
     "describe_text" ->
       s"""$tripCte
          |SELECT t.subj, t.pred, t.obj, t.graph FROM trip t

@@ -255,7 +255,7 @@ object ConstructParser {
       if (!kw("CONSTRUCT")) fail("expected CONSTRUCT")
       skipWs()
       val templates = templateBlock()
-      skipWs()
+      val ds = datasetClause()
       if (!kw("WHERE")) fail("expected WHERE")
       skipWs()
       val els = groupBlock(graphCtx = None)
@@ -263,13 +263,14 @@ object ConstructParser {
       if (peek == ';') i += 1 // optional statement separator
       skipWs()
       if (expectEnd && i < n) fail("trailing input")
-      finishConstruct(templates, els)
+      finishConstruct(templates, els, ds)
     }
 
     /** Resolve templates + WHERE elements into a [[ParsedConstruct]]
       * (shared by CONSTRUCT queries and INSERT/DELETE … WHERE updates).
       */
-    private def finishConstruct(templates: Seq[T], els: Seq[WhereEl]): ParsedConstruct = {
+    private def finishConstruct(templates: Seq[T], els: Seq[WhereEl],
+        ds: DatasetClause = NoDataset): ParsedConstruct = {
       val mintsBnodes = templates.exists { case (a, b, c, g) =>
         Seq(a, b, c, g).exists(_.isInstanceOf[BnodeT])
       }
@@ -293,7 +294,7 @@ object ConstructParser {
           templates.map { case (st, pt, ot, gt) =>
             TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
           }))
-        ParsedConstruct(rules, Some(quads => compileGroup(els, quads)),
+        ParsedConstruct(rules, Some(quads => compileGroup(els, quads, ds)),
           needsRowId = mintsBnodes)
       }
     }
@@ -402,7 +403,7 @@ object ConstructParser {
       resetState()
       prefixLoop()
       if (!kw("ASK")) fail("expected ASK")
-      skipWs()
+      val ds = datasetClause()
       kw("WHERE") // optional keyword
       skipWs()
       val els = groupBlock(graphCtx = None)
@@ -413,7 +414,7 @@ object ConstructParser {
       val bgp = sawPattern
       ParsedSelect { input =>
         val bindings =
-          if (bgp) compileGroup(els, input)
+          if (bgp) compileGroup(els, input, ds)
           else els.foldLeft(input) {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
             case (df, FilterE(c)) => df.filter(c)
@@ -461,7 +462,7 @@ object ConstructParser {
         } else more = false
       }
       require(vars.nonEmpty || consts.nonEmpty, "empty DESCRIBE")
-      skipWs()
+      val ds = datasetClause()
       val els =
         if (kw("WHERE")) { skipWs(); groupBlock(graphCtx = None) }
         else if (peek == '{') groupBlock(graphCtx = None)
@@ -482,7 +483,7 @@ object ConstructParser {
         val varDf =
           if (vars.isEmpty) None
           else {
-            val bound = compileGroup(els, quads)
+            val bound = compileGroup(els, quads, ds)
             Some(vars.map(v => bound.select(col(v).as("__resource")))
               .reduce(_ union _))
           }
@@ -532,7 +533,7 @@ object ConstructParser {
         } else more = false
       }
       if (items.isEmpty) fail("empty SELECT projection")
-      skipWs()
+      val ds = datasetClause()
       kw("WHERE") // optional keyword
       skipWs()
       val els = groupBlock(graphCtx = None)
@@ -623,7 +624,7 @@ object ConstructParser {
       }
       ParsedSelect { input =>
         val bindings =
-          if (bgp) compileGroup(els, input)
+          if (bgp) compileGroup(els, input, ds)
           else els.foldLeft(input) {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
             case (df, FilterE(c)) => df.filter(c)
@@ -1101,6 +1102,41 @@ object ConstructParser {
       out.toSeq
     }
 
+    /** SPARQL dataset clause (§13.2): `FROM` graphs form the default
+      * graph that un-GRAPHed patterns match; `FROM NAMED` graphs are the
+      * only ones GRAPH patterns see. With no clause, both views pass the
+      * whole quad table through (this engine's default: patterns span
+      * the dataset).
+      */
+    private case class DatasetClause(from: Seq[String], fromNamed: Seq[String]) {
+      private val hasClause = from.nonEmpty || fromNamed.nonEmpty
+      private def scope(quads: DataFrame, graphs: Seq[String]): DataFrame =
+        if (!hasClause) quads
+        else {
+          require(quads.columns.contains("graph"),
+            "FROM/FROM NAMED need a quad table with a graph column")
+          if (graphs.isEmpty) quads.where(lit(false))
+          else quads.where(col("graph").isin(graphs: _*))
+        }
+      def default(quads: DataFrame): DataFrame = scope(quads, from)
+      def named(quads: DataFrame): DataFrame = scope(quads, fromNamed)
+    }
+    private val NoDataset = DatasetClause(Nil, Nil)
+
+    /** `FROM <g>` / `FROM NAMED <g>` list between projection and WHERE. */
+    private def datasetClause(): DatasetClause = {
+      val from = scala.collection.mutable.ArrayBuffer[String]()
+      val named = scala.collection.mutable.ArrayBuffer[String]()
+      skipWs()
+      while (kw("FROM")) {
+        skipWs()
+        if (kw("NAMED")) { skipWs(); named += "<" + iriRef() + ">" }
+        else from += "<" + iriRef() + ">"
+        skipWs()
+      }
+      DatasetClause(from.toSeq, named.toSeq)
+    }
+
     /** Compile a group against the quad/triple table: patterns join on
       * shared vars (Catalyst reorders/broadcasts), OPTIONAL = left outer,
       * MINUS / FILTER NOT EXISTS = anti, FILTER EXISTS = semi, UNION =
@@ -1108,7 +1144,8 @@ object ConstructParser {
       * FILTER = post-group predicate (SPARQL §8: filters apply to the
       * whole group regardless of position).
       */
-    private def compileGroup(els: Seq[WhereEl], quads: DataFrame): DataFrame = {
+    private def compileGroup(els: Seq[WhereEl], quads: DataFrame,
+        ds: DatasetClause = NoDataset): DataFrame = {
       var acc: DataFrame = null
       def joinIn(df: DataFrame): Unit =
         acc = if (acc == null) df else Bgp.join(acc, df)
@@ -1119,9 +1156,9 @@ object ConstructParser {
           // constant-graph context pre-filters the quad table (the path
           // walk must stay inside that graph)
           val scoped = g match {
-            case None => quads
+            case None => ds.default(quads)
             case Some(IriT(iri)) if quads.columns.contains("graph") =>
-              quads.where(col("graph") === ("<" + iri + ">"))
+              ds.named(quads).where(col("graph") === ("<" + iri + ">"))
             case Some(IriT(_)) => quads
             case Some(other) => fail(
               s"property path inside GRAPH $other: only constant graphs are supported")
@@ -1130,20 +1167,22 @@ object ConstructParser {
         case TpE(g, a, b, c) =>
           joinIn(g match {
             case Some(gt) =>
-              Bgp.quadPattern(quads, specOf(gt), specOf(a), specOf(b), specOf(c))
-            case None => Bgp.pattern(quads, specOf(a), specOf(b), specOf(c))
+              Bgp.quadPattern(ds.named(quads), specOf(gt), specOf(a), specOf(b),
+                specOf(c))
+            case None => Bgp.pattern(ds.default(quads), specOf(a), specOf(b),
+              specOf(c))
           })
-        case GroupE(inner) => joinIn(compileGroup(inner, quads))
-        case UnionE(gs) => joinIn(gs.map(compileGroup(_, quads)).reduce(Bgp.union))
+        case GroupE(inner) => joinIn(compileGroup(inner, quads, ds))
+        case UnionE(gs) => joinIn(gs.map(compileGroup(_, quads, ds)).reduce(Bgp.union))
         case OptionalE(inner) =>
           require(acc != null, "OPTIONAL with no preceding pattern")
-          acc = Bgp.optional(acc, compileGroup(inner, quads))
+          acc = Bgp.optional(acc, compileGroup(inner, quads, ds))
         case MinusE(inner) =>
           require(acc != null, "MINUS with no preceding pattern")
-          acc = Bgp.minus(acc, compileGroup(inner, quads))
+          acc = Bgp.minus(acc, compileGroup(inner, quads, ds))
         case ExistsE(inner, neg) =>
           require(acc != null, "FILTER EXISTS with no preceding pattern")
-          val sub = compileGroup(inner, quads)
+          val sub = compileGroup(inner, quads, ds)
           acc = if (neg) Bgp.minus(acc, sub) else Bgp.exists(acc, sub)
         case BindE(v, e) =>
           require(acc != null, "BIND before any pattern in a BGP group")

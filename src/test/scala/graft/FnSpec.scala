@@ -101,6 +101,25 @@ class FnSpec extends AnyFunSuite {
     assert(got2.map(_.getLong(0)).toSet === Set(20L))
   }
 
+  test("plans: fn battery is UDF-free, path joins are never nested-loop") {
+    val battery = ConstructParser.parseSelect(
+      """SELECT ?k ?a ?b WHERE {
+        |  BIND(SHA256(?name) AS ?a)
+        |  BIND(REPLACE(?name, "a", "b") AS ?b)
+        |  FILTER(STRLEN(?name) > 2 && ?k < 1000)
+        |}""".stripMargin).run(data)
+    val p1 = battery.queryExecution.executedPlan.toString
+    assert(!p1.contains("UDF"), p1)
+    // a path sequence must compile to hash/broadcast joins, not BNLJ
+    val seqQ = ConstructParser.parseSelect(
+      "PREFIX ex: <http://ex.org/>\nSELECT ?s ?o WHERE { ?s ex:a/ex:b ?o . }")
+    import spark.implicits._
+    val triples = Seq(("<s>", "<http://ex.org/a>", "<m>"),
+      ("<m>", "<http://ex.org/b>", "<o>")).toDF("subj", "pred", "obj")
+    val p2 = seqQ.run(triples).queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"), p2)
+  }
+
   test("hash functions produce lowercase hex") {
     val got = rows(
       """SELECT ?m ?s WHERE { BIND(MD5(?tag) AS ?m) BIND(SHA256(?tag) AS ?s)

@@ -249,6 +249,32 @@ class PathSpec extends AnyFunSuite {
     assert(d2.length === 2) // n1's outgoing star
   }
 
+  test("FROM and FROM NAMED scope default vs named graph views") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<g1>", "<s1>", "<" + EX + "p>", "\"a\""),
+      ("<g2>", "<s2>", "<" + EX + "p>", "\"b\""),
+      ("<g3>", "<s3>", "<" + EX + "p>", "\"c\""))
+      .toDF("graph", "subj", "pred", "obj")
+    // FROM: un-GRAPHed patterns see only the listed graphs
+    val f = ConstructParser.parseSelect(
+      s"PREFIX ex: <$EX>\nSELECT ?s FROM <g1> FROM <g3> WHERE { ?s ex:p ?o . }")
+    assert(f.run(quads).collect().map(_.getString(0)).toSet === Set("<s1>", "<s3>"))
+    // with only FROM, GRAPH patterns match nothing
+    val g0 = ConstructParser.parseSelect(
+      s"PREFIX ex: <$EX>\nSELECT ?s FROM <g1> WHERE { GRAPH ?g { ?s ex:p ?o . } }")
+    assert(g0.run(quads).count() === 0)
+    // FROM NAMED: GRAPH patterns see only the listed graphs
+    val gn = ConstructParser.parseSelect(
+      s"PREFIX ex: <$EX>\nSELECT ?g ?s FROM NAMED <g2> WHERE { GRAPH ?g { ?s ex:p ?o . } }")
+    assert(gn.run(quads).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("<g2>", "<s2>")))
+    // no clause: everything passes (engine default)
+    val all = ConstructParser.parseSelect(
+      s"PREFIX ex: <$EX>\nSELECT ?s WHERE { ?s ex:p ?o . }")
+    assert(all.run(quads).count() === 3)
+  }
+
   test("ASK text: true and false cases, one boolean row") {
     val yes = ConstructParser.parseAsk(
       s"PREFIX ex: <$EX>\nASK { ?s ex:next ?o . }").run(chain).collect()
