@@ -128,6 +128,14 @@ object AlgebraSuite {
            |SELECT ?s ?o WHERE { ?s p:next+ ?o . }""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
     }),
+    "path_graph_plus" -> ((s, dir) => {
+      // closure inside GRAPH ?g: every join keyed on the graph, each
+      // named graph walked independently
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s p:next+ ?o . } }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "path_star" -> ((s, dir) => {
       // closure + zero-length identity over every graph node
       val q =
@@ -582,6 +590,18 @@ object AlgebraSuite {
          |  SELECT r.s, e.o FROM reach r JOIN edge e ON e.s = r.o
          |)
          |SELECT DISTINCT s, o FROM reach""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    "path_graph_plus" ->
+      s"""$tripCte,
+         |edge AS (SELECT graph AS g, subj AS s, obj AS o FROM trip
+         |         WHERE pred = '<${P}next>'),
+         |reach AS (
+         |  SELECT g, s, o FROM edge
+         |  UNION
+         |  SELECT r.g, r.s, e.o FROM reach r
+         |  JOIN edge e ON e.g = r.g AND e.s = r.o
+         |)
+         |SELECT DISTINCT g, s, o FROM reach""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE "),
     "path_star" ->
       s"""$tripCte,

@@ -134,6 +134,74 @@ object PathOps {
     else reached
   }
 
+  // ------------------------------------------------- graph-scoped variant
+
+  /** Evaluate a path WITHIN each named graph: DataFrame(g, s, o), every
+    * join keyed on the graph as well — a `GRAPH ?g { ?s path ?o }`
+    * pattern walks each graph independently (and at scale the graph key
+    * co-partitions every round of the closure).
+    */
+  def evalG(quads: DataFrame, p: PathExpr): DataFrame = p match {
+    case Link(iri) =>
+      quads.where(col("pred") === term(iri))
+        .select(col("graph").as("g"), col("subj").as("s"), col("obj").as("o"))
+    case Inv(q) =>
+      evalG(quads, q).select(col("g"), col("o").as("s"), col("s").as("o"))
+    case Sequence(parts) =>
+      parts.map(evalG(quads, _)).reduceLeft { (a, b) =>
+        a.as("l").join(b.as("r"),
+          col("l.g") === col("r.g") && col("l.o") === col("r.s"))
+          .select(col("l.g").as("g"), col("l.s").as("s"), col("r.o").as("o"))
+      }
+    case Alt(parts) =>
+      parts.map(evalG(quads, _)).reduceLeft(_ union _)
+    case ZeroOrOne(q) =>
+      evalG(quads, q).union(identityPairsG(quads)).distinct()
+    case OneOrMore(q) => closureG(evalG(quads, q))
+    case ZeroOrMore(q) =>
+      closureG(evalG(quads, q)).union(identityPairsG(quads)).distinct()
+    case NegatedSet(fwd, inv) =>
+      val f = quads.where(!col("pred").isin(fwd.map(term): _*))
+        .select(col("graph").as("g"), col("subj").as("s"), col("obj").as("o"))
+      if (inv.isEmpty) f
+      else f.union(
+        quads.where(!col("pred").isin(inv.map(term): _*))
+          .select(col("graph").as("g"), col("obj").as("s"), col("subj").as("o")))
+  }
+
+  private def identityPairsG(quads: DataFrame): DataFrame =
+    quads.select(col("graph").as("g"), col("subj").as("s"))
+      .union(quads.select(col("graph"), col("obj")))
+      .distinct()
+      .select(col("g"), col("s"), col("s").as("o"))
+
+  private[ops] def closureG(edges: DataFrame): DataFrame = {
+    var r = edges.select("g", "s", "o").distinct().localCheckpoint(true)
+    var size = r.count()
+    var round = 0
+    while (round < MaxRounds) {
+      val doubled = r.as("l").join(r.as("r"),
+        col("l.g") === col("r.g") && col("l.o") === col("r.s"))
+        .select(col("l.g").as("g"), col("l.s").as("s"), col("r.o").as("o"))
+      val next = r.union(doubled).distinct().localCheckpoint(true)
+      val nsize = next.count()
+      if (nsize == size) return r
+      r = next
+      size = nsize
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"graph-scoped path closure did not converge in $MaxRounds rounds")
+  }
+
+  /** Graph-scoped path pattern: the graph position binds/filters like any
+    * other (so `GRAPH ?g { <s> path ?o }` works with a variable graph).
+    */
+  def pathPatternG(quads: DataFrame, g: Either[String, String],
+      s: Either[String, String], path: PathExpr,
+      o: Either[String, String]): DataFrame =
+    Bgp.bindPositions(evalG(quads, path), Seq("g" -> g, "s" -> s, "o" -> o))
+
   /** A whole path triple pattern: constants filter (or seed a BFS for
     * closures), variables project, repeated variables enforce equality —
     * mirroring [[Bgp.pattern]] so path patterns join into BGP groups like

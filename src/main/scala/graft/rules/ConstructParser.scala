@@ -1152,18 +1152,29 @@ object ConstructParser {
       val conds = scala.collection.mutable.ArrayBuffer[Column]()
       els.foreach {
         case TpE(g, a, PathT(path), c) =>
-          // a property-path pattern: solutions are (s, o) pairs; a
-          // constant-graph context pre-filters the quad table (the path
-          // walk must stay inside that graph)
-          val scoped = g match {
-            case None => ds.default(quads)
+          // a property-path pattern: solutions are (s, o) pairs. A
+          // constant-graph context pre-filters the quad table (the walk
+          // stays inside that graph); a VARIABLE graph context uses the
+          // graph-scoped evaluator, which keys every closure join on the
+          // graph so each named graph is walked independently.
+          g match {
+            case None =>
+              joinIn(PathOps.pathPattern(ds.default(quads), specOf(a), path,
+                specOf(c)))
             case Some(IriT(iri)) if quads.columns.contains("graph") =>
-              ds.named(quads).where(col("graph") === ("<" + iri + ">"))
-            case Some(IriT(_)) => quads
+              joinIn(PathOps.pathPattern(
+                ds.named(quads).where(col("graph") === ("<" + iri + ">")),
+                specOf(a), path, specOf(c)))
+            case Some(IriT(_)) =>
+              joinIn(PathOps.pathPattern(quads, specOf(a), path, specOf(c)))
+            case Some(VarT(v)) =>
+              require(quads.columns.contains("graph"),
+                "GRAPH-scoped path needs a quad table with a graph column")
+              joinIn(PathOps.pathPatternG(ds.named(quads), Right(v),
+                specOf(a), path, specOf(c)))
             case Some(other) => fail(
-              s"property path inside GRAPH $other: only constant graphs are supported")
+              s"property path inside GRAPH $other: constant or variable graphs only")
           }
-          joinIn(PathOps.pathPattern(scoped, specOf(a), path, specOf(c)))
         case TpE(g, a, b, c) =>
           joinIn(g match {
             case Some(gt) =>

@@ -249,6 +249,25 @@ class PathSpec extends AnyFunSuite {
     assert(d2.length === 2) // n1's outgoing star
   }
 
+  test("variable-graph path closure walks each graph independently") {
+    import spark.implicits._
+    // g1: a->b->c chain; g2: a->x — closure must NOT cross graphs even
+    // though node <a> appears in both
+    val quads = Seq(
+      ("<g1>", "<a>", "<" + EX + "n>", "<b>"),
+      ("<g1>", "<b>", "<" + EX + "n>", "<c>"),
+      ("<g2>", "<a>", "<" + EX + "n>", "<x>"))
+      .toDF("graph", "subj", "pred", "obj")
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:n+ ?o . } }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("<g1>", "<a>", "<b>"), ("<g1>", "<b>", "<c>"), ("<g1>", "<a>", "<c>"),
+      ("<g2>", "<a>", "<x>")))
+  }
+
   test("FROM and FROM NAMED scope default vs named graph views") {
     import spark.implicits._
     val quads = Seq(
