@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's stream model
+  * (`ngs`/`sbs` process RxJava flowables of graphs/bindings —
+  * NgsCmdImpls.java:72-81): `readStream` sources, watermarked windowed
+  * aggregation, and custom per-key state via `flatMapGroupsWithState`.
+  * Every transform here is the streaming twin of a batch operator in this
+  * repo, so results are testable against the batch path on a bounded
+  * stream (`Trigger.AvailableNow`).
+  */
+object StreamOps {
+
+  /** Streaming N-Quads text source → (graph, subj, pred, obj): the
+    * line-splittable scan of [[graft.sources.RdfIO.readNQuads]] lifted to
+    * `readStream` (new files in `dir` become micro-batches; malformed
+    * lines drop like the batch reader).
+    */
+  def readNQuadsStream(spark: SparkSession, dir: String,
+      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
+    import spark.implicits._
+    spark.readStream.text(dir).as[String]
+      .flatMap { line =>
+        val t = graft.sources.RdfIO.parseLine(line)
+        if (t == null) None
+        else Some((if (t.length == 4) t(3) else defaultGraph, t(0), t(1), t(2)))
+      }
+      .toDF("graph", "subj", "pred", "obj")
+  }
+
+  /** Watermarked event-time window aggregation: per-role turn counts per
+    * window — the streaming form of the batch `groupBy(window, role)`
+    * (late data beyond the watermark is dropped, state is bounded).
+    */
+  def roleCountsWindowed(transcripts: DataFrame,
+      window_ : String = "1 day", watermark: String = "1 hour"): DataFrame =
+    transcripts
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("role"))
+      .count()
+
+  /** Custom running state (SURVEY §2.9 / the reference's per-record
+    * accumulation): running turn count per conversation, emitted on every
+    * update — `flatMapGroupsWithState` keeps one Long per key, so state
+    * size is #conversations, not #turns.
+    */
+  def runningTurnCounts(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    import spark.implicits._
+    transcripts.select(col("conv_id").cast("string")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (conv: String, turns: Iterator[String], state: GroupState[Long]) => {
+          val c = state.getOption.getOrElse(0L) + turns.size
+          state.update(c)
+          Iterator((conv, c))
+        })
+      .toDF("conv_id", "n_turns")
+  }
+}
