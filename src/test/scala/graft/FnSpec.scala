@@ -120,6 +120,37 @@ class FnSpec extends AnyFunSuite {
     assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"), p2)
   }
 
+  test("malformed query text fails loudly, never silently misparses") {
+    import spark.implicits._
+    val tiny = Seq(("<s>", "<http://ex.org/p>", "<o>")).toDF("subj", "pred", "obj")
+    val bad = Seq(
+      // unclosed group
+      "SELECT ?s WHERE { ?s <http://ex.org/p> ?o .",
+      // stray path modifier
+      "PREFIX ex: <http://ex.org/>\nSELECT ?s WHERE { ?s ex:p++ ?o . }",
+      // VALUES arity mismatch
+      "SELECT ?a WHERE { VALUES (?a ?b) { (<x>) } }",
+      // undeclared prefix
+      "SELECT ?s WHERE { ?s ex:p ?o . }",
+      // HAVING without aggregation (fails at run)
+      "SELECT ?s WHERE { ?s <http://ex.org/p> ?o . } HAVING (COUNT(*) > 1)",
+      // DESCRIBE variable without WHERE
+      "DESCRIBE ?x",
+      // unknown function
+      "SELECT ?s WHERE { BIND(FROBNICATE(?s) AS ?x) ?s <http://ex.org/p> ?o . }",
+      // bad comparison chain
+      "SELECT ?s WHERE { ?s <http://ex.org/p> ?o . FILTER(?s >< ?o) }")
+    bad.foreach { q =>
+      val r = intercept[Exception] {
+        val parsed =
+          if (q.startsWith("DESCRIBE")) ConstructParser.parseDescribe(q).run(tiny)
+          else ConstructParser.parseSelect(q).run(tiny)
+        parsed.collect()
+      }
+      assert(r != null, q)
+    }
+  }
+
   test("hash functions produce lowercase hex") {
     val got = rows(
       """SELECT ?m ?s WHERE { BIND(MD5(?tag) AS ?m) BIND(SHA256(?tag) AS ?s)
