@@ -26,4 +26,17 @@ object SbsOps {
     */
   def unionHeaders(streams: Seq[DataFrame]): DataFrame =
     streams.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `sbs split` — partition bindings into separate files by key (the
+    * reference registers the command but ships no implementation,
+    * CmdSbsSplit.java; here it is Spark's native partitioned write: one
+    * directory per key value, written in ONE distributed job — no
+    * per-key query loop). Returns the distinct key count.
+    */
+  def splitWrite(bindings: DataFrame, keyCol: String, dir: String,
+      format: String = "parquet"): Long = {
+    bindings.write.mode("overwrite").format(format)
+      .partitionBy(keyCol).save(dir)
+    bindings.select(keyCol).distinct().count()
+  }
 }

@@ -16,6 +16,22 @@ class OpsSpec extends AnyFunSuite {
     ("<g4>", "<s4>", "<p>", "\"4\"")
   ).toDF("graph", "subj", "pred", "obj")
 
+  test("sbs split partitions bindings by key into per-value directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val n = SbsOps.splitWrite(quads, "graph", dir)
+    assert(n === 4)
+    // one directory per key, each readable and containing only its rows
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graph="))
+    assert(partDirs.length === 4, partDirs.mkString(","))
+    val g1 = spark.read.parquet(
+      partDirs.find(_.getName.contains("g1")).get.getAbsolutePath)
+    assert(g1.count() === 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === quads.count())
+    assert(back.select("graph").distinct().count() === 4)
+  }
+
   test("askFilter keeps whole graphs; drop negates") {
     val kept = NgsOps.askFilter(quads, $"obj" === "\"1\"")
     assert(kept.select("graph").distinct().as[String].collect().toSet === Set("<g1>"))
