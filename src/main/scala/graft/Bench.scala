@@ -79,6 +79,41 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("trig")) {
+      // ONE giant TriG document: sequential wholetext parse vs the
+      // chunked document-parallel parse (TrigChunker), same file
+      import org.apache.spark.sql.functions._
+      val spark = session(cpus)
+      val factor = sys.env.getOrElse("SPARK_GRAFT_TRIG_FACTOR", "8").toInt
+      val q0 = graft.sources.SyntheticQuads(spark, sfDir).drop("idx")
+      val scaled = (0 until factor).map(k =>
+        q0.withColumn("graph",
+          concat(lit(s"<rep$k-"), expr("substring(graph, 2)")))).reduce(_ union _)
+      val dir = java.nio.file.Files.createTempDirectory("graft-trigbench")
+      val out = dir.resolve("giant")
+      graft.sources.RdfIO.trigLines(scaled).coalesce(1)
+        .write.mode("overwrite").text(out.toString)
+      val file = java.nio.file.Files.list(out).toArray.map(_.toString)
+        .filter(_.endsWith(".txt")).headOption
+        .getOrElse(out.toString) // spark text sink writes part-*.txt
+      val bytes = new java.io.File(file).length()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm both code paths once on the small corpus
+      val (seqT, seqN) = time(graft.sources.RdfIO.readTrig(spark, file).count())
+      val (chunkT, chunkN) = time(
+        graft.sources.TrigChunker.readTrigChunked(spark, file,
+          minPartitions = cpus).count())
+      require(seqN == chunkN, s"row mismatch: $seqN vs $chunkN")
+      System.err.println(f"[trig] bytes=$bytes quads=$seqN " +
+        f"wholetext=$seqT%.1fs chunked=$chunkT%.1fs speedup=${seqT / chunkT}%.2fx")
+      println(s"""{"metric":"trig_chunk_speedup","value":${seqT / chunkT},"unit":"x","queries":{"wholetext_sec":$seqT,"chunked_sec":$chunkT,"quads":$seqN,"bytes":$bytes},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("gaz")) {
       // mention-scan cost vs gazetteer size: the token-ngram broadcast
       // hash join must be ~flat in surface count (the build side is a

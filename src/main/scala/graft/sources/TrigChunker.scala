@@ -61,7 +61,7 @@ object TrigChunker {
     */
   private[sources] final case class AutoSum(outState: Int, depthDelta: Int,
       lastEndByRelDepth: Map[Int, Long], pending: Option[(Int, Long)],
-      unsafe: Boolean)
+      firstEndByRelDepth: Map[Int, Long], unsafe: Boolean)
 
   /** @param directives directive-shaped lines seen under the incoming-OUT
     *                    automaton: (line idx, text, self-contained?)
@@ -69,9 +69,15 @@ object TrigChunker {
     * @param firstContentDotLeading whether the partition's first content
     *                    line starts with a statement-final `.`
     */
+  /** `headLines` are the partition's leading lines (through each
+    * automaton's first confirmed boundary, size-capped) — the small
+    * fragments the zero-shuffle assembly strategy ships between tasks;
+    * `headCoversAll` = the whole partition fit under the cap.
+    */
   private[sources] final case class PartSum(pid: Int, nLines: Long,
       sums: IndexedSeq[AutoSum], directives: Seq[(Long, String, Boolean)],
-      firstData: Long, firstContentDotLeading: Option[Boolean])
+      firstData: Long, firstContentDotLeading: Option[Boolean],
+      headLines: Vector[String], headCoversAll: Boolean)
 
   private[sources] def scanLine(s: String, in: Int): LineFx = {
     var state = in
@@ -151,50 +157,92 @@ object TrigChunker {
     val st = Array(0, 1, 2)
     val depth = Array(0, 0, 0)
     val maps = Array.fill(3)(mutable.HashMap.empty[Int, Long])
+    val firstMaps = Array.fill(3)(mutable.HashMap.empty[Int, Long])
     val pending = Array.fill[Option[(Int, Long)]](3)(None)
     val unsafe = Array(false, false, false)
     val directives = mutable.ArrayBuffer.empty[(Long, String, Boolean)]
     var firstData = -1L
     var firstContentDot: Option[Boolean] = None
+    // head collection for the zero-shuffle assembly strategy: keep leading
+    // lines until every automaton has a confirmed first boundary (or the
+    // cap trips — then only the shuffle strategy can use this partition)
+    val headLines = Vector.newBuilder[String]
+    var headCount = 0
+    var headBytes = 0L
+    var collecting = true
     var idx = 0L
     while (lines.hasNext) {
       val line = lines.next()
-      val t = line.trim
-      val isContent = t.nonEmpty && t.charAt(0) != '#'
+      // first non-whitespace char without allocating a trimmed copy
+      var ci = 0
+      val ln = line.length
+      while (ci < ln && (line.charAt(ci) == ' ' || line.charAt(ci) == '\t' ||
+        line.charAt(ci) == '\r')) ci += 1
+      val isContent = ci < ln && line.charAt(ci) != '#'
+      val contentDot = isContent && line.charAt(ci) == '.' &&
+        (ci + 1 >= ln || !line.charAt(ci + 1).isDigit)
       if (isContent && firstContentDot.isEmpty)
-        firstContentDot = Some(dotLeading(t))
+        firstContentDot = Some(contentDot)
       if (st(0) == OUT && isContent) {
-        if (isDirectiveLine(t)) directives += ((idx, t, selfContained(t)))
-        else if (firstData < 0) firstData = idx
+        // directive / first-data detection only needs the trimmed text on
+        // the (rare) lines that start like a directive
+        if (line.charAt(ci) == '@' || line.charAt(ci) == 'P' ||
+            line.charAt(ci) == 'p' || line.charAt(ci) == 'B' ||
+            line.charAt(ci) == 'b') {
+          val t = line.substring(ci).trim
+          if (isDirectiveLine(t)) directives += ((idx, t, selfContained(t)))
+          else if (firstData < 0) firstData = idx
+        } else if (firstData < 0) firstData = idx
       }
       // resolve pendings: a content line that does not start with a
       // statement-final '.' confirms the previous candidate as a boundary
       var a = 0
       while (a < 3) {
-        pending(a) match {
-          case Some((rd, pidx)) if isContent =>
-            if (!dotLeading(t)) maps(a)(rd) = pidx
-            pending(a) = None
-          case _ => ()
+        if (pending(a).isDefined && isContent) {
+          val (rd, pidx) = pending(a).get
+          if (!contentDot) {
+            maps(a)(rd) = pidx
+            if (!firstMaps(a).contains(rd)) firstMaps(a)(rd) = pidx
+          }
+          pending(a) = None
         }
         a += 1
       }
-      val cache = mutable.HashMap.empty[Int, LineFx]
+      if (collecting) {
+        headLines += line
+        headCount += 1
+        headBytes += line.length + 1
+        if (headCount >= 65536 || headBytes >= 8L * 1024 * 1024) collecting = false
+      }
+      // the three automata usually share a state (everything converges to
+      // OUT once literals close) — scan once per DISTINCT current state
+      val fx0 = scanLine(line, st(0))
+      val fx1 = if (st(1) == st(0)) fx0 else scanLine(line, st(1))
+      val fx2 =
+        if (st(2) == st(0)) fx0
+        else if (st(2) == st(1)) fx1
+        else scanLine(line, st(2))
+      val fxs = Array(fx0, fx1, fx2)
       a = 0
       while (a < 3) {
-        val fx = cache.getOrElseUpdate(st(a), scanLine(line, st(a)))
+        val fx = fxs(a)
         if (fx.unsafe) unsafe(a) = true
         depth(a) += fx.depthDelta
         st(a) = fx.outState
         if (fx.endsStatement) pending(a) = Some((depth(a), idx))
         a += 1
       }
+      if (collecting && firstMaps(0).nonEmpty && pending(0).isEmpty &&
+          firstMaps(1).nonEmpty && pending(1).isEmpty &&
+          firstMaps(2).nonEmpty && pending(2).isEmpty) collecting = false
       idx += 1
     }
     PartSum(pid, idx,
       Array.tabulate(3)(a =>
-        AutoSum(st(a), depth(a), maps(a).toMap, pending(a), unsafe(a))).toIndexedSeq,
-      directives.toSeq, firstData, firstContentDot)
+        AutoSum(st(a), depth(a), maps(a).toMap, pending(a),
+          firstMaps(a).toMap, unsafe(a))).toIndexedSeq,
+      directives.toSeq, firstData, firstContentDot,
+      headLines.result(), collecting)
   }
 
   // global line position: (partition id, line index) packed into a long
@@ -256,6 +304,117 @@ object TrigChunker {
       dirs.sortBy(_._1).map(_._2).mkString("\n")))
   }
 
+  /** One task of the zero-shuffle assembly strategy: partition `pid`
+    * parses `[preamble +] lines(bIdx+1 ..) + append` as chunk `chunkId`;
+    * the first boundary partition additionally parses `preText` (the file
+    * head = chunk 0). `append` carries the SMALL head fragments of the
+    * following partitions up to and including the next boundary line —
+    * the only text that moves between tasks.
+    */
+  private[sources] final case class TaskSpec(bIdx: Long, chunkId: Int,
+      append: String, preText: String)
+
+  private[sources] final case class AssemblyPlan(specs: Map[Int, TaskSpec],
+      preamble: String)
+
+  /** Zero-shuffle plan: boundary = each partition's FIRST confirmed
+    * statement end, so a chunk is one partition's tail plus the next
+    * partition's (few-line) head — the bulk text never shuffles. None when
+    * any needed fragment is unavailable (head cap, unconfirmed boundary,
+    * unsafe line, directives after data): callers then try the shuffle
+    * strategy, then wholetext.
+    */
+  private[sources] def planAssembly(parts: Seq[PartSum]): Option[AssemblyPlan] = {
+    val sorted = parts.sortBy(_.pid).toIndexedSeq
+    var st = OUT
+    var depth = 0
+    var bad = false
+    val dirs = mutable.ArrayBuffer.empty[(Long, String)]
+    var firstData = Long.MaxValue
+    // pid -> boundary idx (None = partition rides inside a neighbor chunk)
+    val bounds = mutable.LinkedHashMap.empty[Int, Long]
+    var k = 0
+    while (k < sorted.length && !bad) {
+      val p = sorted(k)
+      val sum = p.sums(st)
+      if (sum.unsafe) bad = true
+      else {
+        if (st == OUT) {
+          p.directives.foreach { case (i, txt, selfC) =>
+            if (!selfC) bad = true
+            else dirs += ((encode(p.pid, i), txt))
+          }
+          if (p.firstData >= 0)
+            firstData = math.min(firstData, encode(p.pid, p.firstData))
+        }
+        sum.firstEndByRelDepth.get(-depth) match {
+          case Some(b) if b < p.headLines.length =>
+            bounds(p.pid) = b // boundary line must sit inside the head slice
+          case Some(_) => bad = true // head cap tripped before the boundary
+          case None =>
+            // no boundary: the whole partition must ride along as a head
+            if (!p.headCoversAll) bad = true
+        }
+        st = sum.outState
+        depth += sum.depthDelta
+      }
+      k += 1
+    }
+    if (bad || st != OUT || depth != 0 || dirs.exists(_._1 > firstData) ||
+      bounds.isEmpty) return None
+    val preamble = dirs.sortBy(_._1).map(_._2).mkString("\n")
+    val byPid = sorted.map(p => p.pid -> p).toMap
+    val bs = bounds.toIndexedSeq // (pid, bIdx) in pid order
+    def headSlice(pid: Int, bIdx: Long): String =
+      byPid(pid).headLines.take(bIdx.toInt + 1).mkString("\n")
+    def fullHeads(fromExcl: Int, toExcl: Int): Seq[String] =
+      (fromExcl + 1 until toExcl).map(pid => byPid(pid).headLines.mkString("\n"))
+        .filter(_.nonEmpty)
+    // chunk 0 = everything up to and including the first boundary line
+    val (p0, b0) = bs.head
+    val preText = (fullHeads(-1, p0) :+ headSlice(p0, b0)).mkString("\n")
+    val specs = bs.indices.map { j =>
+      val (p, b) = bs(j)
+      val append =
+        if (j + 1 < bs.length) {
+          val (np, nb) = bs(j + 1)
+          (fullHeads(p, np) :+ headSlice(np, nb)).mkString("\n")
+        } else fullHeads(p, sorted.length).mkString("\n")
+      p -> TaskSpec(b, j + 1, append, if (j == 0) preText else "")
+    }.toMap
+    Some(AssemblyPlan(specs, preamble))
+  }
+
+  private def runAssembly(spark: SparkSession, lines: RDD[String],
+      ap: AssemblyPlan, defaultGraph: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ap)
+    val quads = lines.mapPartitionsWithIndex { (pid, it) =>
+      bc.value.specs.get(pid) match {
+        case None => Iterator.empty // lines ride inside a neighbor's append
+        case Some(spec) =>
+          val preamble = bc.value.preamble
+          val sb = new StringBuilder
+          if (preamble.nonEmpty) sb.append(preamble).append('\n')
+          var idx = 0L
+          while (it.hasNext) {
+            val l = it.next()
+            if (idx > spec.bIdx) sb.append(l).append('\n')
+            idx += 1
+          }
+          if (spec.append.nonEmpty) sb.append(spec.append).append('\n')
+          val tail = TrigParser.parse(sb.toString, defaultGraph,
+            genPrefix = "c" + spec.chunkId + "g")
+          val head =
+            if (spec.preText.nonEmpty)
+              TrigParser.parse(spec.preText, defaultGraph, genPrefix = "c0g")
+            else Iterator.empty
+          head ++ tail
+      }
+    }
+    spark.createDataset(quads).select("graph", "subj", "pred", "obj")
+  }
+
   private final class ChunkPartitioner(n: Int) extends Partitioner {
     def numPartitions: Int = n
     def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
@@ -266,8 +425,18 @@ object TrigChunker {
     */
   private[graft] def planFor(spark: SparkSession, path: String,
       minPartitions: Int = 0): Option[(Int, String)] = {
-    val lines = linesOf(spark, path, minPartitions)
-    plan(collectSummaries(lines)).map(p => (p.boundaries.length + 1, p.preamble))
+    val sums = collectSummaries(linesOf(spark, path, minPartitions))
+    planAssembly(sums).map(ap => (ap.specs.size + 1, ap.preamble))
+      .orElse(plan(sums).map(p => (p.boundaries.length + 1, p.preamble)))
+  }
+
+  /** Which execution strategy the planner picks for this file (tests). */
+  private[graft] def strategyFor(spark: SparkSession, path: String,
+      minPartitions: Int = 0): String = {
+    val sums = collectSummaries(linesOf(spark, path, minPartitions))
+    if (planAssembly(sums).isDefined) "assembly"
+    else if (plan(sums).isDefined) "shuffle"
+    else "wholetext"
   }
 
   private def linesOf(spark: SparkSession, path: String,
@@ -289,9 +458,21 @@ object TrigChunker {
   def readTrigChunked(spark: SparkSession, path: String,
       defaultGraph: String = "<urn:x-arq:DefaultGraph>",
       minPartitions: Int = 0): DataFrame = {
-    import spark.implicits._
     val lines = linesOf(spark, path, minPartitions)
-    plan(collectSummaries(lines)) match {
+    val sums = collectSummaries(lines)
+    planAssembly(sums) match {
+      case Some(ap) => return runAssembly(spark, lines, ap, defaultGraph)
+      case None => ()
+    }
+    runShuffleOrWholetext(spark, path, lines, sums, defaultGraph)
+  }
+
+  /** Fallback chain: one full-text shuffle by chunk id, else wholetext. */
+  private def runShuffleOrWholetext(spark: SparkSession, path: String,
+      lines: RDD[String], sums: Seq[PartSum],
+      defaultGraph: String): DataFrame = {
+    import spark.implicits._
+    plan(sums) match {
       case None => RdfIO.readTrig(spark, path, defaultGraph)
       case Some(cp) =>
         val bounds = cp.boundaries

@@ -39,6 +39,9 @@ class TrigChunkerSpec extends AnyFunSuite {
     assert(plan.isDefined, "fixture must be chunk-safe")
     assert(plan.get._1 >= 2, s"expected >=2 chunks, got ${plan.get._1}")
     assert(plan.get._2.contains("@prefix ex:"))
+    // the zero-shuffle strategy must engage (bulk text stays in place;
+    // only small head fragments move)
+    assert(TrigChunker.strategyFor(spark, path, minPartitions = 8) === "assembly")
     val whole = canon(collectQuads(RdfIO.readTrig(spark, path)))
     val chunked = canon(collectQuads(
       TrigChunker.readTrigChunked(spark, path, minPartitions = 8)))
