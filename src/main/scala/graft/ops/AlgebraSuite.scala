@@ -206,7 +206,7 @@ object AlgebraSuite {
           |SELECT ?c_custkey ?f_concat ?f_strlen ?f_ucase ?f_lcase ?f_substr
           |       ?f_starts ?f_ends ?f_contains ?f_before ?f_after ?f_replace
           |       ?f_regex ?f_md5 ?f_sha256 ?f_if ?f_coalesce ?f_arith ?f_cmp
-          |       ?f_strlang ?f_lang ?f_dt ?f_islit
+          |       ?f_strlang ?f_lang ?f_dt ?f_islit ?f_cast
           |WHERE {
           |  BIND(CONCAT(?c_name, "/", ?c_mktsegment) AS ?f_concat)
           |  BIND(STRLEN(?c_name) AS ?f_strlen)
@@ -230,6 +230,7 @@ object AlgebraSuite {
           |  BIND(LANG(?f_strlang) AS ?f_lang)
           |  BIND(DATATYPE(STRDT(?c_name, xsd:token)) AS ?f_dt)
           |  BIND(ISLITERAL(?f_strlang) AS ?f_islit)
+          |  BIND(xsd:long(?c_custkey) AS ?f_cast)
           |}""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(customer(s, dir))
     }),
@@ -557,7 +558,9 @@ object AlgebraSuite {
         |  '"' || c_name || '"@en' AS f_strlang,
         |  'en' AS f_lang,
         |  '<http://www.w3.org/2001/XMLSchema#token>' AS f_dt,
-        |  true AS f_islit
+        |  true AS f_islit,
+        |  '"' || CAST(c_custkey AS VARCHAR) ||
+        |    '"^^<http://www.w3.org/2001/XMLSchema#long>' AS f_cast
         |FROM customer""".stripMargin,
     "select_having" ->
       s"""$tripCte

@@ -1472,9 +1472,31 @@ object ConstructParser {
         case _ if kw("ISBLANK") =>
           E(termCol(arg1()).startsWith("_:"), term = false)
         case c if Character.isLetter(c) || c == '_' =>
-          E(lit("<" + prefixedIri() + ">"), term = true) // e.g. xsd:long
+          val iri = prefixedIri()
+          // constructor-cast call form `xsd:integer(?x)` (SPARQL §17.5) —
+          // otherwise the prefixed name is an IRI constant (e.g. a
+          // datatype argument to STRDT)
+          if (peek == '(') xsdCast(iri) else E(lit("<" + iri + ">"), term = true)
         case _ => fail("unsupported expression")
       }
+    }
+
+    /** XSD constructor cast: lexical canonicalization for the integer
+      * family and boolean, pass-through lexical otherwise; always yields
+      * a typed literal term.
+      */
+    private def xsdCast(iri: String): E = {
+      val arg = arg1()
+      val local = iri.substring(iri.lastIndexOf('#') + 1)
+      val numeric = Set("integer", "long", "int", "short", "byte",
+        "nonNegativeInteger", "positiveInteger", "unsignedInt", "unsignedLong")
+      val lex: Column =
+        if (numeric(local)) numC(arg).cast("long").cast("string")
+        else if (local == "double" || local == "float") numC(arg).cast("string")
+        else if (local == "boolean") lower(raw(arg))
+        else raw(arg) // decimal/string/date/dateTime…: lexical as given
+      E(concat(lit("\""), RdfTerms.ntEscape(lex), lit("\"^^<" + iri + ">")),
+        term = true, num = numeric(local))
     }
 
     private def arg1(): E = {

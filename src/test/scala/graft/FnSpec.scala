@@ -92,6 +92,21 @@ class FnSpec extends AnyFunSuite {
     assert(m(300L)._5 === "big")
   }
 
+  test("xsd constructor casts produce typed literal terms") {
+    val got = rows(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?k ?i ?b ?s WHERE {
+        |  BIND(xsd:integer(?k) AS ?i)
+        |  BIND(xsd:boolean("TRUE") AS ?b)
+        |  BIND(xsd:string(?tag) AS ?s)
+        |  FILTER(?k = 20)
+        |}""".stripMargin, data)
+    assert(got.length === 1)
+    assert(got(0).getString(1) === "\"20\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    assert(got(0).getString(2) === "\"true\"^^<http://www.w3.org/2001/XMLSchema#boolean>")
+    assert(got(0).getString(3) === "\"y\"^^<http://www.w3.org/2001/XMLSchema#string>")
+  }
+
   test("IN and NOT IN with term promotion") {
     val got = rows(
       "SELECT ?k WHERE { FILTER(?tag IN (\"x\", \"z\")) }", data)
