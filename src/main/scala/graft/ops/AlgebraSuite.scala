@@ -168,6 +168,26 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "construct_where_short" -> ((s, dir) => {
+      // CONSTRUCT WHERE shorthand (§16.2.3): pattern doubles as template
+      val q = s"""PREFIX p: <$P>
+                 |CONSTRUCT WHERE { ?s p:role ?o . }""".stripMargin
+      graft.rules.ConstructParser.parseConstruct(q).run(trip(s, dir))
+    }),
+    "script_modify_text" -> ((s, dir) => {
+      // combined DELETE/INSERT update: one WHERE binds both templates
+      // against the pre-update dataset
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      val script =
+        s"""PREFIX ex: <http://example.org/>
+           |LOAD <file://$path> ;
+           |DELETE { ?n ex:active ?x }
+           |INSERT { GRAPH <urn:flags> { ?n ex:wasActive ?x } }
+           |WHERE { ?n ex:active ?x }""".stripMargin
+      graft.pipeline.Script.runSparql(s, script).dataset
+    }),
     "from_graph_text" -> ((s, dir) => {
       // dataset clause (§13.2): FROM restricts the default graph that
       // un-GRAPHed patterns match
@@ -514,6 +534,20 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "construct_where_short" ->
+      s"""$tripCte
+         |SELECT subj, '<${P}role>' AS pred, obj,
+         |       '<urn:x-arq:DefaultGraph>' AS graph
+         |FROM trip WHERE pred = '<${P}role>'""".stripMargin,
+    "script_modify_text" ->
+      s"""WITH $trigNatCte,
+         |fixture AS ($trigFixtureSelect)
+         |SELECT graph, subj, pred, obj FROM fixture
+         |WHERE NOT (graph = '<urn:x-arq:DefaultGraph>'
+         |           AND pred = '<http://example.org/active>')
+         |UNION ALL
+         |SELECT '<urn:flags>', subj, '<http://example.org/wasActive>', obj
+         |FROM fixture WHERE pred = '<http://example.org/active>'""".stripMargin,
     "from_graph_text" ->
       s"""$tripCte
          |SELECT subj AS s, obj AS o FROM trip

@@ -91,6 +91,11 @@ object Script {
         ds = ckpt(ds.unionByName(q.run(ds).select(QuadCols.map(col): _*)))
       case DeleteWhereStmt(q) =>
         ds = ckpt(anti(ds, q.run(ds)))
+      case ModifyStmt(del, ins) =>
+        // one WHERE binds both templates against the PRE-update dataset
+        val dels = del.run(ds)
+        val inss = ins.run(ds).select(QuadCols.map(col): _*)
+        ds = ckpt(anti(ds, dels).unionByName(inss))
       case ClearGraphStmt(g) =>
         ds = ckpt(ds.filter(col("graph") =!= g))
       case QueryStmt(q) => last = Some(q.run(ds))

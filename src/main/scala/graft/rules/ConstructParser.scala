@@ -195,6 +195,11 @@ object ConstructParser {
   final case class DeleteDataStmt(rows: Seq[(String, String, String, String)]) extends ScriptStmt
   final case class InsertWhereStmt(q: ParsedConstruct) extends ScriptStmt
   final case class DeleteWhereStmt(q: ParsedConstruct) extends ScriptStmt
+  /** `DELETE {…} INSERT {…} WHERE {…}` — one WHERE binds both templates;
+    * per SPARQL Update §3.1.3 the WHERE is evaluated against the
+    * pre-update dataset, deletions and insertions applied after.
+    */
+  final case class ModifyStmt(del: ParsedConstruct, ins: ParsedConstruct) extends ScriptStmt
   final case class LoadStmt(path: String, graph: Option[String]) extends ScriptStmt
   final case class ClearGraphStmt(graph: String) extends ScriptStmt
 
@@ -254,7 +259,10 @@ object ConstructParser {
       prefixLoop()
       if (!kw("CONSTRUCT")) fail("expected CONSTRUCT")
       skipWs()
-      val templates = templateBlock()
+      // `CONSTRUCT WHERE { bgp }` shorthand (SPARQL 1.1 §16.2.3): the
+      // pattern doubles as the template (plain triple patterns only)
+      val short = peek != '{'
+      val templates = if (short) Seq.empty else templateBlock()
       val ds = datasetClause()
       if (!kw("WHERE")) fail("expected WHERE")
       skipWs()
@@ -263,7 +271,7 @@ object ConstructParser {
       if (peek == ';') i += 1 // optional statement separator
       skipWs()
       if (expectEnd && i < n) fail("trailing input")
-      finishConstruct(templates, els, ds)
+      finishConstruct(if (short) patternTemplates(els) else templates, els, ds)
     }
 
     /** Resolve templates + WHERE elements into a [[ParsedConstruct]]
@@ -309,12 +317,14 @@ object ConstructParser {
         skipWs()
         if (kw("CONSTRUCT")) {
           skipWs()
-          val templates = templateBlock()
+          val short = peek != '{'
+          val templates = if (short) Seq.empty else templateBlock()
           skipWs()
           if (!kw("WHERE")) fail("expected WHERE")
           skipWs()
           val els = groupBlock(graphCtx = None)
-          out += QueryStmt(finishConstruct(templates, els))
+          out += QueryStmt(finishConstruct(
+            if (short) patternTemplates(els) else templates, els))
         } else if (kw("SELECT")) {
           // rewind so selectQuery re-reads the keyword
           i -= "SELECT".length
@@ -345,9 +355,20 @@ object ConstructParser {
           } else {
             val templates = templateBlock()
             skipWs()
-            if (!kw("WHERE")) fail("expected WHERE after DELETE template")
-            skipWs()
-            out += DeleteWhereStmt(finishConstruct(templates, groupBlock(None)))
+            if (kw("INSERT")) { // DELETE {…} INSERT {…} WHERE {…}
+              skipWs()
+              val insTemplates = templateBlock()
+              skipWs()
+              if (!kw("WHERE")) fail("expected WHERE after INSERT template")
+              skipWs()
+              val els = groupBlock(None)
+              out += ModifyStmt(finishConstruct(templates, els),
+                finishConstruct(insTemplates, els))
+            } else {
+              if (!kw("WHERE")) fail("expected WHERE after DELETE template")
+              skipWs()
+              out += DeleteWhereStmt(finishConstruct(templates, groupBlock(None)))
+            }
           }
         } else if (kw("LOAD")) {
           skipWs()
