@@ -110,6 +110,47 @@ class TrigChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random documents parse identically under any split") {
+    def randomDoc(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      val sb = new StringBuilder(
+        "@prefix ex: <http://ex.org/> .\n" +
+          "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n\n")
+      val n = 30 + r.nextInt(40)
+      (0 until n).foreach { k =>
+        r.nextInt(8) match {
+          case 0 => sb.append(s"ex:s$k ex:p ex:o$k .\n")
+          case 1 => sb.append(s"ex:s$k ex:p \"v$k\" ;\n  ex:q $k , true .\n")
+          case 2 => sb.append(
+            s"ex:g$k {\n  ex:a$k ex:p \"x{y}.z\" .\n  ex:b$k ex:q ex:a$k\n}\n")
+          case 3 => sb.append("ex:s" + k +
+            " ex:long \"\"\"line1 .\nline { 2 }\n'quote' # not a comment\n\"\"\" .\n")
+          case 4 => sb.append(s"ex:s$k ex:esc \"q\\\"q \\\\ t\\tend\" .\n")
+          case 5 => sb.append(
+            s"ex:s$k ex:meta [ ex:rank $k ; ex:tags (\"a\" \"b\") ] .\n")
+          case 6 => sb.append(s"# comment $k with {{ brace . }\n\n")
+          case 7 => sb.append(s"GRAPH ex:h$k { ex:x$k a ex:T }\n")
+        }
+      }
+      sb.toString
+    }
+    var assemblies = 0
+    (1 to 10).foreach { seed =>
+      val path = tmp(s"prop$seed.trig")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        randomDoc(seed))
+      val whole = canon(collectQuads(RdfIO.readTrig(spark, path)))
+      Seq(3, 9).foreach { parts =>
+        if (TrigChunker.strategyFor(spark, path, parts) == "assembly")
+          assemblies += 1
+        val chunked = canon(collectQuads(
+          TrigChunker.readTrigChunked(spark, path, minPartitions = parts)))
+        assert(chunked.sorted === whole.sorted, s"seed=$seed parts=$parts")
+      }
+    }
+    assert(assemblies >= 10, s"assembly strategy should dominate: $assemblies/20")
+  }
+
   test("anonymous bnode labels never collide across chunks") {
     val doc = new StringBuilder("@prefix ex: <http://ex.org/> .\n")
     (0 until 40).foreach(k => doc.append(s"ex:s$k ex:meta [ ex:rank $k ] .\n"))
