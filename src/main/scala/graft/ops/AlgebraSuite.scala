@@ -168,6 +168,11 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "select_distinct_text" -> ((s, dir) => {
+      val q = s"""PREFIX p: <$P>
+                 |SELECT DISTINCT ?role WHERE { ?t p:role ?role . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "construct_where_short" -> ((s, dir) => {
       // CONSTRUCT WHERE shorthand (§16.2.3): pattern doubles as template
       val q = s"""PREFIX p: <$P>
@@ -534,6 +539,10 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "select_distinct_text" ->
+      s"""$tripCte
+         |SELECT DISTINCT obj AS role FROM trip
+         |WHERE pred = '<${P}role>'""".stripMargin,
     "construct_where_short" ->
       s"""$tripCte
          |SELECT subj, '<${P}role>' AS pred, obj,

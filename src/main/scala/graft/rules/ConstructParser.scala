@@ -536,6 +536,10 @@ object ConstructParser {
         skipWs()
       }
       if (!kw("SELECT")) fail("expected SELECT")
+      skipWs()
+      // DISTINCT dedups solutions; REDUCED merely PERMITS dedup (§18.2.5)
+      // — a deterministic engine treats both as distinct()
+      val distinctRows = kw("DISTINCT") || kw("REDUCED")
       val items = scala.collection.mutable.ArrayBuffer[SelItem]()
       var more = true
       while (more) {
@@ -700,9 +704,10 @@ object ConstructParser {
                 "* cannot mix with aggregation")
             }: _*)
           }
+        val deduped = if (distinctRows) projected.distinct() else projected
         val ordered =
-          if (orders.isEmpty) projected
-          else projected.orderBy(orders.toSeq.map { case (v, asc) =>
+          if (orders.isEmpty) deduped
+          else deduped.orderBy(orders.toSeq.map { case (v, asc) =>
             if (asc) col(v).asc else col(v).desc
           }: _*)
         val off = offsetN.map(ordered.offset).getOrElse(ordered)
