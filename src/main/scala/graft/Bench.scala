@@ -93,15 +93,20 @@ object Bench {
       val out = dir.resolve("giant")
       graft.sources.RdfIO.trigLines(scaled).coalesce(1)
         .write.mode("overwrite").text(out.toString)
-      val file = java.nio.file.Files.list(out).toArray.map(_.toString)
-        .filter(_.endsWith(".txt")).headOption
-        .getOrElse(out.toString) // spark text sink writes part-*.txt
+      val listing = java.nio.file.Files.list(out)
+      val file =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".txt"))
+          .headOption.getOrElse(out.toString) // spark text sink: part-*.txt
+        finally listing.close()
       val bytes = new java.io.File(file).length()
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      // warm both code paths once on the small corpus
+      // warm BOTH code paths (JIT + codegen + page cache) before timing
+      graft.sources.RdfIO.readTrig(spark, file).count()
+      graft.sources.TrigChunker.readTrigChunked(spark, file,
+        minPartitions = cpus).count()
       val (seqT, seqN) = time(graft.sources.RdfIO.readTrig(spark, file).count())
       val (chunkT, chunkN) = time(
         graft.sources.TrigChunker.readTrigChunked(spark, file,

@@ -53,21 +53,52 @@ object Bgp {
     constrained.select(projected: _*)
   }
 
-  /** Conjunction: natural equi-join on shared variables. */
-  def join(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, a.columns.intersect(b.columns).toSeq, "inner")
+  private def shared(a: DataFrame, b: DataFrame): Seq[String] =
+    a.columns.intersect(b.columns).toSeq
 
-  /** OPTIONAL { … }: left outer on shared vars. */
-  def optional(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, a.columns.intersect(b.columns).toSeq, "left_outer")
+  /** Conjunction: natural equi-join on shared variables (disjoint
+    * domains = cartesian product, per SPARQL join semantics).
+    */
+  def join(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) a.crossJoin(b) else a.join(b, s, "inner")
+  }
 
-  /** FILTER EXISTS { … }: left semi. */
-  def exists(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, a.columns.intersect(b.columns).toSeq, "left_semi")
+  /** OPTIONAL { … }: left outer on shared vars; with disjoint domains
+    * every pairing is compatible, but left rows survive an empty right.
+    */
+  def optional(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) a.join(b, lit(true), "left_outer")
+    else a.join(b, s, "left_outer")
+  }
 
-  /** MINUS { … }: left anti on shared vars. */
-  def minus(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, a.columns.intersect(b.columns).toSeq, "left_anti")
+  /** FILTER EXISTS { … }: left semi. Disjoint domains: keep all rows iff
+    * the subpattern has ANY solution (1-row probe, broadcast).
+    */
+  def exists(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) a.join(broadcast(b.limit(1)), lit(true), "left_semi")
+    else a.join(b, s, "left_semi")
+  }
+
+  /** FILTER NOT EXISTS { … }: left anti. Disjoint domains: drop ALL rows
+    * iff the subpattern has any solution.
+    */
+  def notExists(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) a.join(broadcast(b.limit(1)), lit(true), "left_anti")
+    else a.join(b, s, "left_anti")
+  }
+
+  /** MINUS { … }: left anti on shared vars — but per SPARQL 1.1 §8.3 a
+    * MINUS whose domains share NO variable removes nothing (unlike
+    * FILTER NOT EXISTS, which tests plain satisfiability).
+    */
+  def minus(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) a else a.join(b, s, "left_anti")
+  }
 
   /** UNION: union of solution headers, missing vars unbound. */
   def union(a: DataFrame, b: DataFrame): DataFrame =

@@ -92,10 +92,10 @@ object Script {
       case DeleteWhereStmt(q) =>
         ds = ckpt(anti(ds, q.run(ds)))
       case ModifyStmt(del, ins) =>
-        // one WHERE binds both templates against the PRE-update dataset
-        val dels = del.run(ds)
-        val inss = ins.run(ds).select(QuadCols.map(col): _*)
-        ds = ckpt(anti(ds, dels).unionByName(inss))
+        // one WHERE binds both templates against the PRE-update dataset;
+        // the group is evaluated once and shared (lazy localCheckpoint)
+        val (dels, inss) = graft.rules.ConstructParser.runModify(del, ins, ds)
+        ds = ckpt(anti(ds, dels).unionByName(inss.select(QuadCols.map(col): _*)))
       case ClearGraphStmt(g) =>
         ds = ckpt(ds.filter(col("graph") =!= g))
       case QueryStmt(q) => last = Some(q.run(ds))

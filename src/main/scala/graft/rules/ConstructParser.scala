@@ -85,6 +85,25 @@ object ConstructParser {
   /** Hidden column carrying the per-solution id for fresh template bnodes. */
   private[rules] val RowIdCol = "__construct_rowid"
 
+  /** Execute a combined `DELETE {…} INSERT {…} WHERE {…}`: the shared
+    * WHERE is compiled and evaluated ONCE (lazy localCheckpoint — both
+    * template sets read the same materialized binding frame), returning
+    * (deletions, insertions).
+    */
+  def runModify(del: ParsedConstruct, ins: ParsedConstruct,
+      dataset: DataFrame): (DataFrame, DataFrame) = {
+    val bound = del.where.map(_(dataset)).getOrElse(dataset)
+      .localCheckpoint(false)
+    def apply(q: ParsedConstruct): DataFrame = {
+      val prepped =
+        if (q.needsRowId)
+          bound.withColumn(RowIdCol, monotonically_increasing_id().cast("string"))
+        else bound
+      RuleCompiler.compile(prepped, q.rules)
+    }
+    (apply(del), apply(ins))
+  }
+
   def parseConstruct(text: String): ParsedConstruct = new P(text).query()
 
   /** One parsed SELECT statement: `run(input)` evaluates projection +
@@ -225,6 +244,10 @@ object ConstructParser {
       * subquery's visible variables.
       */
     private var lastProjection: Seq[(String, Boolean)] = Nil
+    // the enclosing query's dataset clause: subqueries inherit it when
+    // they declare no FROM of their own (SPARQL subqueries share the
+    // outer dataset)
+    private var dsCtx: DatasetClause = DatasetClause(Nil, Nil)
 
     /** Lookahead: does the `{` at the cursor open a `{ SELECT … }` subquery? */
     private def subselectAhead: Boolean = {
@@ -241,6 +264,7 @@ object ConstructParser {
       filters = scala.collection.mutable.ArrayBuffer[Column]()
       sawPattern = false
       bgpVarTerm.clear()
+      dsCtx = DatasetClause(Nil, Nil)
     }
 
     private def prefixLoop(): Unit = {
@@ -264,6 +288,7 @@ object ConstructParser {
       val short = peek != '{'
       val templates = if (short) Seq.empty else templateBlock()
       val ds = datasetClause()
+      dsCtx = ds
       if (!kw("WHERE")) fail("expected WHERE")
       skipWs()
       val els = groupBlock(graphCtx = None)
@@ -425,6 +450,7 @@ object ConstructParser {
       prefixLoop()
       if (!kw("ASK")) fail("expected ASK")
       val ds = datasetClause()
+      dsCtx = ds
       kw("WHERE") // optional keyword
       skipWs()
       val els = groupBlock(graphCtx = None)
@@ -478,12 +504,13 @@ object ConstructParser {
         else if (peek == '<') consts += "<" + iriRef() + ">"
         else if (Character.isLetter(peek)) {
           val save = i
-          if (kw("WHERE")) { i = save; more = false }
+          if (kw("WHERE") || kw("FROM")) { i = save; more = false }
           else consts += "<" + prefixedIri() + ">"
         } else more = false
       }
       require(vars.nonEmpty || consts.nonEmpty, "empty DESCRIBE")
       val ds = datasetClause()
+      dsCtx = ds
       val els =
         if (kw("WHERE")) { skipWs(); groupBlock(graphCtx = None) }
         else if (peek == '{') groupBlock(graphCtx = None)
@@ -523,18 +550,14 @@ object ConstructParser {
     private case object Star extends SelItem
 
     def selectQuery(expectEnd: Boolean = true): ParsedSelect = {
+      // NOTE: deliberately does NOT resetState() — a subquery parse must
+      // keep the enclosing dsCtx; the per-query fields are reset here and
+      // the enclosing group saves/restores its own state around the call
       binds = scala.collection.mutable.LinkedHashMap[String, E]()
       filters = scala.collection.mutable.ArrayBuffer[Column]()
       sawPattern = false
       bgpVarTerm.clear()
-      skipWs()
-      while (kw("PREFIX")) {
-        skipWs()
-        val pfx = until(':'); i += 1
-        skipWs()
-        prefixes(pfx) = iriRef()
-        skipWs()
-      }
+      prefixLoop()
       if (!kw("SELECT")) fail("expected SELECT")
       skipWs()
       // DISTINCT dedups solutions; REDUCED merely PERMITS dedup (§18.2.5)
@@ -558,7 +581,9 @@ object ConstructParser {
         } else more = false
       }
       if (items.isEmpty) fail("empty SELECT projection")
-      val ds = datasetClause()
+      val own = datasetClause()
+      val ds = if (own.from.isEmpty && own.fromNamed.isEmpty) dsCtx else own
+      dsCtx = ds // nested subqueries inherit
       kw("WHERE") // optional keyword
       skipWs()
       val els = groupBlock(graphCtx = None)
@@ -1080,12 +1105,14 @@ object ConstructParser {
           val savedFilters = filters
           val savedSaw = sawPattern
           val savedTerm = bgpVarTerm.toMap
+          val savedDs = dsCtx
           val sub = selectQuery(expectEnd = false)
           val proj = lastProjection
           skipWs(); expect('}')
           binds = savedBinds
           filters = savedFilters
           sawPattern = savedSaw
+          dsCtx = savedDs
           bgpVarTerm.clear()
           savedTerm.foreach { case (k, v) => bgpVarTerm(k) = v }
           require(!proj.exists(_._1 == "*"),
@@ -1220,7 +1247,7 @@ object ConstructParser {
         case ExistsE(inner, neg) =>
           require(acc != null, "FILTER EXISTS with no preceding pattern")
           val sub = compileGroup(inner, quads, ds)
-          acc = if (neg) Bgp.minus(acc, sub) else Bgp.exists(acc, sub)
+          acc = if (neg) Bgp.notExists(acc, sub) else Bgp.exists(acc, sub)
         case BindE(v, e) =>
           require(acc != null, "BIND before any pattern in a BGP group")
           acc = acc.withColumn(v, e.c)
@@ -1292,21 +1319,31 @@ object ConstructParser {
       def termSides(r: E): (Column, Column) =
         if (left.term == r.term) (left.c, r.c)
         else (termCol(left), termCol(r))
-      def ordSides(r: E): (Column, Column) =
-        if (left.num || r.num) (numC(left), numC(r)) else (raw(left), raw(r))
+      // ordering: numeric when either side is statically numeric; for
+      // term-term comparisons decide PER ROW — two numeric-typed literals
+      // compare by value ("9"^^xsd:integer < "10"^^xsd:integer), anything
+      // else lexicographically on the raw form
+      def ord(r: E, op: (Column, Column) => Column): Column =
+        if (left.num || r.num) op(numC(left), numC(r))
+        else if (left.term && r.term) {
+          val ln = numTermVal(left.c)
+          val rn = numTermVal(r.c)
+          when(ln.isNotNull && rn.isNotNull, op(ln, rn))
+            .otherwise(op(raw(left), raw(r)))
+        } else op(raw(left), raw(r))
       if (kwSym("!=")) {
         val r = addExpr(); val (a, b) = termSides(r); E(a =!= b, term = false)
       } else if (kwSym("=")) {
         val r = addExpr(); val (a, b) = termSides(r); E(a === b, term = false)
       } else if (kwSym("<=")) {
-        val r = addExpr(); val (a, b) = ordSides(r); E(a <= b, term = false)
+        val r = addExpr(); E(ord(r, _ <= _), term = false)
       } else if (kwSym(">=")) {
-        val r = addExpr(); val (a, b) = ordSides(r); E(a >= b, term = false)
+        val r = addExpr(); E(ord(r, _ >= _), term = false)
       } else if (peek == '<' && i + 1 < n && s.charAt(i + 1).isWhitespace) {
         i += 1
-        val r = addExpr(); val (a, b) = ordSides(r); E(a < b, term = false)
+        val r = addExpr(); E(ord(r, _ < _), term = false)
       } else if (kwSym(">")) {
-        val r = addExpr(); val (a, b) = ordSides(r); E(a > b, term = false)
+        val r = addExpr(); E(ord(r, _ > _), term = false)
       } else if (kw("IN")) inList(left, neg = false)
       else if (kw("NOT")) {
         skipWs()
@@ -1366,6 +1403,16 @@ object ConstructParser {
     /** Numeric value of an expression (term literals via their lexical form). */
     private def numC(e: E): Column =
       if (e.term) raw(e).cast("double") else e.c.cast("double")
+
+    /** Numeric VALUE of a term string when it is a numeric-typed literal
+      * (xsd numeric family), else NULL.
+      */
+    private def numTermVal(term: Column): Column =
+      regexp_extract(term,
+        "^\"([^\"]*)\"\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#" +
+          "(?:integer|decimal|double|float|long|int|short|byte|" +
+          "nonNegativeInteger|positiveInteger|unsignedInt|unsignedLong)>$", 1)
+        .cast("double")
 
     private def unary(): E = {
       skipWs()

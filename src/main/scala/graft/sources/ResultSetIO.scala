@@ -92,12 +92,19 @@ object ResultSetIO {
     * the schema (there is no `head` section to declare it).
     */
   def readSrjLines(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.json(path)
-    val vars = raw.schema.fieldNames.filterNot(_ == "_corrupt_record").sorted.toSeq
+    // FAILFAST: a malformed line in a binding dump must fail loudly (the
+    // PERMISSIVE default would silently turn it into an all-NULL row),
+    // matching readSrj's strictness
+    val raw = spark.read.option("mode", "FAILFAST").json(path)
+    val vars = raw.schema.fieldNames.sorted.toSeq
     require(vars.nonEmpty, s"readSrjLines: no binding vars inferred at $path")
     raw.select(vars.map { v =>
-      val sub = raw.schema(v).dataType
-        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      val sub = raw.schema(v).dataType match {
+        case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSet
+        case other => throw new IllegalArgumentException(
+          s"readSrjLines: var '$v' is not a binding object (inferred $other) " +
+            s"— every line must be {\"var\":{\"type\":…,\"value\":…},…}")
+      }
       decodeTerm(col(v), sub).as(v)
     }: _*)
   }

@@ -63,9 +63,13 @@ object TrigChunker {
       lastEndByRelDepth: Map[Int, Long], pending: Option[(Int, Long)],
       firstEndByRelDepth: Map[Int, Long], unsafe: Boolean)
 
-  /** @param directives directive-shaped lines seen under the incoming-OUT
-    *                    automaton: (line idx, text, self-contained?)
-    * @param firstData  first non-directive content line idx (-1 if none)
+  /** @param directivesA per INCOMING literal state: directive-shaped
+    *                    lines seen while that automaton is outside
+    *                    literals: (line idx, text, self-contained?)
+    * @param firstDataA per incoming state: first non-directive content
+    *                    line idx (-1 if none) — per-state so data hidden
+    *                    behind an incoming long literal still counts once
+    *                    the literal closes
     * @param firstContentDotLeading whether the partition's first content
     *                    line starts with a statement-final `.`
     */
@@ -75,8 +79,10 @@ object TrigChunker {
     * `headCoversAll` = the whole partition fit under the cap.
     */
   private[sources] final case class PartSum(pid: Int, nLines: Long,
-      sums: IndexedSeq[AutoSum], directives: Seq[(Long, String, Boolean)],
-      firstData: Long, firstContentDotLeading: Option[Boolean],
+      sums: IndexedSeq[AutoSum],
+      directivesA: IndexedSeq[Seq[(Long, String, Boolean)]],
+      firstDataA: IndexedSeq[Long],
+      firstContentDotLeading: Option[Boolean],
       headLines: Vector[String], headCoversAll: Boolean)
 
   private[sources] def scanLine(s: String, in: Int): LineFx = {
@@ -160,8 +166,9 @@ object TrigChunker {
     val firstMaps = Array.fill(3)(mutable.HashMap.empty[Int, Long])
     val pending = Array.fill[Option[(Int, Long)]](3)(None)
     val unsafe = Array(false, false, false)
-    val directives = mutable.ArrayBuffer.empty[(Long, String, Boolean)]
-    var firstData = -1L
+    val directivesA = Array.fill(3)(
+      mutable.ArrayBuffer.empty[(Long, String, Boolean)])
+    val firstDataA = Array(-1L, -1L, -1L)
     var firstContentDot: Option[Boolean] = None
     // head collection for the zero-shuffle assembly strategy: keep leading
     // lines until every automaton has a confirmed first boundary (or the
@@ -183,16 +190,23 @@ object TrigChunker {
         (ci + 1 >= ln || !line.charAt(ci + 1).isDigit)
       if (isContent && firstContentDot.isEmpty)
         firstContentDot = Some(contentDot)
-      if (st(0) == OUT && isContent) {
-        // directive / first-data detection only needs the trimmed text on
-        // the (rare) lines that start like a directive
-        if (line.charAt(ci) == '@' || line.charAt(ci) == 'P' ||
-            line.charAt(ci) == 'p' || line.charAt(ci) == 'B' ||
-            line.charAt(ci) == 'b') {
-          val t = line.substring(ci).trim
-          if (isDirectiveLine(t)) directives += ((idx, t, selfContained(t)))
-          else if (firstData < 0) firstData = idx
-        } else if (firstData < 0) firstData = idx
+      if (isContent) {
+        // directive / first-data detection per automaton (only while that
+        // automaton is outside literals at line start); the trimmed text
+        // is only built on the rare directive-shaped lines
+        val dirShaped = line.charAt(ci) == '@' || line.charAt(ci) == 'P' ||
+          line.charAt(ci) == 'p' || line.charAt(ci) == 'B' ||
+          line.charAt(ci) == 'b'
+        lazy val trimmed = line.substring(ci).trim
+        var d = 0
+        while (d < 3) {
+          if (st(d) == OUT) {
+            if (dirShaped && isDirectiveLine(trimmed))
+              directivesA(d) += ((idx, trimmed, selfContained(trimmed)))
+            else if (firstDataA(d) < 0) firstDataA(d) = idx
+          }
+          d += 1
+        }
       }
       // resolve pendings: a content line that does not start with a
       // statement-final '.' confirms the previous candidate as a boundary
@@ -241,7 +255,8 @@ object TrigChunker {
       Array.tabulate(3)(a =>
         AutoSum(st(a), depth(a), maps(a).toMap, pending(a),
           firstMaps(a).toMap, unsafe(a))).toIndexedSeq,
-      directives.toSeq, firstData, firstContentDot,
+      directivesA.map(_.toSeq).toIndexedSeq,
+      firstDataA.toIndexedSeq, firstContentDot,
       headLines.result(), collecting)
   }
 
@@ -277,14 +292,12 @@ object TrigChunker {
           if (!p.firstContentDotLeading.get) bounds += carried.get
           carried = None
         }
-        if (st == OUT) { // directives are only meaningful outside literals
-          p.directives.foreach { case (i, t, selfC) =>
-            if (!selfC) bad = true // multi-line directive: not chunk-safe
-            else dirs += ((encode(p.pid, i), t))
-          }
-          if (p.firstData >= 0)
-            firstData = math.min(firstData, encode(p.pid, p.firstData))
+        p.directivesA(st).foreach { case (i, t, selfC) =>
+          if (!selfC) bad = true // multi-line directive: not chunk-safe
+          else dirs += ((encode(p.pid, i), t))
         }
+        if (p.firstDataA(st) >= 0)
+          firstData = math.min(firstData, encode(p.pid, p.firstDataA(st)))
         sum.lastEndByRelDepth.get(-depth).foreach(i => bounds += encode(p.pid, i))
         if (p.firstContentDotLeading.isDefined)
           carried = sum.pending.collect { case (rd, i) if rd == -depth =>
@@ -339,14 +352,12 @@ object TrigChunker {
       val sum = p.sums(st)
       if (sum.unsafe) bad = true
       else {
-        if (st == OUT) {
-          p.directives.foreach { case (i, txt, selfC) =>
-            if (!selfC) bad = true
-            else dirs += ((encode(p.pid, i), txt))
-          }
-          if (p.firstData >= 0)
-            firstData = math.min(firstData, encode(p.pid, p.firstData))
+        p.directivesA(st).foreach { case (i, txt, selfC) =>
+          if (!selfC) bad = true
+          else dirs += ((encode(p.pid, i), txt))
         }
+        if (p.firstDataA(st) >= 0)
+          firstData = math.min(firstData, encode(p.pid, p.firstDataA(st)))
         sum.firstEndByRelDepth.get(-depth) match {
           case Some(b) if b < p.headLines.length =>
             bounds(p.pid) = b // boundary line must sit inside the head slice

@@ -26,6 +26,9 @@ object TrigParser {
   final case class Quad4(graph: String, subj: String, pred: String, obj: String)
 
   private val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+  /** Labels reserved for generated anonymous bnodes (see readBnode). */
+  private[sources] val ReservedLabel =
+    java.util.regex.Pattern.compile("(?:gen|c\\d+g)\\d+")
   private val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
   private val XsdDecimal = "<http://www.w3.org/2001/XMLSchema#decimal>"
   private val XsdDouble = "<http://www.w3.org/2001/XMLSchema#double>"
@@ -379,7 +382,13 @@ object TrigParser {
       while (i < n && (Character.isLetterOrDigit(s.charAt(i)) ||
         s.charAt(i) == '_' || s.charAt(i) == '-')) i += 1
       if (i == start) fail("empty blank node label")
-      "_:" + s.substring(start, i)
+      val label = s.substring(start, i)
+      // a verbatim label inside the fresh-label namespace (genN / c<k>gN)
+      // is deterministically re-scoped with a 'v' prefix — bnode labels
+      // are arbitrary per RDF semantics, and without this a document's
+      // own `_:gen0` would silently merge with a generated anonymous node
+      "_:" + (if (TrigParser.ReservedLabel.matcher(label).matches) "v" + label
+      else label)
     }
 
     private def readNumber(): String = {

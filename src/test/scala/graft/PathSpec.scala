@@ -268,6 +268,69 @@ class PathSpec extends AnyFunSuite {
       ("<g2>", "<a>", "<x>")))
   }
 
+  test("MINUS vs NOT EXISTS with disjoint domains (SPARQL 8.3)") {
+    // MINUS sharing no variable removes NOTHING; FILTER NOT EXISTS over
+    // the same disjoint pattern removes EVERYTHING (plain satisfiability)
+    val qMinus =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE { ?s ex:label ?o . MINUS { ?x ex:next ?y . } }""".stripMargin
+    assert(ConstructParser.parseSelect(qMinus).run(chain).count() === 1)
+    val qNotEx =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE { ?s ex:label ?o . FILTER NOT EXISTS { ?x ex:next ?y . } }""".stripMargin
+    assert(ConstructParser.parseSelect(qNotEx).run(chain).count() === 0)
+    val qExists =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE { ?s ex:label ?o . FILTER EXISTS { ?x ex:next ?y . } }""".stripMargin
+    assert(ConstructParser.parseSelect(qExists).run(chain).count() === 1)
+    val qExistsEmpty =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE { ?s ex:label ?o . FILTER EXISTS { ?x ex:missing ?y . } }""".stripMargin
+    assert(ConstructParser.parseSelect(qExistsEmpty).run(chain).count() === 0)
+  }
+
+  test("var-var ordering compares numeric literals by VALUE") {
+    import spark.implicits._
+    val t = Seq(
+      ("<a>", "<" + EX + "key>", "\"9\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("<b>", "<" + EX + "key>", "\"10\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("<a>", "<" + EX + "name>", "\"zeta\""),
+      ("<b>", "<" + EX + "name>", "\"alpha\""))
+      .toDF("subj", "pred", "obj")
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?x ?y WHERE {
+         |  ?x ex:key ?kx . ?y ex:key ?ky . FILTER(?kx < ?ky)
+         |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(t).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("<a>", "<b>"))) // 9 < 10 numerically
+    // plain strings still compare lexicographically
+    val q2 =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?x WHERE { ?x ex:name ?n . FILTER(?n < "m") }""".stripMargin
+    assert(ConstructParser.parseSelect(q2).run(t).collect()
+      .map(_.getString(0)).toSeq === Seq("<b>")) // "alpha" < "m" only
+  }
+
+  test("DESCRIBE accepts a FROM clause; subqueries inherit the outer FROM") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<g1>", "<s1>", "<" + EX + "p>", "<o1>"),
+      ("<g2>", "<s2>", "<" + EX + "p>", "<o2>"))
+      .toDF("graph", "subj", "pred", "obj")
+    val d = ConstructParser.parseDescribe(
+      s"PREFIX ex: <$EX>\nDESCRIBE ?s FROM <g1> WHERE { ?s ex:p ?o . }")
+      .run(quads).collect()
+    assert(d.map(_.getString(quads.columns.indexOf("subj"))).toSet === Set("<s1>"))
+    val sub = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?n FROM <g1> WHERE {
+         |  { SELECT (COUNT(*) AS ?n) WHERE { ?s ex:p ?o . } }
+         |}""".stripMargin).run(quads).collect()
+    assert(sub.map(_.getLong(0)).toSeq === Seq(1L)) // counts only <g1>
+  }
+
   test("FROM and FROM NAMED scope default vs named graph views") {
     import spark.implicits._
     val quads = Seq(

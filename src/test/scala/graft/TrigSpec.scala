@@ -36,6 +36,24 @@ class TrigSpec extends AnyFunSuite {
       ("<dg>", S, "<http://ex.org/t>", "\"7\"^^<http://www.w3.org/2001/XMLSchema#int>")))
   }
 
+  test("verbatim labels in the fresh-label namespace are re-scoped") {
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |_:gen0 ex:p ex:a .
+        |ex:s ex:q [ ex:r ex:t ] .
+        |_:c1g0 ex:p ex:b .
+        |_:genuine ex:p ex:c .
+        |""".stripMargin
+    val got = parse(doc)
+    // the document's own _:gen0/_:c1g0 must NOT merge with the generated
+    // anonymous node (also labeled gen0) — they are re-scoped to _:v…
+    assert(got.contains(("<dg>", "_:vgen0", "<http://ex.org/p>", "<http://ex.org/a>")))
+    assert(got.contains(("<dg>", "_:vc1g0", "<http://ex.org/p>", "<http://ex.org/b>")))
+    assert(got.contains(("<dg>", "_:gen0", "<http://ex.org/r>", "<http://ex.org/t>")))
+    // labels merely RESEMBLING the namespace stay verbatim
+    assert(got.contains(("<dg>", "_:genuine", "<http://ex.org/p>", "<http://ex.org/c>")))
+  }
+
   test("graph blocks: named, GRAPH keyword, default-graph statements") {
     val doc =
       """@prefix ex: <http://ex.org/> .
