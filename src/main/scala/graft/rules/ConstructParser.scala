@@ -244,6 +244,7 @@ object ConstructParser {
       * subquery's visible variables.
       */
     private var lastProjection: Seq[(String, Boolean)] = Nil
+    private var bnodeCallSites = 0 // distinct labels per BNODE() call site
     // the enclosing query's dataset clause: subqueries inherit it when
     // they declare no FROM of their own (SPARQL subqueries share the
     // outer dataset)
@@ -1544,6 +1545,17 @@ object ConstructParser {
           E(termCol(arg1()).startsWith("\""), term = false)
         case _ if kw("ISBLANK") =>
           E(termCol(arg1()).startsWith("_:"), term = false)
+        case _ if kw("BNODE") =>
+          // fresh bnode per solution row and call site (§17.4.2.9). The
+          // one-argument form needs same-label-for-same-arg ACROSS call
+          // sites, which has no safe distributed expression — rejected
+          // loudly (use template bnodes or IRI(hash) instead).
+          val a = argList()
+          if (a.nonEmpty) fail(
+            "BNODE(expr) is not supported: use a template blank node or IRI(hash)")
+          bnodeCallSites += 1
+          E(concat(lit("_:fn" + bnodeCallSites + "r"),
+            monotonically_increasing_id().cast("string")), term = true)
         case c if Character.isLetter(c) || c == '_' =>
           val iri = prefixedIri()
           // constructor-cast call form `xsd:integer(?x)` (SPARQL §17.5) —

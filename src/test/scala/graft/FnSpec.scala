@@ -92,6 +92,20 @@ class FnSpec extends AnyFunSuite {
     assert(m(300L)._5 === "big")
   }
 
+  test("BNODE() mints distinct nodes per row and per call site") {
+    val got = rows(
+      """SELECT ?k ?b1 ?b2 WHERE {
+        |  BIND(BNODE() AS ?b1)
+        |  BIND(BNODE() AS ?b2)
+        |}""".stripMargin, data)
+    val all = got.flatMap(r => Seq(r.getString(1), r.getString(2)))
+    assert(all.forall(_.startsWith("_:fn")))
+    assert(all.distinct.length === all.length, "all labels distinct")
+    intercept[Exception] {
+      ConstructParser.parseSelect("SELECT ?b WHERE { BIND(BNODE(\"x\") AS ?b) }")
+    }
+  }
+
   test("xsd constructor casts produce typed literal terms") {
     val got = rows(
       """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
