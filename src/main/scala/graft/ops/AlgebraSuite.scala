@@ -168,6 +168,50 @@ object AlgebraSuite {
            |      ?nx p:tool "tool_purchase" . }""".stripMargin
       NgsOps.askFilterSparql(trip(s, dir), ask)
     }),
+    "example_pipeline" -> ((s, dir) => {
+      // the reference's flagship example.sparql, verbatim shape (CONSTRUCT
+      // into a graph, bare WHERE-less group, json:parse + json:unnest
+      // property function + json:path + URI(CONCAT(ENCODE_FOR_URI)));
+      // only the url:text network fetch is replaced by a local binding
+      // (?src column), since this engine has no egress
+      import s.implicits._
+      val rows = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey").collect()
+      val json = rows.map { r =>
+        val k = r.getLong(0)
+        s"""{"id":"n$k","name":"${r.getString(1)}","position":[$k.5,$k.25]}"""
+      }.mkString("[", ",", "]")
+      val src = Seq(json).toDF("src")
+      val q =
+        """PREFIX wgs: <http://www.w3.org/2003/01/geo/wgs84_pos#>
+          |PREFIX q: <http://qrowd-project.eu/ontology/>
+          |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+          |PREFIX eg: <http://example.org/>
+          |PREFIX json: <http://jsa.aksw.org/fn/json/>
+          |CONSTRUCT {
+          |  GRAPH eg:myGraph {
+          |    ?s
+          |      a q:BikeStation ;
+          |      q:id ?id ;
+          |      rdfs:label ?name ;
+          |      wgs:long ?x ;
+          |      wgs:lat ?y ;
+          |      .
+          |  }
+          |}
+          |{
+          |  BIND(json:parse(?src) AS ?json)
+          |  ?json json:unnest ?i .
+          |  BIND("http://qrowd-project.eu/resource/" AS ?ns)
+          |  BIND(json:path(?i, "$.id") AS ?id)
+          |  BIND(URI(CONCAT(?ns, ENCODE_FOR_URI(?id))) AS ?s)
+          |  BIND(json:path(?i, "$.name") AS ?name)
+          |  BIND(json:path(?i, "$.position[0]") AS ?x)
+          |  BIND(json:path(?i, "$.position[1]") AS ?y)
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseConstruct(q).run(src)
+    }),
     "select_distinct_text" -> ((s, dir) => {
       val q = s"""PREFIX p: <$P>
                  |SELECT DISTINCT ?role WHERE { ?t p:role ?role . }""".stripMargin
@@ -539,6 +583,27 @@ object AlgebraSuite {
          |FROM trip a JOIN trip b ON b.subj = a.subj AND b.pred = '<${P}tool>'
          |WHERE a.pred = '<${P}role>'
          |GROUP BY a.obj""".stripMargin,
+    "example_pipeline" ->
+      """WITH nat AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name
+        |             FROM nation)
+        |SELECT subj, pred, obj, graph FROM (
+        |  SELECT '<http://qrowd-project.eu/resource/n' || k || '>' AS subj,
+        |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+        |         '<http://qrowd-project.eu/ontology/BikeStation>' AS obj,
+        |         '<http://example.org/myGraph>' AS graph FROM nat
+        |  UNION ALL SELECT '<http://qrowd-project.eu/resource/n' || k || '>',
+        |         '<http://qrowd-project.eu/ontology/id>', '"n' || k || '"',
+        |         '<http://example.org/myGraph>' FROM nat
+        |  UNION ALL SELECT '<http://qrowd-project.eu/resource/n' || k || '>',
+        |         '<http://www.w3.org/2000/01/rdf-schema#label>',
+        |         '"' || name || '"', '<http://example.org/myGraph>' FROM nat
+        |  UNION ALL SELECT '<http://qrowd-project.eu/resource/n' || k || '>',
+        |         '<http://www.w3.org/2003/01/geo/wgs84_pos#long>',
+        |         '"' || k || '.5"', '<http://example.org/myGraph>' FROM nat
+        |  UNION ALL SELECT '<http://qrowd-project.eu/resource/n' || k || '>',
+        |         '<http://www.w3.org/2003/01/geo/wgs84_pos#lat>',
+        |         '"' || k || '.25"', '<http://example.org/myGraph>' FROM nat
+        |)""".stripMargin,
     "select_distinct_text" ->
       s"""$tripCte
          |SELECT DISTINCT obj AS role FROM trip

@@ -85,6 +85,11 @@ object ConstructParser {
   /** Hidden column carrying the per-solution id for fresh template bnodes. */
   private[rules] val RowIdCol = "__construct_rowid"
 
+  /** The reference's JSON function namespace (jsa.aksw.org/fn). */
+  private[rules] val JsonNs = "http://jsa.aksw.org/fn/json/"
+  private[rules] val JsonUnnestIri = JsonNs + "unnest"
+  private[rules] val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+
   /** Execute a combined `DELETE {…} INSERT {…} WHERE {…}`: the shared
     * WHERE is compiled and evaluated ONCE (lazy localCheckpoint — both
     * template sets read the same materialized binding frame), returning
@@ -290,7 +295,10 @@ object ConstructParser {
       val templates = if (short) Seq.empty else templateBlock()
       val ds = datasetClause()
       dsCtx = ds
-      if (!kw("WHERE")) fail("expected WHERE")
+      if (!kw("WHERE")) { // keyword is optional before a bare group
+        skipWs()
+        if (peek != '{') fail("expected WHERE or a group pattern")
+      }
       skipWs()
       val els = groupBlock(graphCtx = None)
       skipWs()
@@ -307,6 +315,19 @@ object ConstructParser {
         ds: DatasetClause = NoDataset): ParsedConstruct = {
       val mintsBnodes = templates.exists { case (a, b, c, g) =>
         Seq(a, b, c, g).exists(_.isInstanceOf[BnodeT])
+      }
+      val pipeline = !sawPattern && els.exists(_.isInstanceOf[PropFnE])
+      if (pipeline) {
+        // property-function pipeline over the binding stream: the input
+        // frame is transformed (BIND→withColumn, json:unnest→explode)
+        // before the templates apply
+        val rules = Seq(Rule("construct", lit(true),
+          templates.map { case (st, pt, ot, gt) =>
+            TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
+          }))
+        return ParsedConstruct(rules,
+          Some(input => compileGroup(els, input, NoDataset, seedWithInput = true)),
+          needsRowId = mintsBnodes)
       }
       if (!sawPattern) {
         // binding-stream mode: WHERE may only hold BIND/FILTER
@@ -668,6 +689,7 @@ object ConstructParser {
       if (expectEnd && i < n) fail("trailing input after SELECT query")
 
       val bgp = sawPattern
+      val pipeline = !bgp && els.exists(_.isInstanceOf[PropFnE])
       lastProjection = items.toSeq.map {
         case PlainVar(v) => (v, bgpVarTerm.getOrElse(v, true))
         case Derived(v, _, _) => (v, false)
@@ -676,6 +698,7 @@ object ConstructParser {
       ParsedSelect { input =>
         val bindings =
           if (bgp) compileGroup(els, input, ds)
+          else if (pipeline) compileGroup(els, input, ds, seedWithInput = true)
           else els.foldLeft(input) {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
             case (df, FilterE(c)) => df.filter(c)
@@ -1019,6 +1042,13 @@ object ConstructParser {
       * are visible, so the compiled frame joins like any pattern.
       */
     private case class SubSelectE(q: ParsedSelect) extends WhereEl
+    /** `?json json:unnest ?item` — property function (the reference's
+      * magic-predicate extension mechanism, docs/sparql-extensions):
+      * explodes a JSON-array value into one solution per element, the
+      * element bound as RAW JSON text. Works in both WHERE modes.
+      */
+    private case class PropFnE(subjVar: String, subjIsTerm: Boolean,
+        objVar: String) extends WhereEl
 
     /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
       * `GRAPH term` token, threaded into each contained triple pattern.
@@ -1135,18 +1165,26 @@ object ConstructParser {
           }
           out += (if (gs.size == 1) GroupE(first) else UnionE(gs))
         } else {
-          // triple pattern(s) — flips the statement into BGP mode
-          if (!sawPattern) {
-            sawPattern = true
-            // BINDs parsed before the first pattern migrate to BGP vars
-            binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
-          }
-          tripleLines(allowPaths = true).foreach { case (a, b, c) =>
-            out += TpE(graphCtx, a, b, c)
-            Seq(a, b, c).foreach {
-              case VarT(v) => bgpVarTerm(v) = true
-              case _ => ()
-            }
+          tripleLines(allowPaths = true).foreach {
+            case (VarT(sv), IriT(ConstructParser.JsonUnnestIri), VarT(ov)) =>
+              // property function — does not flip BGP mode by itself
+              val sTerm =
+                if (sawPattern) bgpVarTerm.getOrElse(sv, true)
+                else binds.get(sv).exists(_.term)
+              out += PropFnE(sv, sTerm, ov)
+              if (sawPattern) bgpVarTerm(ov) = false
+            case (a, b, c) =>
+              // a real triple pattern flips the statement into BGP mode
+              if (!sawPattern) {
+                sawPattern = true
+                // BINDs parsed before the first pattern migrate to BGP vars
+                binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
+              }
+              out += TpE(graphCtx, a, b, c)
+              Seq(a, b, c).foreach {
+                case VarT(v) => bgpVarTerm(v) = true
+                case _ => ()
+              }
           }
         }
         skipWs()
@@ -1199,8 +1237,11 @@ object ConstructParser {
       * whole group regardless of position).
       */
     private def compileGroup(els: Seq[WhereEl], quads: DataFrame,
-        ds: DatasetClause = NoDataset): DataFrame = {
-      var acc: DataFrame = null
+        ds: DatasetClause = NoDataset,
+        seedWithInput: Boolean = false): DataFrame = {
+      // property-function-only groups (no triple pattern) run against the
+      // INPUT frame directly — the sbs pipeline shape
+      var acc: DataFrame = if (seedWithInput) quads else null
       def joinIn(df: DataFrame): Unit =
         acc = if (acc == null) df else Bgp.join(acc, df)
       val conds = scala.collection.mutable.ArrayBuffer[Column]()
@@ -1260,6 +1301,22 @@ object ConstructParser {
             spark.sparkContext.parallelize(rows.map(r => Row(r: _*)), 1),
             schema))
         case SubSelectE(q) => joinIn(q.run(quads))
+        case PropFnE(sv, sTerm, ov) =>
+          require(acc != null && acc.columns.contains(sv),
+            s"json:unnest subject ?$sv is not bound")
+          val js = raw(E(col(sv), sTerm))
+          // compute the array in its own column, explode_outer + filter
+          // (a direct explode of the computed expression triples its
+          // evaluation through InferFiltersFromGenerate)
+          acc = acc
+            .withColumn("__jsonarr", from_json(js,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.VariantType)))
+            .select(col("*"),
+              posexplode_outer(col("__jsonarr")).as(Seq("__jsonpos", "__jsonel")))
+            .where(col("__jsonel").isNotNull)
+            .withColumn(ov, col("__jsonel").cast("string"))
+            .drop("__jsonarr", "__jsonpos", "__jsonel")
       }
       require(acc != null, "empty group pattern")
       conds.foldLeft(acc)(_ filter _)
@@ -1558,10 +1615,20 @@ object ConstructParser {
             monotonically_increasing_id().cast("string")), term = true)
         case c if Character.isLetter(c) || c == '_' =>
           val iri = prefixedIri()
-          // constructor-cast call form `xsd:integer(?x)` (SPARQL §17.5) —
-          // otherwise the prefixed name is an IRI constant (e.g. a
-          // datatype argument to STRDT)
-          if (peek == '(') xsdCast(iri) else E(lit("<" + iri + ">"), term = true)
+          // call form: xsd constructor casts and the json:* expression
+          // functions; otherwise the prefixed name is an IRI constant
+          if (peek != '(') E(lit("<" + iri + ">"), term = true)
+          else if (iri.startsWith(ConstructParser.XsdNs)) xsdCast(iri)
+          else if (iri == ConstructParser.JsonNs + "path") {
+            expect('(')
+            val src = expr()
+            skipWs(); expect(','); skipWs()
+            val path = stringLit()
+            skipWs(); expect(')')
+            E(get_json_object(raw(src), path), term = false)
+          } else if (iri == ConstructParser.JsonNs + "parse") {
+            E(raw(arg1()), term = false) // JSON rides as raw text
+          } else fail(s"unknown function <$iri>")
         case _ => fail("unsupported expression")
       }
     }

@@ -92,6 +92,21 @@ class FnSpec extends AnyFunSuite {
     assert(m(300L)._5 === "big")
   }
 
+  test("json property/expression functions in SELECT pipelines") {
+    import spark.implicits._
+    val src = Seq("""[{"a":1,"b":"x"},{"a":2,"b":"y"}]""").toDF("doc")
+    val q =
+      """PREFIX json: <http://jsa.aksw.org/fn/json/>
+        |SELECT ?a ?b WHERE {
+        |  ?doc json:unnest ?el .
+        |  BIND(json:path(?el, "$.a") AS ?a)
+        |  BIND(json:path(?el, "$.b") AS ?b)
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(src).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("1", "x"), ("2", "y")))
+  }
+
   test("BNODE() mints distinct nodes per row and per call site") {
     val got = rows(
       """SELECT ?k ?b1 ?b2 WHERE {
