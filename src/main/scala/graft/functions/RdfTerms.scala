@@ -29,6 +29,20 @@ object RdfTerms {
     replace(r, lit("\t"), lit("\\t"))
   }
 
+  /** Inverse of [[ntEscape]]: decode an N-Triples literal body back to
+    * its raw string. A \\u0001 sentinel protects literal backslashes so
+    * `\\\\n` decodes to backslash-n, not newline (U+0001 itself cannot
+    * round-trip — acceptable: ntEscape never emits it).
+    */
+  def ntUnescape(c: Column): Column = {
+    val bs = replace(c, lit("\\\\"), lit("\u0001"))
+    val q  = replace(bs, lit("\\\""), lit("\""))
+    val n  = replace(q, lit("\\n"), lit("\n"))
+    val r  = replace(n, lit("\\r"), lit("\r"))
+    val t  = replace(r, lit("\\t"), lit("\t"))
+    replace(t, lit("\u0001"), lit("\\"))
+  }
+
   /** `<iri>` */
   def iri(c: Column): Column = concat(lit("<"), c, lit(">"))
   def iri(s: String): Column = lit("<" + s + ">")

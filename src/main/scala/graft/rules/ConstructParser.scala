@@ -250,6 +250,8 @@ object ConstructParser {
       */
     private var lastProjection: Seq[(String, Boolean)] = Nil
     private var bnodeCallSites = 0 // distinct labels per BNODE() call site
+    // object vars bound by property functions before BGP mode flips
+    private val propFnVars = scala.collection.mutable.ArrayBuffer[String]()
     // the enclosing query's dataset clause: subqueries inherit it when
     // they declare no FROM of their own (SPARQL subqueries share the
     // outer dataset)
@@ -271,6 +273,7 @@ object ConstructParser {
       sawPattern = false
       bgpVarTerm.clear()
       dsCtx = DatasetClause(Nil, Nil)
+      propFnVars.clear()
     }
 
     private def prefixLoop(): Unit = {
@@ -316,7 +319,7 @@ object ConstructParser {
       val mintsBnodes = templates.exists { case (a, b, c, g) =>
         Seq(a, b, c, g).exists(_.isInstanceOf[BnodeT])
       }
-      val pipeline = !sawPattern && els.exists(_.isInstanceOf[PropFnE])
+      val pipeline = !sawPattern && containsPropFn(els)
       if (pipeline) {
         // property-function pipeline over the binding stream: the input
         // frame is transformed (BIND→withColumn, json:unnest→explode)
@@ -367,7 +370,10 @@ object ConstructParser {
           val short = peek != '{'
           val templates = if (short) Seq.empty else templateBlock()
           skipWs()
-          if (!kw("WHERE")) fail("expected WHERE")
+          if (!kw("WHERE")) { // keyword optional before a bare group
+            skipWs()
+            if (peek != '{') fail("expected WHERE or a group pattern")
+          }
           skipWs()
           val els = groupBlock(graphCtx = None)
           out += QueryStmt(finishConstruct(
@@ -481,9 +487,11 @@ object ConstructParser {
       skipWs()
       if (i < n) fail("trailing input after ASK query")
       val bgp = sawPattern
+      val pipeline = !bgp && containsPropFn(els)
       ParsedSelect { input =>
         val bindings =
           if (bgp) compileGroup(els, input, ds)
+          else if (pipeline) compileGroup(els, input, ds, seedWithInput = true)
           else els.foldLeft(input) {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
             case (df, FilterE(c)) => df.filter(c)
@@ -689,7 +697,7 @@ object ConstructParser {
       if (expectEnd && i < n) fail("trailing input after SELECT query")
 
       val bgp = sawPattern
-      val pipeline = !bgp && els.exists(_.isInstanceOf[PropFnE])
+      val pipeline = !bgp && containsPropFn(els)
       lastProjection = items.toSeq.map {
         case PlainVar(v) => (v, bgpVarTerm.getOrElse(v, true))
         case Derived(v, _, _) => (v, false)
@@ -1166,19 +1174,25 @@ object ConstructParser {
           out += (if (gs.size == 1) GroupE(first) else UnionE(gs))
         } else {
           tripleLines(allowPaths = true).foreach {
+            case (a, IriT(ConstructParser.JsonUnnestIri), c)
+                if !(a.isInstanceOf[VarT] && c.isInstanceOf[VarT]) =>
+              fail("json:unnest needs a variable subject and a variable object")
             case (VarT(sv), IriT(ConstructParser.JsonUnnestIri), VarT(ov)) =>
               // property function — does not flip BGP mode by itself
               val sTerm =
                 if (sawPattern) bgpVarTerm.getOrElse(sv, true)
                 else binds.get(sv).exists(_.term)
               out += PropFnE(sv, sTerm, ov)
+              propFnVars += ov
               if (sawPattern) bgpVarTerm(ov) = false
             case (a, b, c) =>
               // a real triple pattern flips the statement into BGP mode
               if (!sawPattern) {
                 sawPattern = true
-                // BINDs parsed before the first pattern migrate to BGP vars
+                // BINDs and property-function vars parsed before the
+                // first pattern migrate to BGP vars
                 binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
+                propFnVars.foreach(v => bgpVarTerm(v) = false)
               }
               out += TpE(graphCtx, a, b, c)
               Seq(a, b, c).foreach {
@@ -1192,6 +1206,17 @@ object ConstructParser {
       }
       expect('}')
       out.toSeq
+    }
+
+    /** Does the element tree contain a property-function pattern? */
+    private def containsPropFn(els: Seq[WhereEl]): Boolean = els.exists {
+      case _: PropFnE => true
+      case GroupE(in) => containsPropFn(in)
+      case UnionE(gs) => gs.exists(containsPropFn)
+      case OptionalE(in) => containsPropFn(in)
+      case MinusE(in) => containsPropFn(in)
+      case ExistsE(in, _) => containsPropFn(in)
+      case _ => false
     }
 
     /** SPARQL dataset clause (§13.2): `FROM` graphs form the default
@@ -1278,8 +1303,8 @@ object ConstructParser {
             case None => Bgp.pattern(ds.default(quads), specOf(a), specOf(b),
               specOf(c))
           })
-        case GroupE(inner) => joinIn(compileGroup(inner, quads, ds))
-        case UnionE(gs) => joinIn(gs.map(compileGroup(_, quads, ds)).reduce(Bgp.union))
+        case GroupE(inner) => joinIn(compileGroup(inner, quads, ds, seedWithInput))
+        case UnionE(gs) => joinIn(gs.map(compileGroup(_, quads, ds, seedWithInput)).reduce(Bgp.union))
         case OptionalE(inner) =>
           require(acc != null, "OPTIONAL with no preceding pattern")
           acc = Bgp.optional(acc, compileGroup(inner, quads, ds))
@@ -1304,7 +1329,11 @@ object ConstructParser {
         case PropFnE(sv, sTerm, ov) =>
           require(acc != null && acc.columns.contains(sv),
             s"json:unnest subject ?$sv is not bound")
-          val js = raw(E(col(sv), sTerm))
+          // a pattern-bound literal term keeps N-Triples escapes in its
+          // body — decode them or from_json silently nulls out
+          val js =
+            if (sTerm) RdfTerms.ntUnescape(raw(E(col(sv), sTerm)))
+            else col(sv)
           // compute the array in its own column, explode_outer + filter
           // (a direct explode of the computed expression triples its
           // evaluation through InferFiltersFromGenerate)

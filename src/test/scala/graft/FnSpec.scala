@@ -107,6 +107,31 @@ class FnSpec extends AnyFunSuite {
     assert(got === Set(("1", "x"), ("2", "y")))
   }
 
+  test("json:unnest in BGP mode decodes literal-term escapes") {
+    import spark.implicits._
+    // the JSON rides as a pattern-bound literal TERM, escapes included
+    val body = """[{\"a\":1},{\"a\":2}]"""
+    val quads = Seq(("<s>", "<http://ex.org/doc>", "\"" + body + "\""))
+      .toDF("subj", "pred", "obj")
+    val q =
+      """PREFIX ex: <http://ex.org/>
+        |PREFIX json: <http://jsa.aksw.org/fn/json/>
+        |SELECT ?a WHERE {
+        |  ?s ex:doc ?doc .
+        |  ?doc json:unnest ?el .
+        |  BIND(json:path(?el, "$.a") AS ?a)
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+      .map(_.getString(0)).toSet
+    assert(got === Set("1", "2"))
+    // non-variable arguments fail loudly
+    intercept[Exception] {
+      ConstructParser.parseSelect(
+        "PREFIX json: <http://jsa.aksw.org/fn/json/>\n" +
+          "SELECT ?x WHERE { ?d json:unnest \"nope\" . }")
+    }
+  }
+
   test("BNODE() mints distinct nodes per row and per call site") {
     val got = rows(
       """SELECT ?k ?b1 ?b2 WHERE {
