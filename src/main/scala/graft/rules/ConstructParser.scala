@@ -337,8 +337,8 @@ object ConstructParser {
         els.foreach {
           case _: BindE => ()
           case FilterE(c) => filters += c
-          case other => fail(s"$other requires triple patterns in WHERE " +
-            "(binding-stream mode allows only BIND and FILTER)")
+          case other => fail(s"${elName(other)} requires triple patterns " +
+            "in WHERE (binding-stream mode allows only BIND and FILTER)")
         }
         val where = filters.reduceOption(_ && _).getOrElse(lit(true))
         ParsedConstruct(Seq(Rule("construct", where,
@@ -496,7 +496,7 @@ object ConstructParser {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
             case (df, FilterE(c)) => df.filter(c)
             case (_, other) => throw new IllegalArgumentException(
-              s"$other requires triple patterns in WHERE")
+              s"${elName(other)} requires triple patterns in WHERE")
           }
         bindings.agg((count(lit(1)) > 0).as("ask"))
       }
@@ -711,7 +711,7 @@ object ConstructParser {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
             case (df, FilterE(c)) => df.filter(c)
             case (_, other) => throw new IllegalArgumentException(
-              s"$other requires triple patterns in WHERE")
+              s"${elName(other)} requires triple patterns in WHERE")
           }
         val hasAgg = groupBys.nonEmpty ||
           items.exists { case Derived(_, _, true) => true; case _ => false }
@@ -1206,6 +1206,21 @@ object ConstructParser {
       }
       expect('}')
       out.toSeq
+    }
+
+    /** Human-readable name of a WHERE element for error messages. */
+    private def elName(e: WhereEl): String = e match {
+      case _: TpE => "a triple pattern"
+      case _: GroupE => "a group pattern"
+      case _: UnionE => "UNION"
+      case _: OptionalE => "OPTIONAL"
+      case _: MinusE => "MINUS"
+      case _: ExistsE => "FILTER [NOT] EXISTS"
+      case _: ValuesE => "VALUES"
+      case _: SubSelectE => "a subquery"
+      case _: PropFnE => "a property function"
+      case _: BindE => "BIND"
+      case _: FilterE => "FILTER"
     }
 
     /** Does the element tree contain a property-function pattern? */
