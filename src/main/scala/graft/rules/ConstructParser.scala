@@ -71,8 +71,11 @@ object ConstructParser {
       rules: Seq[Rule],
       where: Option[DataFrame => DataFrame],
       needsRowId: Boolean = false) {
-    def run(input: DataFrame): DataFrame = {
-      val bound = where.map(_(input)).getOrElse(input)
+    def run(input: DataFrame): DataFrame =
+      applyTo(where.map(_(input)).getOrElse(input))
+
+    /** Apply row-id prep + templates to an ALREADY-bound frame. */
+    private[rules] def applyTo(bound: DataFrame): DataFrame = {
       val prepped =
         if (needsRowId)
           bound.withColumn(ConstructParser.RowIdCol,
@@ -84,6 +87,11 @@ object ConstructParser {
 
   /** Hidden column carrying the per-solution id for fresh template bnodes. */
   private[rules] val RowIdCol = "__construct_rowid"
+
+  /** JVM-global BNODE() call-site counter: labels stay distinct across
+    * separately parsed queries operating on one dataset.
+    */
+  private[rules] val bnodeSiteCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The reference's JSON function namespace (jsa.aksw.org/fn). */
   private[rules] val JsonNs = "http://jsa.aksw.org/fn/json/"
@@ -99,14 +107,7 @@ object ConstructParser {
       dataset: DataFrame): (DataFrame, DataFrame) = {
     val bound = del.where.map(_(dataset)).getOrElse(dataset)
       .localCheckpoint(false)
-    def apply(q: ParsedConstruct): DataFrame = {
-      val prepped =
-        if (q.needsRowId)
-          bound.withColumn(RowIdCol, monotonically_increasing_id().cast("string"))
-        else bound
-      RuleCompiler.compile(prepped, q.rules)
-    }
-    (apply(del), apply(ins))
+    (del.applyTo(bound), ins.applyTo(bound))
   }
 
   def parseConstruct(text: String): ParsedConstruct = new P(text).query()
@@ -249,7 +250,6 @@ object ConstructParser {
       * subquery's visible variables.
       */
     private var lastProjection: Seq[(String, Boolean)] = Nil
-    private var bnodeCallSites = 0 // distinct labels per BNODE() call site
     // object vars bound by property functions before BGP mode flips
     private val propFnVars = scala.collection.mutable.ArrayBuffer[String]()
     // the enclosing query's dataset clause: subqueries inherit it when
@@ -1318,16 +1318,31 @@ object ConstructParser {
             case None => Bgp.pattern(ds.default(quads), specOf(a), specOf(b),
               specOf(c))
           })
-        case GroupE(inner) => joinIn(compileGroup(inner, quads, ds, seedWithInput))
-        case UnionE(gs) => joinIn(gs.map(compileGroup(_, quads, ds, seedWithInput)).reduce(Bgp.union))
+        case GroupE(inner) =>
+          if (seedWithInput) // pipeline: a group transforms the stream
+            acc = compileGroup(inner, if (acc == null) quads else acc, ds,
+              seedWithInput = true)
+          else joinIn(compileGroup(inner, quads, ds))
+        case UnionE(gs) =>
+          if (seedWithInput) { // pipeline: branches fork the CURRENT stream
+            val base = if (acc == null) quads else acc
+            acc = gs.map(compileGroup(_, base, ds, seedWithInput = true))
+              .reduce(Bgp.union)
+          } else joinIn(gs.map(compileGroup(_, quads, ds)).reduce(Bgp.union))
         case OptionalE(inner) =>
           require(acc != null, "OPTIONAL with no preceding pattern")
+          require(!containsPropFn(inner),
+            "property functions inside OPTIONAL are not supported")
           acc = Bgp.optional(acc, compileGroup(inner, quads, ds))
         case MinusE(inner) =>
           require(acc != null, "MINUS with no preceding pattern")
+          require(!containsPropFn(inner),
+            "property functions inside MINUS are not supported")
           acc = Bgp.minus(acc, compileGroup(inner, quads, ds))
         case ExistsE(inner, neg) =>
           require(acc != null, "FILTER EXISTS with no preceding pattern")
+          require(!containsPropFn(inner),
+            "property functions inside FILTER EXISTS are not supported")
           val sub = compileGroup(inner, quads, ds)
           acc = if (neg) Bgp.notExists(acc, sub) else Bgp.exists(acc, sub)
         case BindE(v, e) =>
@@ -1502,6 +1517,13 @@ object ConstructParser {
     private def termCol(e: E): Column =
       if (e.term) e.c else RdfTerms.strLit(e.c.cast("string"))
 
+    /** JSON text of an expression: literal TERMS also shed their
+      * N-Triples escapes (a pattern-bound JSON document must reach
+      * from_json/get_json_object as valid JSON, not as escaped text).
+      */
+    private def jsonRaw(e: E): Column =
+      if (e.term) RdfTerms.ntUnescape(raw(e)) else raw(e)
+
     /** Numeric value of an expression (term literals via their lexical form). */
     private def numC(e: E): Column =
       if (e.term) raw(e).cast("double") else e.c.cast("double")
@@ -1654,8 +1676,8 @@ object ConstructParser {
           val a = argList()
           if (a.nonEmpty) fail(
             "BNODE(expr) is not supported: use a template blank node or IRI(hash)")
-          bnodeCallSites += 1
-          E(concat(lit("_:fn" + bnodeCallSites + "r"),
+          val site = ConstructParser.bnodeSiteCounter.incrementAndGet()
+          E(concat(lit("_:fn" + site + "r"),
             monotonically_increasing_id().cast("string")), term = true)
         case c if Character.isLetter(c) || c == '_' =>
           val iri = prefixedIri()
@@ -1669,9 +1691,9 @@ object ConstructParser {
             skipWs(); expect(','); skipWs()
             val path = stringLit()
             skipWs(); expect(')')
-            E(get_json_object(raw(src), path), term = false)
+            E(get_json_object(jsonRaw(src), path), term = false)
           } else if (iri == ConstructParser.JsonNs + "parse") {
-            E(raw(arg1()), term = false) // JSON rides as raw text
+            E(jsonRaw(arg1()), term = false) // JSON rides as raw text
           } else fail(s"unknown function <$iri>")
         case _ => fail("unsupported expression")
       }

@@ -26,9 +26,12 @@ object TrigParser {
   final case class Quad4(graph: String, subj: String, pred: String, obj: String)
 
   private val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
-  /** Labels reserved for generated anonymous bnodes (see readBnode). */
+  /** Labels reserved for generated anonymous bnodes (see readBnode) —
+    * includes already-escaped forms (v-prefixed) so the re-scoping stays
+    * injective: `_:gen0` → `_:vgen0`, a verbatim `_:vgen0` → `_:vvgen0`.
+    */
   private[sources] val ReservedLabel =
-    java.util.regex.Pattern.compile("(?:gen|c\\d+g)\\d+")
+    java.util.regex.Pattern.compile("v*(?:gen|c\\d+g|fn\\d+r)\\d+")
   private val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
   private val XsdDecimal = "<http://www.w3.org/2001/XMLSchema#decimal>"
   private val XsdDouble = "<http://www.w3.org/2001/XMLSchema#double>"

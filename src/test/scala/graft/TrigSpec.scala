@@ -52,6 +52,12 @@ class TrigSpec extends AnyFunSuite {
     assert(got.contains(("<dg>", "_:gen0", "<http://ex.org/r>", "<http://ex.org/t>")))
     // labels merely RESEMBLING the namespace stay verbatim
     assert(got.contains(("<dg>", "_:genuine", "<http://ex.org/p>", "<http://ex.org/c>")))
+    // the escape is INJECTIVE: a verbatim _:vgen0 moves one level up, so
+    // it can never collide with a re-scoped _:gen0
+    val got2 = parse(
+      "@prefix ex: <http://ex.org/> .\n_:vgen0 ex:p ex:d .\n_:gen0 ex:p ex:e .\n")
+    assert(got2.contains(("<dg>", "_:vvgen0", "<http://ex.org/p>", "<http://ex.org/d>")))
+    assert(got2.contains(("<dg>", "_:vgen0", "<http://ex.org/p>", "<http://ex.org/e>")))
   }
 
   test("graph blocks: named, GRAPH keyword, default-graph statements") {
