@@ -130,6 +130,44 @@ class FnSpec extends AnyFunSuite {
         "PREFIX json: <http://jsa.aksw.org/fn/json/>\n" +
           "SELECT ?x WHERE { ?d json:unnest \"nope\" . }")
     }
+    // json:path directly on the pattern-bound TERM also decodes escapes
+    val q2 =
+      """PREFIX ex: <http://ex.org/>
+        |PREFIX json: <http://jsa.aksw.org/fn/json/>
+        |SELECT ?a WHERE {
+        |  ?s ex:doc ?doc .
+        |  BIND(json:path(?doc, "$[0].a") AS ?a)
+        |}""".stripMargin
+    assert(ConstructParser.parseSelect(q2).run(quads).collect()
+      .map(_.getString(0)).toSeq === Seq("1"))
+  }
+
+  test("pipeline groups and UNION fork the stream, never self-join it") {
+    import spark.implicits._
+    val src = Seq("""[{"a":1},{"a":2}]""", """[{"a":3}]""").toDF("src")
+    val q =
+      """PREFIX json: <http://jsa.aksw.org/fn/json/>
+        |SELECT ?v WHERE {
+        |  BIND(json:parse(?src) AS ?j)
+        |  { ?j json:unnest ?el . BIND(json:path(?el, "$.a") AS ?v) }
+        |  UNION
+        |  { BIND("doc" AS ?v) }
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(src).collect()
+      .map(_.getString(0))
+    // 3 exploded elements + one "doc" row per source document — no k x k
+    assert(got.sorted.toSeq === Seq("1", "2", "3", "doc", "doc"))
+    // property functions under OPTIONAL fail loudly, not misleadingly
+    val bad =
+      """PREFIX json: <http://jsa.aksw.org/fn/json/>
+        |SELECT ?el WHERE {
+        |  BIND(json:parse(?src) AS ?j)
+        |  OPTIONAL { ?j json:unnest ?el . }
+        |}""".stripMargin
+    val e = intercept[Exception] {
+      ConstructParser.parseSelect(bad).run(src).collect()
+    }
+    assert(e.getMessage.contains("OPTIONAL"))
   }
 
   test("BNODE() mints distinct nodes per row and per call site") {
