@@ -469,6 +469,122 @@ object AlgebraSuite {
     }),
     "script_query_text" -> ((s, dir) => {
       graft.pipeline.Script.runSparql(s, scriptText(s, dir)).lastQuery.get
+    }),
+    "values_undef" -> ((s, dir) => {
+      // UNDEF in VALUES (SPARQL §10.2): an unbound cell is compatible
+      // with anything; joining an OPTIONAL-null var against a BOUND cell
+      // binds it (solution merge)
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?t ?role ?tool WHERE {
+           |  ?t p:role ?role .
+           |  OPTIONAL { ?t p:tool ?tool . }
+           |  VALUES (?role ?tool) { ("user" UNDEF) (UNDEF "tool_search") }
+           |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "select_agg_terms" -> ((s, dir) => {
+      // aggregates over PATTERN-BOUND (term-typed) vars: SUM/AVG use the
+      // numeric VALUE of numeric-typed literals; MIN/MAX order numerics
+      // by value and other terms lexically, returning the TERM
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      val q =
+        """PREFIX ex: <http://example.org/>
+          |SELECT (SUM(?k) AS ?sum_k) (AVG(?k) AS ?avg_k)
+          |       (MIN(?k) AS ?min_k) (MAX(?k) AS ?max_k)
+          |       (MIN(?nm) AS ?min_name) (MAX(?nm) AS ?max_name)
+          |WHERE { ?n ex:key ?k . ?n ex:name ?nm . }""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(RdfIO.readTrig(s, path))
+    }),
+    "select_groupby_expr" -> ((s, dir) => {
+      // GROUP BY expression key with AS (SPARQL §11.2 / ARQ extension)
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?k (COUNT(*) AS ?n) WHERE { ?t p:role ?role . }
+           |GROUP BY (SUBSTR(STR(?role), 1, 3) AS ?k)
+           |ORDER BY ?k""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "sparql_datetime_text" -> ((s, dir) => {
+      // §17.4.5 date/time accessors + sameTerm/isNumeric + injected-clock
+      // NOW() over xsd:dateTime literals with mixed zone suffixes
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+            when(pmod(col("event_id"), lit(3)) === 0, "Z")
+              .when(pmod(col("event_id"), lit(3)) === 1, "+05:30")
+              .otherwise("-02:00")).as("dt"))
+      val q =
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?event_id ?f_year ?f_month ?f_day ?f_hours ?f_minutes
+          |       ?f_seconds ?f_tz ?f_tzd ?f_same ?f_isnum ?f_now
+          |WHERE {
+          |  BIND(STRDT(?dt, xsd:dateTime) AS ?dtt)
+          |  BIND(YEAR(?dtt) AS ?f_year)
+          |  BIND(MONTH(?dtt) AS ?f_month)
+          |  BIND(DAY(?dtt) AS ?f_day)
+          |  BIND(HOURS(?dtt) AS ?f_hours)
+          |  BIND(MINUTES(?dtt) AS ?f_minutes)
+          |  BIND(SECONDS(?dtt) AS ?f_seconds)
+          |  BIND(TZ(?dtt) AS ?f_tz)
+          |  BIND(TIMEZONE(?dtt) AS ?f_tzd)
+          |  BIND(SAMETERM(?dtt, ?dtt) AS ?f_same)
+          |  BIND(ISNUMERIC(?f_year) AS ?f_isnum)
+          |  BIND(STR(NOW()) AS ?f_now)
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q,
+        graft.rules.ConstructParser.EvalCtx(now = Some("2026-01-01T00:00:00Z")))
+        .run(ev)
+    }),
+    "describe_cbd" -> ((s, dir) => {
+      // Concise Bounded Description: the outgoing star FOLLOWING bnode
+      // objects transitively (2-level _:gen chains in the fixture)
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      val q =
+        """PREFIX ex: <http://example.org/>
+          |DESCRIBE ?n WHERE { ?n ex:key ?k . }""".stripMargin
+      graft.rules.ConstructParser.parseDescribe(q).run(RdfIO.readTrig(s, path))
+    }),
+    "script_graph_mgmt" -> ((s, dir) => {
+      // graph-management verbs + WITH/USING update scoping over one
+      // mutable dataset (SPARQL Update §3.1.3, §3.2.5-3.2.7)
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      val script =
+        s"""PREFIX ex: <http://example.org/>
+           |LOAD <file://$path> ;
+           |COPY DEFAULT TO <urn:work> ;
+           |WITH <urn:work>
+           |DELETE { ?n ex:active ?x }
+           |INSERT { ?n ex:wasActive ?x }
+           |WHERE { ?n ex:active ?x } ;
+           |ADD GRAPH <http://example.org/g1> TO <urn:copy> ;
+           |MOVE GRAPH <http://example.org/g2> TO <urn:moved> ;
+           |INSERT { GRAPH <urn:cmt> { ?s ex:hadComment ?c } }
+           |USING <http://example.org/g3>
+           |WHERE { ?s ex:comment ?c }""".stripMargin
+      graft.pipeline.Script.runSparql(s, script).dataset
+    }),
+    "ngs_probe" -> ((s, dir) => {
+      // `ngs probe` (CmdNgsProbe.java:19-40): detected syntax + codec
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_trig_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.trig"
+      RdfIO.writeTrigFixture(s, dir, path)
+      RdfIO.probe(s, path)
+    }),
+    "stream_nquads_window" -> ((s, dir) => {
+      // Structured Streaming end to end: N-Quads file stream → event-time
+      // window aggregation → memory sink, bounded via AvailableNow; the
+      // oracle is the batch twin's SQL (same counts per day window)
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      RdfIO.writeNQuads(trip(s, dir), path)
+      graft.streaming.StreamOps.runTsWindowCounts(s, path)
     })
   )
 
@@ -789,6 +905,89 @@ object AlgebraSuite {
         |       '"' || c_name || '"' AS obj,
         |       '<urn:graft:out>' AS graph
         |FROM customer""".stripMargin,
+    "values_undef" ->
+      s"""$tripCte,
+         |base AS (
+         |  SELECT r.subj AS t, r.obj AS role, tl.obj AS tool
+         |  FROM (SELECT * FROM trip WHERE pred = '<${P}role>') r
+         |  LEFT JOIN (SELECT * FROM trip WHERE pred = '<${P}tool>') tl
+         |    ON tl.subj = r.subj
+         |),
+         |v(vrole, vtool) AS (VALUES
+         |  ('"user"', CAST(NULL AS VARCHAR)),
+         |  (CAST(NULL AS VARCHAR), '"tool_search"'))
+         |SELECT b.t, COALESCE(b.role, v.vrole) AS role,
+         |       COALESCE(b.tool, v.vtool) AS tool
+         |FROM base b JOIN v
+         |  ON (b.role IS NULL OR v.vrole IS NULL OR b.role = v.vrole)
+         | AND (b.tool IS NULL OR v.vtool IS NULL OR b.tool = v.vtool)""".stripMargin,
+    "select_agg_terms" ->
+      """SELECT CAST(SUM(n_nationkey) AS DOUBLE) AS sum_k,
+        |       CAST(AVG(n_nationkey) AS DOUBLE) AS avg_k,
+        |       '"' || CAST(MIN(n_nationkey) AS VARCHAR) ||
+        |         '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS min_k,
+        |       '"' || CAST(MAX(n_nationkey) AS VARCHAR) ||
+        |         '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS max_k,
+        |       '"' || MIN(n_name) || '"' AS min_name,
+        |       '"' || MAX(n_name) || '"' AS max_name
+        |FROM nation""".stripMargin,
+    "select_groupby_expr" ->
+      s"""$tripCte
+         |SELECT substr(obj, 2, 3) AS k, count(*) AS n FROM trip
+         |WHERE pred = '<${P}role>' GROUP BY 1""".stripMargin,
+    "sparql_datetime_text" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS f_year,
+        |  CAST(month(ts) AS BIGINT) AS f_month,
+        |  CAST(day(ts) AS BIGINT) AS f_day,
+        |  CAST(hour(ts) AS BIGINT) AS f_hours,
+        |  CAST(minute(ts) AS BIGINT) AS f_minutes,
+        |  CAST(CAST(second(ts) AS BIGINT) AS DOUBLE) AS f_seconds,
+        |  CASE event_id % 3 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |       ELSE '-02:00' END AS f_tz,
+        |  CASE event_id % 3
+        |    WHEN 0 THEN '"PT0S"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+        |    WHEN 1 THEN '"PT5H30M"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+        |    ELSE '"-PT2H"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+        |  END AS f_tzd,
+        |  true AS f_same,
+        |  true AS f_isnum,
+        |  '2026-01-01T00:00:00Z' AS f_now
+        |FROM events""".stripMargin,
+    "describe_cbd" ->
+      // every subject EXCEPT the _:bK bnodes (incoming-edge-only, not in
+      // any CBD); the `_` LIKE wildcard is harmless here — only the _:bK
+      // labels have ':b' at positions 2-3
+      s"""WITH $trigNatCte
+         |SELECT graph, subj, pred, obj FROM ($trigFixtureSelect)
+         |WHERE subj NOT LIKE '_:b%'""".stripMargin,
+    "script_graph_mgmt" ->
+      s"""WITH $trigNatCte,
+         |fixture AS ($trigFixtureSelect)
+         |SELECT graph, subj, pred, obj FROM fixture
+         |WHERE graph <> '<http://example.org/g2>'
+         |UNION ALL
+         |SELECT '<urn:work>', subj,
+         |       CASE WHEN pred = '<http://example.org/active>'
+         |            THEN '<http://example.org/wasActive>' ELSE pred END, obj
+         |FROM fixture WHERE graph = '<urn:x-arq:DefaultGraph>'
+         |UNION ALL
+         |SELECT '<urn:copy>', subj, pred, obj FROM fixture
+         |WHERE graph = '<http://example.org/g1>'
+         |UNION ALL
+         |SELECT '<urn:moved>', subj, pred, obj FROM fixture
+         |WHERE graph = '<http://example.org/g2>'
+         |UNION ALL
+         |SELECT '<urn:cmt>', subj, '<http://example.org/hadComment>', obj
+         |FROM fixture
+         |WHERE graph = '<http://example.org/g3>'
+         |  AND pred = '<http://example.org/comment>'""".stripMargin,
+    "ngs_probe" -> "SELECT 'trig' AS syntax, 'none' AS compression",
+    "stream_nquads_window" ->
+      s"""WITH ${Transcripts.oracleCte}
+         |SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+         |       count(*) AS n
+         |FROM transcripts GROUP BY 1""".stripMargin,
     "rdf_trig_scan" -> s"WITH $trigNatCte\n$trigFixtureSelect",
     "rdf_trig_chunked" ->
       s"""WITH $trigNatCte

@@ -94,10 +94,102 @@ object Bgp {
   /** MINUS { … }: left anti on shared vars — but per SPARQL 1.1 §8.3 a
     * MINUS whose domains share NO variable removes nothing (unlike
     * FILTER NOT EXISTS, which tests plain satisfiability).
+    *
+    * This fast equi-join path is correct when the shared variables are
+    * bound on every row of BOTH sides (the normal BGP case). When either
+    * side may carry unbound (NULL) shared vars — OPTIONAL, UNION with
+    * disjoint branches, VALUES UNDEF — use [[minusCompat]]: SQL
+    * NULL-equality would keep a left row that §8.3 compatibility (unbound
+    * is compatible with anything) removes.
     */
   def minus(a: DataFrame, b: DataFrame): DataFrame = {
     val s = shared(a, b)
     if (s.isEmpty) a else a.join(b, s, "left_anti")
+  }
+
+  /** MINUS with full §8.3 compatibility semantics: remove a left row iff
+    * some right row (1) agrees on every shared var where BOTH are bound
+    * and (2) shares at least one mutually-bound var (non-empty domain
+    * intersection). The OR-condition defeats hash-join key extraction, so
+    * this is a nested-loop join — the BGP compiler routes here only when
+    * a shared var can actually be unbound (tracked at plan build); the
+    * all-bound common case keeps [[minus]]'s shuffled anti equi-join.
+    */
+  def minusCompat(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) return a
+    val bb = b.select(s.map(c => col(c).as("__m_" + c)): _*).distinct()
+    val compatible = s.map(v =>
+      col(v).isNull || col("__m_" + v).isNull || col(v) === col("__m_" + v))
+      .reduce(_ && _)
+    val domShared = s.map(v => col(v) === col("__m_" + v)).reduce(_ || _)
+    a.join(bb, compatible && domShared, "left_anti")
+  }
+
+  // ---------------------------------------------- compatibility variants
+  //
+  // SPARQL §8.3 solution compatibility: two solutions join iff they agree
+  // on every var BOUND IN BOTH; an unbound (NULL) var is compatible with
+  // anything and takes the other side's binding in the merge. The plain
+  // operators above assume all-bound shared vars (the normal BGP case,
+  // hash-joinable); these variants implement full compatibility for
+  // frames that may carry unbound vars (OPTIONAL-only vars, UNION
+  // branches with disjoint headers, VALUES UNDEF). The OR in the join
+  // condition defeats equi-key extraction — nested-loop — so the group
+  // compiler routes here ONLY when a shared var is actually nullable.
+
+  private def renamedRight(b: DataFrame, s: Seq[String]): DataFrame =
+    b.select(b.columns.map(c =>
+      col(c).as(if (s.contains(c)) "__c_" + c else c)): _*)
+
+  private def compatCond(s: Seq[String]) = s.map(v =>
+    col(v).isNull || col("__c_" + v).isNull || col(v) === col("__c_" + v))
+    .reduce(_ && _)
+
+  /** Merge shared vars (left binding wins when both bound — they agree
+    * anyway) and keep the right side's new vars.
+    */
+  private def mergeSelect(merged: DataFrame, a: DataFrame,
+      bb: DataFrame, s: Seq[String]): DataFrame = {
+    val keep = a.columns.map(c =>
+      if (s.contains(c)) coalesce(col(c), col("__c_" + c)).as(c) else col(c)) ++
+      bb.columns.filterNot(_.startsWith("__c_")).map(col)
+    merged.select(keep.toSeq: _*)
+  }
+
+  /** Inner compatibility join. `broadcastRight` for literal-sized frames
+    * (VALUES inline data).
+    */
+  def compatJoin(a: DataFrame, b: DataFrame,
+      broadcastRight: Boolean = false): DataFrame = {
+    val s = shared(a, b)
+    val bc = if (broadcastRight) broadcast(b) else b
+    if (s.isEmpty) return a.crossJoin(bc)
+    val bb = renamedRight(bc, s)
+    mergeSelect(a.join(bb, compatCond(s), "inner"), a, bb, s)
+  }
+
+  /** OPTIONAL with compatibility semantics (left outer; unmatched left
+    * rows keep their own bindings, right-only vars NULL).
+    */
+  def compatOptional(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) return a.join(b, lit(true), "left_outer")
+    val bb = renamedRight(b, s)
+    mergeSelect(a.join(bb, compatCond(s), "left_outer"), a, bb, s)
+  }
+
+  /** FILTER [NOT] EXISTS with compatibility semantics (semi/anti on the
+    * compat condition — an unbound left var leaves the subpattern free,
+    * per the substitution reading of §8.3.3).
+    */
+  def compatSemi(a: DataFrame, b: DataFrame, anti: Boolean): DataFrame = {
+    val s = shared(a, b)
+    if (s.isEmpty) // same disjoint-domain probe as exists/notExists
+      return a.join(broadcast(b.limit(1)), lit(true),
+        if (anti) "left_anti" else "left_semi")
+    val bb = renamedRight(b.select(s.map(col): _*).distinct(), s)
+    a.join(bb, compatCond(s), if (anti) "left_anti" else "left_semi")
   }
 
   /** UNION: union of solution headers, missing vars unbound. */

@@ -87,7 +87,7 @@ object PathOps {
   /** Transitive closure by doubling: pairs at length ≤ 2^k after k
     * rounds; fixpoint when the distinct pair count stops growing.
     */
-  private[ops] def closure(edges: DataFrame): DataFrame = {
+  private[graft] def closure(edges: DataFrame): DataFrame = {
     var r = edges.select("s", "o").distinct().localCheckpoint(true)
     var size = r.count()
     var round = 0
@@ -103,6 +103,40 @@ object PathOps {
     }
     throw new IllegalStateException(
       s"path closure did not converge in $MaxRounds doubling rounds")
+  }
+
+  /** Seminaive (delta-frontier) transitive closure: each round extends
+    * only the NEW pairs by one edge (Δ ← (Δ ⋈ E) \ R), so total join work
+    * is proportional to the result, not |R|² per round — but rounds =
+    * graph diameter, not log₂(diameter). The right choice for bushy
+    * low-diameter graphs; [[closure]] (doubling) wins on long chains,
+    * where d sequential shuffle barriers dominate. Measured on both
+    * shapes by `Bench path` — see BASELINE.md.
+    */
+  private[graft] def closureSeminaive(edges: DataFrame): DataFrame = {
+    val e = edges.select("s", "o").distinct().localCheckpoint(true)
+    var all = e
+    var delta = e
+    var round = 0
+    while (round < (1 << 20)) {
+      val next = delta.as("l").join(e.as("r"), col("l.o") === col("r.s"))
+        .select(col("l.s").as("s"), col("r.o").as("o"))
+        .distinct()
+        .join(all, Seq("s", "o"), "left_anti")
+        .localCheckpoint(true)
+      if (next.limit(1).count() == 0) return all
+      all = all.union(next).localCheckpoint(true)
+      delta = next
+      round += 1
+    }
+    throw new IllegalStateException("seminaive closure did not converge")
+  }
+
+  /** One-row (c, c) frame on the session of `like`. */
+  private def constPair(like: DataFrame, c: String): DataFrame = {
+    val spark = like.sparkSession
+    import spark.implicits._
+    Seq((c, c)).toDF("s", "o")
   }
 
   /** Seeded reachability (constant endpoint): frontier BFS with anti-join
@@ -175,7 +209,7 @@ object PathOps {
       .distinct()
       .select(col("g"), col("s"), col("s").as("o"))
 
-  private[ops] def closureG(edges: DataFrame): DataFrame = {
+  private[graft] def closureG(edges: DataFrame): DataFrame = {
     var r = edges.select("g", "s", "o").distinct().localCheckpoint(true)
     var size = r.count()
     var round = 0
@@ -225,6 +259,16 @@ object PathOps {
           eval(triples, q).select(col("o").as("s"), col("s").as("o")),
           c, includeZero = true)
           .select(col("o").as("s"), col("s").as("o"))
+      // ZeroOrOne with a constant endpoint: the zero-length solution is
+      // the constant itself, REGARDLESS of whether it occurs in the data
+      // (SPARQL 1.1 §9.3 ZeroLengthPath on a bound term) — identityPairs
+      // would miss a term absent from the graph
+      case (ZeroOrOne(q), Left(c), _) =>
+        eval(triples, q).where(col("s") === c)
+          .union(constPair(triples, c)).distinct()
+      case (ZeroOrOne(q), _, Left(c)) =>
+        eval(triples, q).where(col("o") === c)
+          .union(constPair(triples, c)).distinct()
       case _ => eval(triples, path)
     }
     Bgp.bindPositions(pairs, Seq("s" -> s, "o" -> o))

@@ -98,6 +98,19 @@ object Script {
         ds = ckpt(anti(ds, dels).unionByName(inss.select(QuadCols.map(col): _*)))
       case ClearGraphStmt(g) =>
         ds = ckpt(ds.filter(col("graph") =!= g))
+      // graph management (SPARQL Update §3.2.5-3.2.7) as pure relational
+      // rewrites over the quad frame: filter + relabel + union — no
+      // row-at-a-time copying, the same shape at any scale
+      case AddGraphStmt(src, dst) =>
+        if (src != dst) ds = ckpt(ds.unionByName(
+          ds.where(col("graph") === src).withColumn("graph", lit(dst))))
+      case CopyGraphStmt(src, dst) =>
+        if (src != dst) ds = ckpt(ds.where(col("graph") =!= dst).unionByName(
+          ds.where(col("graph") === src).withColumn("graph", lit(dst))))
+      case MoveGraphStmt(src, dst) =>
+        if (src != dst) ds = ckpt(
+          ds.where(col("graph") =!= dst && col("graph") =!= src).unionByName(
+            ds.where(col("graph") === src).withColumn("graph", lit(dst))))
       case QueryStmt(q) => last = Some(q.run(ds))
       case SelectQueryStmt(q) => last = Some(q.run(ds))
     }

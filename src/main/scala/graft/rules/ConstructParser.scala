@@ -110,7 +110,19 @@ object ConstructParser {
     (del.applyTo(bound), ins.applyTo(bound))
   }
 
+  /** Plan-build-time evaluation context for the non-deterministic §17.4
+    * builtins — the same injection model as `<env:VAR>`: NOW() needs an
+    * explicit clock (an xsd:dateTime lexical) and RAND()/UUID()/STRUUID()
+    * an explicit seed, so every query stays deterministic and replayable
+    * (a resumed 100 TB job must re-emit identical terms). Unseeded use
+    * fails loudly at parse time.
+    */
+  final case class EvalCtx(now: Option[String] = None, seed: Option[Long] = None)
+
   def parseConstruct(text: String): ParsedConstruct = new P(text).query()
+
+  def parseConstruct(text: String, ctx: EvalCtx): ParsedConstruct =
+    new P(text, ctx).query()
 
   /** One parsed SELECT statement: `run(input)` evaluates projection +
     * aggregation + modifiers over the binding stream (sbs mode) or the
@@ -131,6 +143,9 @@ object ConstructParser {
     */
   def parseSelect(text: String): ParsedSelect = new P(text).selectQuery()
 
+  def parseSelect(text: String, ctx: EvalCtx): ParsedSelect =
+    new P(text, ctx).selectQuery()
+
   /** SPARQL ASK text — the reference's per-graph filter condition (`ngs
     * filter --sparql 'ASK {…}'`, NgsCmdImpls.java filter route) and plain
     * ASK queries. `run` yields ONE row with a boolean `ask` column,
@@ -149,12 +164,13 @@ object ConstructParser {
   def parseGraphAsk(text: String): ParsedSelect = new P(text).graphAskQuery()
 
   /** SPARQL DESCRIBE text (the 4th query form): `DESCRIBE <iri>… [WHERE
-    * {…}]` / `DESCRIBE ?v… WHERE {…}`. Emits every quad whose subject is
-    * a described resource (concise-bounded-description reduced to the
-    * subject-outgoing star — the reference delegates the same default to
-    * Jena). `run` input = the quad table; described vars resolve through
-    * the WHERE pattern, constants stand alone; the resource set is
-    * DISTINCT and semi-joins the quad stream.
+    * {…}]` / `DESCRIBE ?v… WHERE {…}`. Emits the Concise Bounded
+    * Description of each resource — the subject-outgoing star, following
+    * blank-node objects transitively (Jena's default describe handler,
+    * which the reference delegates to). `run` input = the quad table;
+    * described vars resolve through the WHERE pattern, constants stand
+    * alone; the resource set is DISTINCT and semi-joins the quad stream,
+    * with a driver fixpoint over bnode objects (depth-bounded).
     */
   def parseDescribe(text: String): ParsedSelect = new P(text).describeQuery()
 
@@ -227,15 +243,24 @@ object ConstructParser {
   final case class ModifyStmt(del: ParsedConstruct, ins: ParsedConstruct) extends ScriptStmt
   final case class LoadStmt(path: String, graph: Option[String]) extends ScriptStmt
   final case class ClearGraphStmt(graph: String) extends ScriptStmt
+  /** Graph-management verbs (SPARQL Update §3.2.5-3.2.7): `src`/`dst` are
+    * graph terms (`<urn:x-arq:DefaultGraph>` = the default graph). ADD
+    * inserts src's triples into dst; COPY replaces dst with src; MOVE is
+    * COPY followed by dropping src.
+    */
+  final case class AddGraphStmt(src: String, dst: String) extends ScriptStmt
+  final case class CopyGraphStmt(src: String, dst: String) extends ScriptStmt
+  final case class MoveGraphStmt(src: String, dst: String) extends ScriptStmt
 
   /** Parse a whole `.sparql` script: CONSTRUCT/SELECT queries, INSERT
-    * DATA / DELETE DATA, INSERT {…} WHERE {…} / DELETE {…} WHERE {…} /
-    * DELETE WHERE {…}, LOAD <file> [INTO GRAPH <g>], CLEAR GRAPH <g>;
+    * DATA / DELETE DATA, [WITH <g>] INSERT {…} / DELETE {…} [USING
+    * [NAMED] <g>…] WHERE {…} / DELETE WHERE {…}, LOAD <file> [INTO GRAPH
+    * <g>], CLEAR GRAPH <g>, ADD/COPY/MOVE [SILENT] src TO dst;
     * statements separated by optional `;`, PREFIX declarations carry over.
     */
   def parseScript(text: String): Seq[ScriptStmt] = new P(text).scriptStatements()
 
-  private[rules] final class P(s: String) {
+  private[rules] final class P(s: String, ctx: EvalCtx = EvalCtx()) {
     private var i = 0
     private val n = s.length
     private val prefixes = scala.collection.mutable.HashMap[String, String]()
@@ -256,6 +281,9 @@ object ConstructParser {
     // they declare no FROM of their own (SPARQL subqueries share the
     // outer dataset)
     private var dsCtx: DatasetClause = DatasetClause(Nil, Nil)
+    // `WITH <g>` update scoping: un-GRAPHed template AND pattern triples
+    // target/match this graph instead of the default (SPARQL Update §3.1.3)
+    private var withCtx: Option[String] = None
 
     /** Lookahead: does the `{` at the cursor open a `{ SELECT … }` subquery? */
     private def subselectAhead: Boolean = {
@@ -273,6 +301,7 @@ object ConstructParser {
       sawPattern = false
       bgpVarTerm.clear()
       dsCtx = DatasetClause(Nil, Nil)
+      withCtx = None
       propFnVars.clear()
     }
 
@@ -361,6 +390,93 @@ object ConstructParser {
 
     def scriptStatements(): Seq[ScriptStmt] = {
       val out = scala.collection.mutable.ArrayBuffer[ScriptStmt]()
+
+      // `USING [NAMED] <g>`… between an update template and WHERE — the
+      // update-scoped dataset clause (SPARQL Update §3.1.3: USING is FROM
+      // for updates and overrides WITH for pattern matching)
+      def usingClause(): DatasetClause = {
+        val from = scala.collection.mutable.ArrayBuffer[String]()
+        val named = scala.collection.mutable.ArrayBuffer[String]()
+        skipWs()
+        while (kw("USING")) {
+          skipWs()
+          if (kw("NAMED")) { skipWs(); named += "<" + iriRef() + ">" }
+          else from += "<" + iriRef() + ">"
+          skipWs()
+        }
+        DatasetClause(from.toSeq, named.toSeq)
+      }
+      // WHERE graph context: USING (when present) overrides WITH
+      def whereCtx(ds: DatasetClause): Option[Tok] =
+        if (ds.from.nonEmpty || ds.fromNamed.nonEmpty) None
+        else withCtx.map(IriT)
+
+      def insertTail(): ScriptStmt = {
+        skipWs()
+        if (kw("DATA")) {
+          require(withCtx.isEmpty, "WITH is not allowed before INSERT DATA")
+          skipWs()
+          InsertDataStmt(constQuads(templateBlock()))
+        } else {
+          val templates = templateBlock()
+          val ds = usingClause()
+          skipWs()
+          if (!kw("WHERE")) fail("expected WHERE after INSERT template")
+          skipWs()
+          InsertWhereStmt(finishConstruct(templates, groupBlock(whereCtx(ds)), ds))
+        }
+      }
+
+      def deleteTail(): ScriptStmt = {
+        skipWs()
+        if (kw("DATA")) {
+          require(withCtx.isEmpty, "WITH is not allowed before DELETE DATA")
+          skipWs()
+          DeleteDataStmt(constQuads(templateBlock()))
+        } else if (kw("WHERE")) {
+          // DELETE WHERE { pattern }: template = pattern (SPARQL Update
+          // §3.1.3.3); un-GRAPHed patterns delete from the default (or
+          // WITH) graph
+          skipWs()
+          val els = groupBlock(withCtx.map(IriT))
+          DeleteWhereStmt(finishConstruct(patternTemplates(els), els))
+        } else {
+          val templates = templateBlock()
+          skipWs()
+          if (kw("INSERT")) { // DELETE {…} INSERT {…} WHERE {…}
+            skipWs()
+            val insTemplates = templateBlock()
+            val ds = usingClause()
+            skipWs()
+            if (!kw("WHERE")) fail("expected WHERE after INSERT template")
+            skipWs()
+            val els = groupBlock(whereCtx(ds))
+            ModifyStmt(finishConstruct(templates, els, ds),
+              finishConstruct(insTemplates, els, ds))
+          } else {
+            val ds = usingClause()
+            if (!kw("WHERE")) fail("expected WHERE after DELETE template")
+            skipWs()
+            DeleteWhereStmt(finishConstruct(templates, groupBlock(whereCtx(ds)), ds))
+          }
+        }
+      }
+
+      def graphOrDefault(): String = {
+        skipWs()
+        if (kw("DEFAULT")) "<urn:x-arq:DefaultGraph>"
+        else { kw("GRAPH"); skipWs(); "<" + iriRef() + ">" }
+      }
+      def graphMgmt(mk: (String, String) => ScriptStmt): ScriptStmt = {
+        skipWs()
+        kw("SILENT") // accepted: a missing source graph is already a no-op
+        val src = graphOrDefault()
+        skipWs()
+        if (!kw("TO")) fail("expected TO")
+        val dst = graphOrDefault()
+        mk(src, dst)
+      }
+
       while (hasMore) {
         resetState()
         prefixLoop()
@@ -383,46 +499,24 @@ object ConstructParser {
           i -= "SELECT".length
           out += SelectQueryStmt(selectQuery(expectEnd = false))
         } else if (kw("INSERT")) {
-          skipWs()
-          if (kw("DATA")) {
-            skipWs()
-            out += InsertDataStmt(constQuads(templateBlock()))
-          } else {
-            val templates = templateBlock()
-            skipWs()
-            if (!kw("WHERE")) fail("expected WHERE after INSERT template")
-            skipWs()
-            out += InsertWhereStmt(finishConstruct(templates, groupBlock(None)))
-          }
+          out += insertTail()
         } else if (kw("DELETE")) {
+          out += deleteTail()
+        } else if (kw("WITH")) {
+          // WITH <g> DELETE/INSERT …: un-GRAPHed templates AND patterns
+          // scope to <g> (USING, if present, overrides for patterns)
           skipWs()
-          if (kw("DATA")) {
-            skipWs()
-            out += DeleteDataStmt(constQuads(templateBlock()))
-          } else if (kw("WHERE")) {
-            // DELETE WHERE { pattern }: template = pattern (SPARQL Update
-            // §3.1.3.3); un-GRAPHed patterns delete from the default graph
-            skipWs()
-            val els = groupBlock(None)
-            out += DeleteWhereStmt(finishConstruct(patternTemplates(els), els))
-          } else {
-            val templates = templateBlock()
-            skipWs()
-            if (kw("INSERT")) { // DELETE {…} INSERT {…} WHERE {…}
-              skipWs()
-              val insTemplates = templateBlock()
-              skipWs()
-              if (!kw("WHERE")) fail("expected WHERE after INSERT template")
-              skipWs()
-              val els = groupBlock(None)
-              out += ModifyStmt(finishConstruct(templates, els),
-                finishConstruct(insTemplates, els))
-            } else {
-              if (!kw("WHERE")) fail("expected WHERE after DELETE template")
-              skipWs()
-              out += DeleteWhereStmt(finishConstruct(templates, groupBlock(None)))
-            }
-          }
+          withCtx = Some(iriRef())
+          skipWs()
+          if (kw("INSERT")) out += insertTail()
+          else if (kw("DELETE")) out += deleteTail()
+          else fail("expected INSERT or DELETE after WITH <graph>")
+        } else if (kw("ADD")) {
+          out += graphMgmt(AddGraphStmt.apply)
+        } else if (kw("COPY")) {
+          out += graphMgmt(CopyGraphStmt.apply)
+        } else if (kw("MOVE")) {
+          out += graphMgmt(MoveGraphStmt.apply)
         } else if (kw("LOAD")) {
           skipWs()
           val iri = iriRef()
@@ -441,7 +535,8 @@ object ConstructParser {
           if (!kw("GRAPH")) fail("expected GRAPH after CLEAR")
           skipWs()
           out += ClearGraphStmt("<" + iriRef() + ">")
-        } else fail("expected CONSTRUCT/SELECT/INSERT/DELETE/LOAD/CLEAR")
+        } else fail(
+          "expected CONSTRUCT/SELECT/INSERT/DELETE/WITH/LOAD/CLEAR/ADD/COPY/MOVE")
         skipWs()
         if (peek == ';') { i += 1; skipWs() }
       }
@@ -466,7 +561,7 @@ object ConstructParser {
       */
     private def patternTemplates(els: Seq[WhereEl]): Seq[T] = els.flatMap {
       case TpE(g, a, b, c) =>
-        Seq((a, b, c, g.getOrElse(IriT("urn:x-arq:DefaultGraph")): Tok))
+        Seq((a, b, c, g.getOrElse(defaultGraphTok): Tok))
       case GroupE(inner) => patternTemplates(inner)
       case other => fail(s"DELETE WHERE allows only triple patterns, got $other")
     }
@@ -565,10 +660,28 @@ object ConstructParser {
             Some(vars.map(v => bound.select(col(v).as("__resource")))
               .reduce(_ union _))
           }
-        val resources = (constDf.toSeq ++ varDf.toSeq)
-          .reduce(_ union _).distinct()
-        quads.join(resources,
-          quads.col("subj") === resources.col("__resource"), "left_semi")
+        val seeds = (constDf.toSeq ++ varDf.toSeq)
+          .reduce(_ union _).distinct().localCheckpoint(true)
+        // Concise Bounded Description (Jena's default describe handler):
+        // the outgoing star, following BLANK-NODE objects transitively —
+        // driver fixpoint bounded by the bnode-chain depth (like the CC
+        // loop); IRIs/literals do not recurse
+        var all = seeds
+        var frontier = seeds
+        var rounds = 0
+        while (rounds < 1000 && frontier.limit(1).count() > 0) {
+          val star = quads.join(frontier,
+            quads.col("subj") === frontier.col("__resource"), "left_semi")
+          frontier = star.where(col("obj").startsWith("_:"))
+            .select(col("obj").as("__resource")).distinct()
+            .join(all, Seq("__resource"), "left_anti")
+            .localCheckpoint(true)
+          if (frontier.limit(1).count() > 0)
+            all = all.union(frontier).localCheckpoint(true)
+          rounds += 1
+        }
+        quads.join(all,
+          quads.col("subj") === all.col("__resource"), "left_semi")
       }
     }
 
@@ -593,23 +706,29 @@ object ConstructParser {
       // DISTINCT dedups solutions; REDUCED merely PERMITS dedup (§18.2.5)
       // — a deterministic engine treats both as distinct()
       val distinctRows = kw("DISTINCT") || kw("REDUCED")
-      val items = scala.collection.mutable.ArrayBuffer[SelItem]()
-      var more = true
-      while (more) {
-        skipWs()
-        if (peek == '*') { i += 1; items += Star }
-        else if (peek == '?') items += PlainVar(varName())
-        else if (peek == '(') {
-          i += 1
-          val (c, isAgg) = aggExpr()
+      def parseItems(): Seq[SelItem] = {
+        val items = scala.collection.mutable.ArrayBuffer[SelItem]()
+        var more = true
+        while (more) {
           skipWs()
-          if (!kw("AS")) fail("expected AS in (expr AS ?v)")
-          skipWs()
-          val v = varName()
-          skipWs(); expect(')')
-          items += Derived(v, c, isAgg)
-        } else more = false
+          if (peek == '*') { i += 1; items += Star }
+          else if (peek == '?') items += PlainVar(varName())
+          else if (peek == '(') {
+            i += 1
+            val (c, isAgg) = aggExpr()
+            skipWs()
+            if (!kw("AS")) fail("expected AS in (expr AS ?v)")
+            skipWs()
+            val v = varName()
+            skipWs(); expect(')')
+            items += Derived(v, c, isAgg)
+          } else more = false
+        }
+        items.toSeq
       }
+      skipWs()
+      val projStart = i
+      var items = parseItems()
       if (items.isEmpty) fail("empty SELECT projection")
       val own = datasetClause()
       val ds = if (own.from.isEmpty && own.fromNamed.isEmpty) dsCtx else own
@@ -618,12 +737,44 @@ object ConstructParser {
       skipWs()
       val els = groupBlock(graphCtx = None)
       skipWs()
-      val groupBys = scala.collection.mutable.ArrayBuffer[String]()
+      // projection expressions were parsed BEFORE the WHERE, when no
+      // pattern variable's term-ness was known (everything defaulted to
+      // raw) — re-parse the projection span now that bgpVarTerm is final,
+      // so SUM(?v)/MIN(?v) over pattern-bound TERM vars compile with
+      // term-aware numeric/ordering semantics
+      if (sawPattern) {
+        val save = i
+        i = projStart
+        items = parseItems()
+        i = save
+      }
+      // GROUP BY keys: `?v`, `(expr)`, or `(expr AS ?v)` (SPARQL §11.2 —
+      // ARQ accepts expression keys; an AS-named key is projectable)
+      val groupBys = scala.collection.mutable.ArrayBuffer[(String, Option[Column])]()
       if (kw("GROUP")) {
         skipWs()
         if (!kw("BY")) fail("expected BY after GROUP")
         skipWs()
-        while (peek == '?') { groupBys += varName(); skipWs() }
+        while (peek == '?' || peek == '(') {
+          if (peek == '?') groupBys += ((varName(), None))
+          else {
+            i += 1
+            val e = expr()
+            skipWs()
+            if (kw("AS")) {
+              skipWs()
+              val v = varName()
+              skipWs(); expect(')')
+              if (sawPattern) bgpVarTerm(v) = e.term else binds(v) = e
+              groupBys += ((v, Some(e.c)))
+            } else {
+              expect(')')
+              // unnamed expression key: hidden column, not projectable
+              groupBys += (("__gb" + groupBys.size, Some(e.c)))
+            }
+          }
+          skipWs()
+        }
         if (groupBys.isEmpty) fail("empty GROUP BY")
       }
       // HAVING (aggExpr CMP literal|?var)… — SPARQL 1.1 §11.3: filters at
@@ -727,8 +878,9 @@ object ConstructParser {
                 "* cannot mix with named projections")
             }: _*)
           } else {
+            val keyNames = groupBys.map(_._1).toSeq
             val plain = items.collect { case PlainVar(v) => v }
-            val badPlain = plain.filterNot(groupBys.contains)
+            val badPlain = plain.filterNot(keyNames.contains)
             require(badPlain.isEmpty,
               s"non-aggregated SELECT vars $badPlain must appear in GROUP BY")
             // HAVING aggregate operands ride along as hidden agg columns
@@ -737,9 +889,14 @@ object ConstructParser {
             }
             val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq ++ hidden
             require(aggs.nonEmpty, "GROUP BY without any aggregate projection")
+            // derived (expression) keys materialize as columns first
+            val keyed = groupBys.foldLeft(bindings) {
+              case (df, (v, Some(c))) => df.withColumn(v, c)
+              case (df, _) => df
+            }
             val g =
-              if (groupBys.isEmpty) bindings.agg(aggs.head, aggs.tail: _*)
-              else bindings.groupBy(groupBys.toSeq.map(col): _*)
+              if (groupBys.isEmpty) keyed.agg(aggs.head, aggs.tail: _*)
+              else keyed.groupBy(keyNames.map(col): _*)
                 .agg(aggs.head, aggs.tail: _*)
             val filtered = havings.zipWithIndex.foldLeft(g) {
               case (df, ((c, isAgg, op, rhs), k)) =>
@@ -790,13 +947,20 @@ object ConstructParser {
         val f = s.substring(i - 3, i).toUpperCase
         skipWs(); expect('('); skipWs()
         val dist = kw("DISTINCT")
-        val a = { skipWs(); expr().c }
+        val e = { skipWs(); expr() }
         skipWs(); expect(')')
+        // a TERM-typed argument (pattern-bound var) aggregates its
+        // numeric VALUE for SUM/AVG (SPARQL numeric aggregation — the
+        // lexical string would cast-fail to NULL silently) and orders
+        // numerics by value / others lexically for MIN/MAX
+        val a = if (e.term) numTermVal(e.c) else e.c
         val c = f match {
           case "SUM" => if (dist) sum_distinct(a) else sum(a)
           case "AVG" => if (dist) sum_distinct(a) / countDistinct(a) else avg(a)
-          case "MIN" => min(a) // DISTINCT is a no-op for MIN/MAX
-          case "MAX" => max(a)
+          case "MIN" => // DISTINCT is a no-op for MIN/MAX
+            if (e.term) min_by(e.c, termOrdKey(e.c)) else min(a)
+          case "MAX" =>
+            if (e.term) max_by(e.c, termOrdKey(e.c)) else max(a)
         }
         (c, true)
       } else if (kw("SAMPLE")) {
@@ -850,10 +1014,14 @@ object ConstructParser {
       */
     private case class BnodeT(label: String) extends Tok
 
+    /** Un-GRAPHed triples target the WITH graph when one is set. */
+    private def defaultGraphTok: IriT =
+      IriT(withCtx.getOrElse("urn:x-arq:DefaultGraph"))
+
     private def templateBlock(): Seq[T] = {
       expect('{')
       val out = scala.collection.mutable.ArrayBuffer[T]()
-      val DefaultG = IriT("urn:x-arq:DefaultGraph")
+      val DefaultG = defaultGraphTok
       skipWs()
       while (peek != '}') {
         if (kw("GRAPH")) {
@@ -1044,8 +1212,10 @@ object ConstructParser {
     private case class ExistsE(els: Seq[WhereEl], negated: Boolean) extends WhereEl
     private case class BindE(v: String, e: E) extends WhereEl
     private case class FilterE(c: Column) extends WhereEl
-    /** Inline data: `rows` hold canonical term strings per var. */
-    private case class ValuesE(vars: Seq[String], rows: Seq[Seq[String]]) extends WhereEl
+    /** Inline data: `rows` hold canonical term strings per var; `None` =
+      * UNDEF (the var stays unbound in that row — SPARQL §10.2).
+      */
+    private case class ValuesE(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends WhereEl
     /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
       * are visible, so the compiled frame joins like any pattern.
       */
@@ -1093,15 +1263,17 @@ object ConstructParser {
           }
         } else if (kw("VALUES")) {
           // inline data (SPARQL 1.1 §10.2): `VALUES ?v { t… }` or
-          // `VALUES (?v…) { (t…)… }`. UNDEF is rejected loudly — a strict
-          // equi-join on NULL would silently drop the wildcard semantics.
+          // `VALUES (?v…) { (t…)… }`. UNDEF = unbound cell (NULL) — the
+          // compiler joins null-safely (compatibility: agreement on
+          // mutually BOUND vars only).
           skipWs()
           val vars = scala.collection.mutable.ArrayBuffer[String]()
-          val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
-          def cell(): String = {
+          val rows = scala.collection.mutable.ArrayBuffer[Seq[Option[String]]]()
+          def cell(): Option[String] = {
             skipWs()
-            if (kw("UNDEF")) fail("UNDEF in VALUES is not supported")
-            specOf(tok()).swap.getOrElse(fail("VALUES data must be constant terms"))
+            if (kw("UNDEF")) None
+            else Some(specOf(tok()).swap
+              .getOrElse(fail("VALUES data must be constant terms")))
           }
           if (peek == '(') {
             i += 1; skipWs()
@@ -1278,12 +1450,36 @@ object ConstructParser {
       */
     private def compileGroup(els: Seq[WhereEl], quads: DataFrame,
         ds: DatasetClause = NoDataset,
-        seedWithInput: Boolean = false): DataFrame = {
+        seedWithInput: Boolean = false): DataFrame =
+      compileGroupN(els, quads, ds, seedWithInput)._1
+
+    /** [[compileGroup]] plus the set of vars that may be UNBOUND (NULL)
+      * in the result — OPTIONAL-only vars, vars missing from a UNION
+      * branch, UNDEF VALUES cells. MINUS needs this to decide between the
+      * scale-fast equi anti-join and full §8.3 compatibility semantics.
+      */
+    private def compileGroupN(els: Seq[WhereEl], quads: DataFrame,
+        ds: DatasetClause = NoDataset,
+        seedWithInput: Boolean = false): (DataFrame, Set[String]) = {
       // property-function-only groups (no triple pattern) run against the
       // INPUT frame directly — the sbs pipeline shape
       var acc: DataFrame = if (seedWithInput) quads else null
-      def joinIn(df: DataFrame): Unit =
-        acc = if (acc == null) df else Bgp.join(acc, df)
+      // vars that may be NULL (unbound) in acc — every join below routes
+      // through the §8.3 compatibility variants iff a SHARED var is in
+      // this set, keeping the hash-joinable equi path for the all-bound
+      // common case
+      val maybeNull = scala.collection.mutable.HashSet[String]()
+      def joinIn(df: DataFrame, dfNulls: Set[String] = Set.empty): Unit = {
+        if (acc == null) acc = df
+        else {
+          val sharedV = acc.columns.intersect(df.columns)
+          acc =
+            if (sharedV.exists(v => maybeNull.contains(v) || dfNulls.contains(v)))
+              Bgp.compatJoin(acc, df)
+            else Bgp.join(acc, df)
+        }
+        maybeNull ++= dfNulls
+      }
       val conds = scala.collection.mutable.ArrayBuffer[Column]()
       els.foreach {
         case TpE(g, a, PathT(path), c) =>
@@ -1319,42 +1515,88 @@ object ConstructParser {
               specOf(c))
           })
         case GroupE(inner) =>
-          if (seedWithInput) // pipeline: a group transforms the stream
-            acc = compileGroup(inner, if (acc == null) quads else acc, ds,
-              seedWithInput = true)
-          else joinIn(compileGroup(inner, quads, ds))
+          if (seedWithInput) { // pipeline: a group transforms the stream
+            val (df, mn) = compileGroupN(inner, if (acc == null) quads else acc,
+              ds, seedWithInput = true)
+            acc = df; maybeNull ++= mn
+          } else {
+            val (df, mn) = compileGroupN(inner, quads, ds)
+            joinIn(df, mn)
+          }
         case UnionE(gs) =>
-          if (seedWithInput) { // pipeline: branches fork the CURRENT stream
-            val base = if (acc == null) quads else acc
-            acc = gs.map(compileGroup(_, base, ds, seedWithInput = true))
-              .reduce(Bgp.union)
-          } else joinIn(gs.map(compileGroup(_, quads, ds)).reduce(Bgp.union))
+          val compiled =
+            if (seedWithInput) { // pipeline: branches fork the CURRENT stream
+              val base = if (acc == null) quads else acc
+              gs.map(compileGroupN(_, base, ds, seedWithInput = true))
+            } else gs.map(compileGroupN(_, quads, ds))
+          // a var missing from any branch is NULL in that branch's rows
+          val allCols = compiled.flatMap(_._1.columns).distinct
+          val unionNulls = compiled.flatMap { case (df, mn) =>
+            mn ++ allCols.diff(df.columns)
+          }.toSet
+          val u = compiled.map(_._1).reduce(Bgp.union)
+          if (seedWithInput) { acc = u; maybeNull ++= unionNulls }
+          else joinIn(u, unionNulls)
         case OptionalE(inner) =>
           require(acc != null, "OPTIONAL with no preceding pattern")
           require(!containsPropFn(inner),
             "property functions inside OPTIONAL are not supported")
-          acc = Bgp.optional(acc, compileGroup(inner, quads, ds))
+          val (sub, mn) = compileGroupN(inner, quads, ds)
+          val sharedV = acc.columns.intersect(sub.columns)
+          val useCompat = sharedV.exists(v =>
+            maybeNull.contains(v) || mn.contains(v))
+          maybeNull ++= mn
+          maybeNull ++= sub.columns.diff(acc.columns) // OPTIONAL-only vars
+          acc = if (useCompat) Bgp.compatOptional(acc, sub)
+            else Bgp.optional(acc, sub)
         case MinusE(inner) =>
           require(acc != null, "MINUS with no preceding pattern")
           require(!containsPropFn(inner),
             "property functions inside MINUS are not supported")
-          acc = Bgp.minus(acc, compileGroup(inner, quads, ds))
+          val (sub, subMn) = compileGroupN(inner, quads, ds)
+          val sharedV = acc.columns.intersect(sub.columns).toSet
+          // full §8.3 compatibility (nested-loop) only when a shared var
+          // can actually be unbound; else the shuffled anti equi-join
+          acc =
+            if (sharedV.exists(v => maybeNull.contains(v) || subMn.contains(v)))
+              Bgp.minusCompat(acc, sub)
+            else Bgp.minus(acc, sub)
         case ExistsE(inner, neg) =>
           require(acc != null, "FILTER EXISTS with no preceding pattern")
           require(!containsPropFn(inner),
             "property functions inside FILTER EXISTS are not supported")
-          val sub = compileGroup(inner, quads, ds)
-          acc = if (neg) Bgp.notExists(acc, sub) else Bgp.exists(acc, sub)
+          val (sub, subMn) = compileGroupN(inner, quads, ds)
+          val sharedV = acc.columns.intersect(sub.columns)
+          acc =
+            if (sharedV.exists(v => maybeNull.contains(v) || subMn.contains(v)))
+              Bgp.compatSemi(acc, sub, anti = neg)
+            else if (neg) Bgp.notExists(acc, sub)
+            else Bgp.exists(acc, sub)
         case BindE(v, e) =>
           require(acc != null, "BIND before any pattern in a BGP group")
           acc = acc.withColumn(v, e.c)
         case FilterE(c) => conds += c
         case ValuesE(vars, rows) =>
+          // inline data joins AT ITS POSITION (§18.2.2.6) — UNDEF cells
+          // are NULL and flow forward as maybe-unbound vars, so every
+          // later join/OPTIONAL/MINUS picks the compatibility variant
           val spark = quads.sparkSession
           val schema = StructType(vars.map(v => StructField(v, StringType)))
-          joinIn(spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.map(r => Row(r: _*)), 1),
-            schema))
+          val inline = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              rows.map(r => Row(r.map(_.orNull): _*)), 1), schema)
+          val undefVars = vars.zipWithIndex.collect {
+            case (v, k) if rows.exists(_(k).isEmpty) => v
+          }.toSet
+          if (acc == null) { acc = inline; maybeNull ++= undefVars }
+          else {
+            val sharedV = acc.columns.intersect(inline.columns)
+            acc = if (sharedV.exists(v =>
+                maybeNull.contains(v) || undefVars.contains(v)))
+              Bgp.compatJoin(acc, inline, broadcastRight = true)
+            else Bgp.join(acc, inline) // tiny frame: AQE broadcasts it
+            maybeNull ++= undefVars
+          }
         case SubSelectE(q) => joinIn(q.run(quads))
         case PropFnE(sv, sTerm, ov) =>
           require(acc != null && acc.columns.contains(sv),
@@ -1378,7 +1620,7 @@ object ConstructParser {
             .drop("__jsonarr", "__jsonpos", "__jsonel")
       }
       require(acc != null, "empty group pattern")
-      conds.foldLeft(acc)(_ filter _)
+      (conds.foldLeft(acc)(_ filter _), maybeNull.toSet)
     }
 
     /** Pattern-position spec: variables project, constants filter (as
@@ -1532,11 +1774,81 @@ object ConstructParser {
       * (xsd numeric family), else NULL.
       */
     private def numTermVal(term: Column): Column =
-      regexp_extract(term,
+      // nullif: regexp_extract yields "" on no match, and ANSI mode (the
+      // Spark 4 default) makes ''::double an ERROR, not NULL
+      nullif(regexp_extract(term,
         "^\"([^\"]*)\"\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#" +
           "(?:integer|decimal|double|float|long|int|short|byte|" +
-          "nonNegativeInteger|positiveInteger|unsignedInt|unsignedLong)>$", 1)
-        .cast("double")
+          "nonNegativeInteger|positiveInteger|unsignedInt|unsignedLong)>$", 1),
+        lit("")).cast("double")
+
+    /** MIN/MAX ordering key for a TERM column: numeric-typed literals by
+      * value (sorting before everything else), all other terms by their
+      * full lexical form — the deterministic reduction of SPARQL's `<`
+      * (which errors on incomparable types).
+      */
+    private def termOrdKey(c: Column): Column = {
+      val v = numTermVal(c)
+      struct(when(v.isNotNull, lit(0)).otherwise(lit(1)).as("k"),
+        coalesce(v, lit(0d)).as("v"), c.as("lex"))
+    }
+
+    /** xsd:dateTime / xsd:date lexical shape, groups 1-6 =
+      * year/month/day/hours/minutes/seconds(.fraction).
+      */
+    private val DtLexRe =
+      "^(-?\\d{4,})-(\\d{2})-(\\d{2})(?:T(\\d{2}):(\\d{2}):(\\d{2}(?:\\.\\d+)?))?"
+
+    /** Integer field of a dateTime lexical (NULL when absent — e.g. HOURS
+      * of an xsd:date). The `when` guard keeps ANSI cast from throwing on
+      * regexp_extract's "" no-match result.
+      */
+    private def dtField(e: E, group: Int): Column = {
+      val g = regexp_extract(raw(e), DtLexRe, group)
+      when(g =!= "", g.cast("long"))
+    }
+
+    /** TIMEZONE(e) → xsd:dayTimeDuration term of the lexical zone offset
+      * (Jena: "-05:00" → "-PT5H", "Z" → "PT0S"); NULL when the lexical
+      * form carries no zone (SPARQL: an error → unbound).
+      */
+    private def timezoneDuration(e: E): Column = {
+      val tz = regexp_extract(raw(e), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+      val h = when(tz.rlike("^[+-]"), substring(tz, 2, 2).cast("int"))
+      val m = when(tz.rlike("^[+-]"), substring(tz, 5, 2).cast("int"))
+      val body = when(h === 0 && m === 0, lit("PT0S"))
+        .otherwise(concat(lit("PT"),
+          when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(""),
+          when(m > 0, concat(m.cast("string"), lit("M"))).otherwise("")))
+      val lex = when(tz === "Z", lit("PT0S"))
+        .when(tz.startsWith("-"), concat(lit("-"), body))
+        .when(tz.startsWith("+"), body)
+      concat(lit("\""), lex,
+        lit("\"^^<" + ConstructParser.XsdNs + "dayTimeDuration>"))
+    }
+
+    private def expectEmptyArgs(fn: String): Unit = {
+      val a = argList()
+      require(a.isEmpty, s"$fn() takes no arguments")
+    }
+
+    private def randSeed(fn: String): Long = ctx.seed.getOrElse(fail(
+      s"$fn() needs an injected seed: pass EvalCtx(seed = Some(...)) " +
+        "so plans stay deterministic and resumable"))
+
+    /** Deterministic v4-shaped UUID text per row: two seeded 64-bit
+      * hashes over the row id, hex-formatted 8-4-4-4-12.
+      */
+    private def uuidHex(fn: String): Column = {
+      val seed = randSeed(fn)
+      def hex16(k: Long) = lpad(hex(pmod(
+        xxhash64(lit(seed + k), monotonically_increasing_id()),
+        lit(Long.MaxValue))), 16, "0")
+      val a = lower(hex16(0)); val b = lower(hex16(1))
+      concat(substring(a, 1, 8), lit("-"), substring(a, 9, 4), lit("-"),
+        substring(a, 13, 4), lit("-"), substring(b, 1, 4), lit("-"),
+        substring(b, 5, 12))
+    }
 
     private def unary(): E = {
       skipWs()
@@ -1668,6 +1980,49 @@ object ConstructParser {
           E(termCol(arg1()).startsWith("\""), term = false)
         case _ if kw("ISBLANK") =>
           E(termCol(arg1()).startsWith("_:"), term = false)
+        // ---- §17.4.5 date/time accessors (over xsd:dateTime/xsd:date
+        // lexical forms — field extraction from the LEXICAL value, per
+        // spec; no timezone normalization)
+        case _ if kw("YEAR") => E(dtField(arg1(), 1), term = false, num = true)
+        case _ if kw("MONTH") => E(dtField(arg1(), 2), term = false, num = true)
+        case _ if kw("DAY") => E(dtField(arg1(), 3), term = false, num = true)
+        case _ if kw("HOURS") => E(dtField(arg1(), 4), term = false, num = true)
+        case _ if kw("MINUTES") => E(dtField(arg1(), 5), term = false, num = true)
+        case _ if kw("SECONDS") =>
+          val g = regexp_extract(raw(arg1()), DtLexRe, 6)
+          E(when(g =!= "", g.cast("double")), term = false, num = true)
+        case _ if kw("TIMEZONE") => E(timezoneDuration(arg1()), term = true)
+        case _ if kw("TZ") =>
+          // TZ returns the lexical zone as a simple string ("" if none)
+          E(regexp_extract(raw(arg1()), "(Z|[+-]\\d{2}:\\d{2})$", 1),
+            term = false)
+        case _ if kw("NOW") =>
+          expectEmptyArgs("NOW")
+          val now = ctx.now.getOrElse(fail(
+            "NOW() needs an injected clock: pass EvalCtx(now = Some(...)) " +
+              "so plans stay deterministic and resumable"))
+          E(lit("\"" + now + "\"^^<" + ConstructParser.XsdNs + "dateTime>"),
+            term = true)
+        case _ if kw("SAMETERM") =>
+          val (a, b) = arg2()
+          E(termCol(a) === termCol(b), term = false)
+        case _ if kw("ISNUMERIC") =>
+          val a = arg1()
+          E(if (!a.term) lit(a.num) else numTermVal(a.c).isNotNull,
+            term = false)
+        case _ if kw("RAND") =>
+          expectEmptyArgs("RAND")
+          // deterministic per-row double in [0,1) from the injected seed —
+          // xxhash64 over the row id (NOT java Random: replayable per row)
+          E(pmod(xxhash64(lit(randSeed("RAND")),
+            monotonically_increasing_id()), lit(1L << 52))
+            .cast("double") / lit((1L << 52).toDouble), term = false, num = true)
+        case _ if kw("UUID") =>
+          expectEmptyArgs("UUID")
+          E(concat(lit("<urn:uuid:"), uuidHex("UUID"), lit(">")), term = true)
+        case _ if kw("STRUUID") =>
+          expectEmptyArgs("STRUUID")
+          E(uuidHex("STRUUID"), term = false)
         case _ if kw("BNODE") =>
           // fresh bnode per solution row and call site (§17.4.2.9). The
           // one-argument form needs same-label-for-same-arg ACROSS call

@@ -98,7 +98,14 @@ object RdfIO {
     * known.
     */
   def readRdfAuto(spark: SparkSession, path: String,
-      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame = {
+      defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame =
+    if (probeSyntax(spark, path) == "nquads") readNQuads(spark, path, defaultGraph)
+    else readTrig(spark, path, defaultGraph)
+
+  /** The sniff behind [[readRdfAuto]]: "nquads" (line-parseable, no TriG
+    * markers in the first 200 content lines) or "trig".
+    */
+  private[graft] def probeSyntax(spark: SparkSession, path: String): String = {
     val probe = spark.read.textFile(path)
       .filter(l => { val t = l.trim; t.nonEmpty && !t.startsWith("#") })
       .take(200)
@@ -113,8 +120,23 @@ object RdfIO {
     }
     val nquadsish = probe.nonEmpty &&
       probe.forall(l => parseLine(l) != null && !trigMarker(l))
-    if (nquadsish || probe.isEmpty) readNQuads(spark, path, defaultGraph)
-    else readTrig(spark, path, defaultGraph)
+    if (nquadsish || probe.isEmpty) "nquads" else "trig"
+  }
+
+  /** `ngs probe` (CmdNgsProbe.java:19-40): report the detected syntax and
+    * compression of an RDF input as one row — the same sniff
+    * [[readRdfAuto]] routes on, plus extension-based codec detection (the
+    * Hadoop text reader decompresses by extension, so the probe sees
+    * DECOMPRESSED lines either way).
+    */
+  def probe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val compression =
+      if (path.endsWith(".gz")) "gzip"
+      else if (path.endsWith(".bz2")) "bzip2"
+      else if (path.endsWith(".zst")) "zstd"
+      else "none"
+    Seq((probeSyntax(spark, path), compression)).toDF("syntax", "compression")
   }
 
   /** Read TriG / Turtle documents into (graph, subj, pred, obj), terms in

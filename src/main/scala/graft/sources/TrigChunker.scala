@@ -85,7 +85,7 @@ object TrigChunker {
       firstContentDotLeading: Option[Boolean],
       headLines: Vector[String], headCoversAll: Boolean)
 
-  private[sources] def scanLine(s: String, in: Int): LineFx = {
+  private[graft] def scanLine(s: String, in: Int): LineFx = {
     var state = in
     var depth = 0
     var last = ' '
@@ -130,6 +130,14 @@ object TrigChunker {
           case '{' | '(' | '[' => depth += 1; last = c; i += 1
           case '}' | ')' | ']' => depth -= 1; last = c; i += 1
           case ' ' | '\t' | '\r' => i += 1
+          case '\\' =>
+            // a backslash OUTSIDE literals/IRIs is a PN_LOCAL escape
+            // (e.g. `ex:obj\.`), which this scanner does not model — the
+            // char after it must not be scored (a trailing `\.` is NOT a
+            // statement end). Unsafe ⇒ the planner falls back to the
+            // sequential wholetext parse, which rejects PN_LOCAL_ESC
+            // loudly — same outcome in both modes, never a silent split.
+            unsafe = true
           case _ => last = c; i += 1
         }
       }
@@ -444,11 +452,22 @@ object TrigChunker {
   /** Which execution strategy the planner picks for this file (tests). */
   private[graft] def strategyFor(spark: SparkSession, path: String,
       minPartitions: Int = 0): String = {
+    if (nonSplittable(path)) return "wholetext-gz"
     val sums = collectSummaries(linesOf(spark, path, minPartitions))
     if (planAssembly(sums).isDefined) "assembly"
     else if (plan(sums).isDefined) "shuffle"
     else "wholetext"
   }
+
+  /** gzip streams have no split points: `sc.textFile` would hand the whole
+    * file to ONE task, so the chunk planner could only ever "plan" a
+    * single chunk — pure overhead (an extra summary pass) for a
+    * sequential parse. Route straight to the wholetext parser instead,
+    * LOUDLY here rather than silently degrading: decompress-then-chunk
+    * (or a splittable codec like bzip2/zstd-seekable) is the way to
+    * parallelize a compressed giant document.
+    */
+  private def nonSplittable(path: String): Boolean = path.endsWith(".gz")
 
   private def linesOf(spark: SparkSession, path: String,
       minPartitions: Int): RDD[String] = {
@@ -469,6 +488,7 @@ object TrigChunker {
   def readTrigChunked(spark: SparkSession, path: String,
       defaultGraph: String = "<urn:x-arq:DefaultGraph>",
       minPartitions: Int = 0): DataFrame = {
+    if (nonSplittable(path)) return RdfIO.readTrig(spark, path, defaultGraph)
     val lines = linesOf(spark, path, minPartitions)
     val sums = collectSummaries(lines)
     planAssembly(sums) match {

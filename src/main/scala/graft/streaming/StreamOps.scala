@@ -43,6 +43,42 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("role"))
       .count()
 
+  /** Event-time windowed aggregation over a STREAMING quad source: turns
+    * per UTC day, event time taken from each turn's `p:ts` triple (an
+    * epoch-micros xsd:long literal). Watermark bounds state; the batch
+    * twin is a plain `groupBy(window(ts))` with identical results.
+    */
+  def tsWindowCounts(quads: DataFrame): DataFrame =
+    quads.where(col("pred") === "<http://graft.io/p/ts>")
+      .withColumn("ts",
+        timestamp_micros(regexp_extract(col("obj"), "^\"(\\d+)\"", 1)
+          .cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
+
+  /** Run [[tsWindowCounts]] over an N-Quads directory as a BOUNDED stream
+    * (`Trigger.AvailableNow` drains all available files then stops) into
+    * a memory sink, returning the final result table — the
+    * CORRECTNESS-gate entry for the streaming path (§2.9): same oracle
+    * SQL as the batch twin.
+    */
+  def runTsWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val name = "graft_stream_win_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = tsWindowCounts(readNQuadsStream(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete) // complete: bounded input, all windows
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Custom running state (SURVEY §2.9 / the reference's per-record
     * accumulation): running turn count per conversation, emitted on every
     * update — `flatMapGroupsWithState` keeps one Long per key, so state

@@ -267,4 +267,92 @@ class FnSpec extends AnyFunSuite {
     assert(got(0).getString(1) ===
       "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
   }
+
+  private lazy val dtData = {
+    import spark.implicits._
+    Seq("2024-03-05T10:20:30+05:30", "2024-03-05T10:20:30.5Z",
+      "2024-12-31T23:59:59", "2024-07-01").toDF("dt")
+  }
+
+  test("date/time accessors: fields, fractional seconds, zone forms") {
+    val got = rows(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?dt ?y ?mo ?d ?h ?mi ?sec ?tz ?tzd WHERE {
+        |  BIND(STRDT(?dt, xsd:dateTime) AS ?t)
+        |  BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo) BIND(DAY(?t) AS ?d)
+        |  BIND(HOURS(?t) AS ?h) BIND(MINUTES(?t) AS ?mi)
+        |  BIND(SECONDS(?t) AS ?sec) BIND(TZ(?t) AS ?tz)
+        |  BIND(TIMEZONE(?t) AS ?tzd)
+        |}""".stripMargin, dtData)
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("2024-03-05T10:20:30+05:30")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getLong(5), a.getDouble(6)) === ((2024L, 3L, 5L, 10L, 20L, 30.0)))
+    assert(a.getString(7) === "+05:30")
+    assert(a.getString(8) ===
+      "\"PT5H30M\"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>")
+    val b = got("2024-03-05T10:20:30.5Z")
+    assert(b.getDouble(6) === 30.5)
+    assert(b.getString(7) === "Z")
+    assert(b.getString(8) ===
+      "\"PT0S\"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>")
+    // no zone: TZ = "" and TIMEZONE is an error (NULL)
+    val c = got("2024-12-31T23:59:59")
+    assert(c.getString(7) === "" && c.isNullAt(8))
+    // xsd:date shape: time fields are NULL, date fields present
+    val d = got("2024-07-01")
+    assert(d.getLong(1) === 2024L && d.getLong(2) === 7L && d.isNullAt(4))
+  }
+
+  test("sameTerm and isNumeric") {
+    val got = rows(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?k ?st ?stDiff ?numTerm ?numRaw ?numStr WHERE {
+        |  BIND(STRDT(STR(?k), xsd:integer) AS ?ki)
+        |  BIND(SAMETERM(?ki, ?ki) AS ?st)
+        |  BIND(SAMETERM(?ki, STRDT(STR(?k), xsd:long)) AS ?stDiff)
+        |  BIND(ISNUMERIC(?ki) AS ?numTerm)
+        |  BIND(ISNUMERIC(?k + 1) AS ?numRaw)
+        |  BIND(ISNUMERIC(?name) AS ?numStr)
+        |  FILTER(?k = 1)
+        |}""".stripMargin, data)
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getBoolean(1) === true)   // same lexical + datatype
+    assert(r.getBoolean(2) === false)  // different datatype IRI
+    assert(r.getBoolean(3) === true)   // numeric-typed literal term
+    assert(r.getBoolean(4) === true)   // arithmetic result
+    assert(r.getBoolean(5) === false)  // plain string
+  }
+
+  test("NOW/RAND/UUID/STRUUID need an injected clock/seed; seeded runs are deterministic") {
+    import graft.rules.ConstructParser.EvalCtx
+    intercept[Exception] {
+      ConstructParser.parseSelect("SELECT ?n WHERE { BIND(STR(NOW()) AS ?n) }")
+        .run(data)
+    }
+    intercept[Exception] {
+      ConstructParser.parseSelect("SELECT ?r WHERE { BIND(RAND() AS ?r) }")
+        .run(data)
+    }
+    val ctx = EvalCtx(now = Some("2026-02-03T04:05:06Z"), seed = Some(42L))
+    def runQ() = ConstructParser.parseSelect(
+      """SELECT ?k ?n ?r ?u ?su WHERE {
+        |  BIND(STR(NOW()) AS ?n)
+        |  BIND(RAND() AS ?r)
+        |  BIND(UUID() AS ?u)
+        |  BIND(STRUUID() AS ?su)
+        |}""".stripMargin, ctx).run(data.repartition(1)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3), r.getString(4))).sortBy(_._1)
+    val a = runQ(); val b = runQ()
+    assert(a === b) // same seed → identical rows across runs
+    assert(a.forall { case (_, n, r, u, su) =>
+      n == "2026-02-03T04:05:06Z" && r >= 0.0 && r < 1.0 &&
+        u.startsWith("<urn:uuid:") &&
+        su.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")
+    })
+    // distinct per row
+    assert(a.map(_._4).distinct.length === a.length)
+  }
 }

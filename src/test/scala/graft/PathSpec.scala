@@ -173,10 +173,15 @@ class PathSpec extends AnyFunSuite {
          |}""".stripMargin
     assert(pairs(ConstructParser.parseSelect(q2).run(chain)) ===
       Set((t("n1"), t("n2"))))
-    intercept[Exception] {
-      ConstructParser.parseSelect(
-        s"PREFIX ex: <$EX>\nSELECT ?s WHERE { VALUES ?s { UNDEF } }")
-    }
+    // UNDEF = unbound cell (SPARQL §10.2): compatible with any binding
+    val q3 =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE {
+         |  ?s ex:next ?o .
+         |  VALUES (?s ?o) { (<${EX}n1> UNDEF) (UNDEF <${EX}n4>) }
+         |}""".stripMargin
+    assert(pairs(ConstructParser.parseSelect(q3).run(chain)) ===
+      Set((t("n1"), t("n2")), (t("n3"), t("n4"))))
   }
 
   test("per-graph ASK: pattern joins stay inside one graph") {
@@ -364,5 +369,81 @@ class PathSpec extends AnyFunSuite {
     val no = ConstructParser.parseAsk(
       s"PREFIX ex: <$EX>\nASK WHERE { ?s ex:missing ?o . }").run(chain).collect()
     assert(no.length === 1 && !no(0).getBoolean(0))
+  }
+
+  test("zeroOrOne with a constant endpoint yields the constant itself " +
+      "even when absent from the data") {
+    // <ghost> occurs in NO triple: `<ghost> next? ?o` must still yield
+    // the zero-length solution (SPARQL §9.3 ZeroLengthPath on a term)
+    val q = ConstructParser.parseSelect(
+      s"PREFIX ex: <$EX>\nSELECT ?s ?o WHERE { <${EX}ghost> ex:next? ?o . BIND(<${EX}ghost> AS ?s) }")
+    assert(pairs(q.run(chain)) === Set((t("ghost"), t("ghost"))))
+    // bound endpoint present in the data: zero + one-step solutions
+    val q2 = ConstructParser.parseSelect(
+      s"PREFIX ex: <$EX>\nSELECT ?o WHERE { <${EX}n1> ex:next? ?o . }")
+    assert(q2.run(chain).collect().map(_.getString(0)).toSet ===
+      Set(t("n1"), t("n2")))
+  }
+
+  test("MINUS removes rows whose unbound shared var is compatible (§8.3)") {
+    // n1→n2 (n2 labeled via next-hop pattern), n2→n3 (n3 unlabeled):
+    // left rows carry ?l = NULL from a never-matching OPTIONAL; MINUS
+    // shares {s, l} — SPARQL compatibility (unbound l matches anything,
+    // s bound both sides) removes n1's row; SQL NULL-equality would not
+    val data = triples(
+      ("n1", "next", "n2"), ("n2", "next", "n3"), ("n2", "label", "b"))
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE {
+         |  ?s ex:next ?x .
+         |  OPTIONAL { ?s ex:nothing ?l . }
+         |  MINUS { ?s ex:next ?y . ?y ex:label ?l . }
+         |}""".stripMargin)
+    assert(q.run(data).collect().map(_.getString(0)).toSet === Set(t("n2")))
+  }
+
+  test("VALUES UNDEF leaves the var unbound into downstream joins and OPTIONAL") {
+    // row (UNDEF): ?s unbound → compatible with every next-edge, merged
+    // binding takes the pattern's value
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE {
+         |  VALUES ?s { <${EX}n1> }
+         |  ?s ex:next ?o .
+         |}""".stripMargin)
+    assert(pairs(q.run(chain)) === Set((t("n1"), t("n2"))))
+    val q2 = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?l WHERE {
+         |  ?s ex:next ?o .
+         |  VALUES (?s ?l) { (<${EX}n1> UNDEF) }
+         |  OPTIONAL { ?s ex:label ?l . }
+         |}""".stripMargin)
+    // ?l stays unbound through VALUES, then OPTIONAL binds it
+    assert(pairs(q2.run(chain)) === Set((t("n1"), t("a"))))
+  }
+
+  test("GROUP BY expression keys: named and hidden") {
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?k (COUNT(*) AS ?n) WHERE { ?s ex:next ?o . }
+         |GROUP BY (STRLEN(STR(?s)) AS ?k)""".stripMargin)
+    val got = q.run(chain).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all chain subjects have IRIs of equal length http://ex.org/nX
+    assert(got === Set(((EX + "n1").length.toLong, 3L)))
+    // unnamed expression key groups but cannot be projected
+    val q2 = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT (COUNT(*) AS ?n) WHERE { ?s ex:next ?o . }
+         |GROUP BY (STRLEN(STR(?s)))""".stripMargin)
+    assert(q2.run(chain).collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("seminaive closure equals doubling closure on chains and cycles") {
+    import org.apache.spark.sql.functions.col
+    val edges = chain.where(col("pred") === t("next"))
+      .union(chain.where(col("pred") === t("loop")))
+      .select(col("subj").as("s"), col("obj").as("o"))
+    assert(pairs(PathOps.closureSeminaive(edges)) === pairs(PathOps.closure(edges)))
   }
 }

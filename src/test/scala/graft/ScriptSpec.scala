@@ -68,6 +68,58 @@ class ScriptSpec extends AnyFunSuite {
       "INSERT DATA { <a> <b> ?v . }"))
   }
 
+  test("graph management verbs + WITH/USING update scoping") {
+    val script =
+      """PREFIX ex: <http://ex.org/>
+        |INSERT DATA {
+        |  ex:a ex:p "1" .
+        |  GRAPH <urn:g1> { ex:b ex:p "2" . }
+        |} ;
+        |COPY DEFAULT TO <urn:w> ;
+        |ADD GRAPH <urn:g1> TO <urn:w> ;
+        |MOVE GRAPH <urn:g1> TO <urn:m> ;
+        |WITH <urn:w> DELETE { ?s ex:p ?v } INSERT { ?s ex:q ?v }
+        |WHERE { ?s ex:p ?v } ;
+        |INSERT { GRAPH <urn:u> { ?s ex:r ?v } }
+        |USING <urn:m> WHERE { ?s ex:p ?v }""".stripMargin
+    val ds = Script.runSparql(spark, script).dataset
+    val got = ds.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet
+    val A = "<http://ex.org/a>"; val B = "<http://ex.org/b>"
+    val P = "<http://ex.org/p>"; val Q = "<http://ex.org/q>"
+    val R = "<http://ex.org/r>"
+    assert(got === Set(
+      ("<urn:x-arq:DefaultGraph>", A, P, "\"1\""), // untouched original
+      ("<urn:w>", A, Q, "\"1\""),                  // copied + WITH-rewritten
+      ("<urn:w>", B, Q, "\"2\""),                  // added + WITH-rewritten
+      ("<urn:m>", B, P, "\"2\""),                  // moved (g1 emptied)
+      ("<urn:u>", B, R, "\"2\"")))                 // USING-scoped insert
+  }
+
+  test("COPY replaces the destination; ADD accumulates into it") {
+    val script =
+      """PREFIX ex: <http://ex.org/>
+        |INSERT DATA {
+        |  GRAPH <urn:s> { ex:x ex:p "s" . }
+        |  GRAPH <urn:d> { ex:y ex:p "old" . }
+        |} ;
+        |COPY <urn:s> TO <urn:d>""".stripMargin
+    val ds = Script.runSparql(spark, script).dataset
+      .filter($"graph" === "<urn:d>")
+    assert(ds.select("obj").as[String].collect().toSeq === Seq("\"s\""))
+    val script2 =
+      """PREFIX ex: <http://ex.org/>
+        |INSERT DATA {
+        |  GRAPH <urn:s> { ex:x ex:p "s" . }
+        |  GRAPH <urn:d> { ex:y ex:p "old" . }
+        |} ;
+        |ADD <urn:s> TO <urn:d>""".stripMargin
+    val ds2 = Script.runSparql(spark, script2).dataset
+      .filter($"graph" === "<urn:d>")
+    assert(ds2.select("obj").as[String].collect().toSet ===
+      Set("\"s\"", "\"old\""))
+  }
+
   test("env substitution: substituted text parses, unknown name fails") {
     import graft.rules.ConstructParser
     assert(ConstructParser.envSubst("GRAPH <env:G> {", Map("G" -> "urn:g"))

@@ -163,4 +163,29 @@ class TrigChunkerSpec extends AnyFunSuite {
     assert(labels.size === 40)
     assert(labels.distinct.size === 40, "fresh labels must be chunk-unique")
   }
+
+  test("backslash outside literals (PN_LOCAL escape) is unsafe, never a boundary") {
+    // `ex:obj\.` — without the guard the trailing `\.` would be scored as
+    // a statement end and a chunk boundary could split the statement
+    val fx = TrigChunker.scanLine("ex:s ex:p ex:obj\\.", 0)
+    assert(fx.unsafe, "PN_LOCAL escape line must be unsafe")
+    // inside a literal a backslash stays a normal escape (safe)
+    val ok = TrigChunker.scanLine("""ex:s ex:p "a\"b" .""", 0)
+    assert(!ok.unsafe && ok.endsStatement)
+  }
+
+  test("gz input routes straight to wholetext (no single-chunk planning)") {
+    val plain = tmp("gzfix.trig")
+    RdfIO.writeTrigFixture(spark, TestSpark.sf0001, plain)
+    val gz = tmp("gzfix.trig.gz")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(plain))
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gz)))
+    try in.transferTo(out) finally { in.close(); out.close() }
+    assert(TrigChunker.strategyFor(spark, gz) === "wholetext-gz")
+    // and the parse still works through the Hadoop codec, same quads
+    val whole = canon(collectQuads(RdfIO.readTrig(spark, plain)))
+    val viaGz = canon(collectQuads(TrigChunker.readTrigChunked(spark, gz)))
+    assert(viaGz.sorted === whole.sorted)
+  }
 }
