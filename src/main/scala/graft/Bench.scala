@@ -79,6 +79,48 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("path")) {
+      // doubling vs seminaive transitive closure on the two canonical
+      // shapes: a LONG CHAIN (diameter = n: doubling needs log2 n rounds,
+      // seminaive n) and a BUSHY TREE (child→parent edges, diameter =
+      // log2 m: seminaive does frontier-sized work per round, doubling
+      // re-joins the whole closed set). Winner per shape goes to
+      // BASELINE.md; pathPattern keeps doubling as the default (bounded
+      // log-diameter rounds — the safe choice when the shape is unknown).
+      import org.apache.spark.sql.functions._
+      val spark = session(cpus)
+      val chainLen = sys.env.getOrElse("SPARK_GRAFT_PATH_CHAIN", "512").toInt
+      val treeN = sys.env.getOrElse("SPARK_GRAFT_PATH_TREE", "200000").toInt
+      val chain = spark.range(chainLen - 1).select(
+        concat(lit("n"), col("id")).as("s"),
+        concat(lit("n"), col("id") + 1).as("o"))
+        .localCheckpoint(true)
+      val tree = spark.range(1, treeN).select(
+        concat(lit("t"), col("id")).as("s"),
+        concat(lit("t"), expr("id div 2")).as("o"))
+        .localCheckpoint(true)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm both code paths on a tiny graph (codegen compile)
+      graft.ops.PathOps.closure(chain.limit(50)).count()
+      graft.ops.PathOps.closureSeminaive(chain.limit(50)).count()
+      val (cd, cdN) = time(graft.ops.PathOps.closure(chain).count())
+      val (cs, csN) = time(graft.ops.PathOps.closureSeminaive(chain).count())
+      require(cdN == csN, s"chain closure mismatch: $cdN vs $csN")
+      val (td, tdN) = time(graft.ops.PathOps.closure(tree).count())
+      val (ts, tsN) = time(graft.ops.PathOps.closureSeminaive(tree).count())
+      require(tdN == tsN, s"tree closure mismatch: $tdN vs $tsN")
+      System.err.println(
+        f"[path] chain($chainLen): doubling=$cd%.1fs seminaive=$cs%.1fs " +
+          f"pairs=$cdN; tree($treeN): doubling=$td%.1fs seminaive=$ts%.1fs " +
+          f"pairs=$tdN")
+      println(s"""{"metric":"path_closure_doubling_vs_seminaive","value":${cd + td},"unit":"sec","queries":{"chain_doubling":$cd,"chain_seminaive":$cs,"chain_pairs":$cdN,"tree_doubling":$td,"tree_seminaive":$ts,"tree_pairs":$tdN},"sf":"synthetic"}""")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("trig")) {
       // ONE giant TriG document: sequential wholetext parse vs the
       // chunked document-parallel parse (TrigChunker), same file

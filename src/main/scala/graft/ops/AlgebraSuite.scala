@@ -494,6 +494,7 @@ object AlgebraSuite {
         """PREFIX ex: <http://example.org/>
           |SELECT (SUM(?k) AS ?sum_k) (AVG(?k) AS ?avg_k)
           |       (MIN(?k) AS ?min_k) (MAX(?k) AS ?max_k)
+          |       (SUM(?k) / COUNT(*) AS ?ratio)
           |       (MIN(?nm) AS ?min_name) (MAX(?nm) AS ?max_name)
           |WHERE { ?n ex:key ?k . ?n ex:name ?nm . }""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(RdfIO.readTrig(s, path))
@@ -505,6 +506,16 @@ object AlgebraSuite {
            |SELECT ?k (COUNT(*) AS ?n) WHERE { ?t p:role ?role . }
            |GROUP BY (SUBSTR(STR(?role), 1, 3) AS ?k)
            |ORDER BY ?k""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
+    "select_orderby_expr" -> ((s, dir) => {
+      // expression + aggregate ORDER BY keys (hidden agg column ride-along)
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?role (COUNT(*) AS ?n) WHERE { ?t p:role ?role . }
+           |GROUP BY ?role
+           |ORDER BY DESC(COUNT(*)) ?role
+           |LIMIT 2""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
     }),
     "sparql_datetime_text" -> ((s, dir) => {
@@ -928,6 +939,7 @@ object AlgebraSuite {
         |         '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS min_k,
         |       '"' || CAST(MAX(n_nationkey) AS VARCHAR) ||
         |         '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS max_k,
+        |       CAST(SUM(n_nationkey) AS DOUBLE) / count(*) AS ratio,
         |       '"' || MIN(n_name) || '"' AS min_name,
         |       '"' || MAX(n_name) || '"' AS max_name
         |FROM nation""".stripMargin,
@@ -935,6 +947,11 @@ object AlgebraSuite {
       s"""$tripCte
          |SELECT substr(obj, 2, 3) AS k, count(*) AS n FROM trip
          |WHERE pred = '<${P}role>' GROUP BY 1""".stripMargin,
+    "select_orderby_expr" ->
+      s"""$tripCte
+         |SELECT obj AS role, count(*) AS n FROM trip
+         |WHERE pred = '<${P}role>'
+         |GROUP BY obj ORDER BY n DESC, role LIMIT 2""".stripMargin,
     "sparql_datetime_text" ->
       """SELECT event_id,
         |  CAST(year(ts) AS BIGINT) AS f_year,

@@ -113,19 +113,37 @@ object PathOps {
     * where d sequential shuffle barriers dominate. Measured on both
     * shapes by `Bench path` — see BASELINE.md.
     */
+  /** Materialize a frame to a cached RDD and rebuild it as a flat scan
+    * with FRESH attribute ids — lineage truncation like `localCheckpoint`,
+    * but safe for plans that reference the same source three times (the
+    * seminaive delta ⋈ edges \ all shape trips Spark 4's checkpoint
+    * attribute mapping and AQE metrics reset).
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    // RDD-level localCheckpoint TRUNCATES LINEAGE (plain persist would
+    // let the per-round RDD chain grow until task serialization
+    // stack-overflows at diameter-many rounds)
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count()
+    spark.createDataFrame(rdd, df.schema)
+  }
+
   private[graft] def closureSeminaive(edges: DataFrame): DataFrame = {
-    val e = edges.select("s", "o").distinct().localCheckpoint(true)
+    val e = materialize(edges.select("s", "o").distinct())
     var all = e
     var delta = e
     var round = 0
     while (round < (1 << 20)) {
-      val next = delta.as("l").join(e.as("r"), col("l.o") === col("r.s"))
-        .select(col("l.s").as("s"), col("r.o").as("o"))
-        .distinct()
-        .join(all, Seq("s", "o"), "left_anti")
-        .localCheckpoint(true)
+      val next = materialize(
+        delta.as("l").join(e.as("r"), col("l.o") === col("r.s"))
+          .select(col("l.s").as("s"), col("r.o").as("o"))
+          .distinct()
+          .join(all, Seq("s", "o"), "left_anti"))
       if (next.limit(1).count() == 0) return all
-      all = all.union(next).localCheckpoint(true)
+      // re-materialized union: flat plan + fresh ids every round, so the
+      // per-round planning cost stays O(1) at diameter-many rounds
+      all = materialize(all.union(next))
       delta = next
       round += 1
     }

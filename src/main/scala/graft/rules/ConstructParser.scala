@@ -812,7 +812,11 @@ object ConstructParser {
         }
         if (havings.isEmpty) fail("empty HAVING")
       }
-      val orders = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+      // ORDER BY keys: `?v`, `[ASC|DESC](expr)`, `(expr)` — full §17
+      // expressions (incl. aggregates like DESC(COUNT(*)), which ride as
+      // hidden agg columns). Expression keys must reference PROJECTED
+      // vars (SPARQL's order-by-non-projected corner is not modeled).
+      val orders = scala.collection.mutable.ArrayBuffer[(Column, Boolean, Boolean)]()
       skipWs()
       if (kw("ORDER")) {
         skipWs()
@@ -820,16 +824,20 @@ object ConstructParser {
         var m2 = true
         while (m2) {
           skipWs()
-          if (kw("DESC")) {
-            skipWs(); expect('('); skipWs()
-            orders += ((varName(), false))
+          val desc = kw("DESC")
+          val ascKw = !desc && kw("ASC")
+          if (desc || ascKw) {
+            skipWs(); expect('(')
+            val (c, isAgg) = aggExpr()
             skipWs(); expect(')')
-          } else if (kw("ASC")) {
-            skipWs(); expect('('); skipWs()
-            orders += ((varName(), true))
+            orders += ((c, !desc, isAgg))
+          } else if (peek == '?') orders += ((col(varName()), true, false))
+          else if (peek == '(') {
+            i += 1
+            val (c, isAgg) = aggExpr()
             skipWs(); expect(')')
-          } else if (peek == '?') orders += ((varName(), true))
-          else m2 = false
+            orders += ((c, true, isAgg))
+          } else m2 = false
         }
         if (orders.isEmpty) fail("empty ORDER BY")
       }
@@ -883,11 +891,16 @@ object ConstructParser {
             val badPlain = plain.filterNot(keyNames.contains)
             require(badPlain.isEmpty,
               s"non-aggregated SELECT vars $badPlain must appear in GROUP BY")
-            // HAVING aggregate operands ride along as hidden agg columns
+            // HAVING + aggregate ORDER BY operands ride along as hidden
+            // agg columns
             val hidden = havings.zipWithIndex.collect {
               case ((c, true, _, _), k) => c.as("__having" + k)
             }
-            val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq ++ hidden
+            val hiddenOrd = orders.zipWithIndex.collect {
+              case ((c, _, true), k) => c.as("__ord" + k)
+            }
+            val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq ++
+              hidden ++ hiddenOrd
             require(aggs.nonEmpty, "GROUP BY without any aggregate projection")
             // derived (expression) keys materialize as columns first
             val keyed = groupBys.foldLeft(bindings) {
@@ -916,24 +929,71 @@ object ConstructParser {
               case Derived(v, _, _) => col(v)
               case Star => throw new IllegalArgumentException(
                 "* cannot mix with aggregation")
+            } ++ orders.zipWithIndex.collect {
+              case ((_, _, true), k) => col("__ord" + k)
             }: _*)
           }
+        require(orders.forall(o => !o._3 || hasAgg),
+          "aggregate ORDER BY needs GROUP BY or an aggregate projection")
         val deduped = if (distinctRows) projected.distinct() else projected
         val ordered =
           if (orders.isEmpty) deduped
-          else deduped.orderBy(orders.toSeq.map { case (v, asc) =>
-            if (asc) col(v).asc else col(v).desc
-          }: _*)
+          else {
+            // each key materializes as a hidden column (agg keys already
+            // rode through the aggregation), sorted on, then dropped —
+            // the drop is a narrow projection, so ordering survives
+            var df = deduped
+            val sortCols = orders.toSeq.zipWithIndex.map {
+              case ((c, asc, isAgg), k) =>
+                val name = "__ord" + k
+                if (!isAgg) df = df.withColumn(name, c)
+                if (asc) col(name).asc else col(name).desc
+            }
+            df.orderBy(sortCols: _*)
+              .drop(orders.indices.map("__ord" + _).toSeq: _*)
+          }
         val off = offsetN.map(ordered.offset).getOrElse(ordered)
         limitN.map(off.limit).getOrElse(off)
       }
     }
 
-    /** Possibly-aggregating projection expression. Aggregate args use the
-      * column's NATIVE type (no string cast) so SUM/AVG over numeric
-      * binding columns keep their numeric semantics.
+    /** Possibly-aggregating projection expression: arithmetic (`+ - * /`)
+      * over aggregate terms (`SUM(?x) / COUNT(*)`, `MAX(?x) - MIN(?x)`),
+      * single aggregates, or a plain row-level expression. Mixed forms
+      * must LEAD with the aggregate (a leading numeric literal parses as
+      * a plain expression). Aggregate args use the column's NATIVE type
+      * (no string cast) so SUM/AVG over numeric binding columns keep
+      * their numeric semantics; term-typed args aggregate by VALUE.
       */
     private def aggExpr(): (Column, Boolean) = {
+      var (c, isAgg) = aggMulExpr()
+      skipWs()
+      var go = true
+      while (go) {
+        if (peek == '+') {
+          i += 1; val (r, ra) = aggMulExpr(); c = c + r; isAgg ||= ra; skipWs()
+        } else if (peek == '-') {
+          i += 1; val (r, ra) = aggMulExpr(); c = c - r; isAgg ||= ra; skipWs()
+        } else go = false
+      }
+      (c, isAgg)
+    }
+
+    private def aggMulExpr(): (Column, Boolean) = {
+      var (c, isAgg) = aggPrimary()
+      skipWs()
+      var go = true
+      while (go) {
+        if (peek == '*') {
+          i += 1; val (r, ra) = aggPrimary(); c = c * r; isAgg ||= ra; skipWs()
+        } else if (peek == '/') {
+          i += 1; val (r, ra) = aggPrimary(); c = c / r; isAgg ||= ra; skipWs()
+        } else go = false
+      }
+      (c, isAgg)
+    }
+
+    private def aggPrimary(): (Column, Boolean) = {
       skipWs()
       if (kw("COUNT")) {
         skipWs(); expect('('); skipWs()

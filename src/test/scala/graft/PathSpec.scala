@@ -439,6 +439,20 @@ class PathSpec extends AnyFunSuite {
     assert(q2.run(chain).collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("ORDER BY expressions: DESC(expr) and aggregate keys") {
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o WHERE { ?s ex:next ?o . }
+         |ORDER BY DESC(STR(?o)) LIMIT 1""".stripMargin)
+    assert(pairs(q.run(chain)) === Set((t("n3"), t("n4"))))
+    val q2 = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?y . }
+         |GROUP BY ?p ORDER BY DESC(COUNT(*)) ?p LIMIT 1""".stripMargin)
+    val top = q2.run(chain).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq === Seq((t("loop"), 3L))) // 3-way next tie broken by ?p
+  }
+
   test("seminaive closure equals doubling closure on chains and cycles") {
     import org.apache.spark.sql.functions.col
     val edges = chain.where(col("pred") === t("next"))
