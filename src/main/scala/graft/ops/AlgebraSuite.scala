@@ -508,6 +508,18 @@ object AlgebraSuite {
            |ORDER BY ?k""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
     }),
+    "optional_filter_outer" -> ((s, dir) => {
+      // SPARQL §6.1: a FILTER inside OPTIONAL referencing an OUTER var is
+      // part of the LeftJoin condition — non-assistant turns keep their
+      // row with ?tool unbound even when a tool edge exists
+      val q =
+        s"""PREFIX p: <$P>
+           |SELECT ?t ?role ?tool WHERE {
+           |  ?t p:role ?role .
+           |  OPTIONAL { ?t p:tool ?tool . FILTER(?role = "assistant") }
+           |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "select_orderby_expr" -> ((s, dir) => {
       // expression + aggregate ORDER BY keys (hidden agg column ride-along)
       val q =
@@ -947,6 +959,12 @@ object AlgebraSuite {
       s"""$tripCte
          |SELECT substr(obj, 2, 3) AS k, count(*) AS n FROM trip
          |WHERE pred = '<${P}role>' GROUP BY 1""".stripMargin,
+    "optional_filter_outer" ->
+      s"""$tripCte
+         |SELECT r.subj AS t, r.obj AS role, tl.obj AS tool
+         |FROM (SELECT * FROM trip WHERE pred = '<${P}role>') r
+         |LEFT JOIN (SELECT * FROM trip WHERE pred = '<${P}tool>') tl
+         |  ON tl.subj = r.subj AND r.obj = '"assistant"'""".stripMargin,
     "select_orderby_expr" ->
       s"""$tripCte
          |SELECT obj AS role, count(*) AS n FROM trip

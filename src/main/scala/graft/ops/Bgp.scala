@@ -179,6 +179,25 @@ object Bgp {
     mergeSelect(a.join(bb, compatCond(s), "left_outer"), a, bb, s)
   }
 
+  /** OPTIONAL whose FILTER references LEFT-side vars — SPARQL §6.1
+    * LeftJoin(A, B, F): the filter is part of the JOIN CONDITION, so a
+    * left row keeps its bindings (B vars unbound) when no B row passes
+    * both compatibility and F. Name resolution: F is evaluated on the
+    * MERGED frame (all cols present, unambiguous); unmatched left rows
+    * are recovered by a hidden row id (anti-join on matched ids). The id
+    * frame is lazily checkpointed so both branches see identical ids.
+    */
+  def optionalCond(a: DataFrame, b: DataFrame, conds: Seq[Column],
+      compat: Boolean = false): DataFrame = {
+    val withId = a.withColumn("__lj_id", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val joined = if (compat) compatJoin(withId, b) else join(withId, b)
+    val matched = conds.foldLeft(joined)(_ filter _)
+    val unmatched = withId.join(
+      matched.select("__lj_id").distinct(), Seq("__lj_id"), "left_anti")
+    matched.unionByName(unmatched, allowMissingColumns = true).drop("__lj_id")
+  }
+
   /** FILTER [NOT] EXISTS with compatibility semantics (semi/anti on the
     * compat condition — an unbound left var leaves the subpattern free,
     * per the substitution reading of §8.3.3).

@@ -1601,13 +1601,23 @@ object ConstructParser {
           require(acc != null, "OPTIONAL with no preceding pattern")
           require(!containsPropFn(inner),
             "property functions inside OPTIONAL are not supported")
-          val (sub, mn) = compileGroupN(inner, quads, ds)
+          // top-level FILTERs whose references are all bound INSIDE the
+          // group restrict the group; one referencing an OUTER var is
+          // part of the left-join condition (SPARQL §6.1 LeftJoin F)
+          val (filterEls, restEls) = inner.partition(_.isInstanceOf[FilterE])
+          val (subBase, mn) = compileGroupN(restEls, quads, ds)
+          val subCols = subBase.columns.toSet
+          val (innerF, joinF) = filterEls.map(_.asInstanceOf[FilterE].c)
+            .partition(c => refNames(c).subsetOf(subCols))
+          val sub = innerF.foldLeft(subBase)(_ filter _)
           val sharedV = acc.columns.intersect(sub.columns)
           val useCompat = sharedV.exists(v =>
             maybeNull.contains(v) || mn.contains(v))
           maybeNull ++= mn
           maybeNull ++= sub.columns.diff(acc.columns) // OPTIONAL-only vars
-          acc = if (useCompat) Bgp.compatOptional(acc, sub)
+          acc =
+            if (joinF.nonEmpty) Bgp.optionalCond(acc, sub, joinF.toSeq, useCompat)
+            else if (useCompat) Bgp.compatOptional(acc, sub)
             else Bgp.optional(acc, sub)
         case MinusE(inner) =>
           require(acc != null, "MINUS with no preceding pattern")
@@ -1682,6 +1692,10 @@ object ConstructParser {
       require(acc != null, "empty group pattern")
       (conds.foldLeft(acc)(_ filter _), maybeNull.toSet)
     }
+
+    /** Column names a filter expression references (unresolved attrs). */
+    private def refNames(c: Column): Set[String] =
+      org.apache.spark.sql.graft.bridge.referencedNames(c)
 
     /** Pattern-position spec: variables project, constants filter (as
       * canonical term strings, matching the quad table's encoding).

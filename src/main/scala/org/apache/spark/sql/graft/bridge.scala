@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Names a DSL-built Column references. `expression` returns a LAZY
+    * ColumnNodeExpression wrapper (no catalyst children to walk), so this
+    * converts eagerly through the classic ColumnNode converter first.
+    */
+  def referencedNames(c: Column): Set[String] =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.toSet
 }

@@ -439,6 +439,28 @@ class PathSpec extends AnyFunSuite {
     assert(q2.run(chain).collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("OPTIONAL filter referencing an outer var joins conditionally (§6.1)") {
+    // label exists only on n1; the filter references the OUTER ?o, so a
+    // failing condition leaves ?l unbound instead of dropping the row
+    def q(cond: String) = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?o ?l WHERE {
+         |  ?s ex:next ?o .
+         |  OPTIONAL { ?s ex:label ?l . FILTER(?o != <${EX}$cond>) }
+         |}""".stripMargin)
+    def rows(cond: String) = q(cond).run(chain).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    // ?o != n3 : n1's label passes the condition → bound
+    assert(rows("n3") === Set(
+      (t("n1"), t("n2"), t("a")),
+      (t("n2"), t("n3"), null), (t("n3"), t("n4"), null)))
+    // ?o != n2 : condition fails for n1's row → row kept, ?l unbound
+    assert(rows("n2") === Set(
+      (t("n1"), t("n2"), null),
+      (t("n2"), t("n3"), null), (t("n3"), t("n4"), null)))
+  }
+
   test("ORDER BY expressions: DESC(expr) and aggregate keys") {
     val q = ConstructParser.parseSelect(
       s"""PREFIX ex: <$EX>
