@@ -89,7 +89,7 @@ object Bench {
       // log-diameter rounds — the safe choice when the shape is unknown).
       import org.apache.spark.sql.functions._
       val spark = session(cpus)
-      val chainLen = sys.env.getOrElse("SPARK_GRAFT_PATH_CHAIN", "512").toInt
+      val chainLen = sys.env.getOrElse("SPARK_GRAFT_PATH_CHAIN", "256").toInt
       val treeN = sys.env.getOrElse("SPARK_GRAFT_PATH_TREE", "200000").toInt
       val chain = spark.range(chainLen - 1).select(
         concat(lit("n"), col("id")).as("s"),

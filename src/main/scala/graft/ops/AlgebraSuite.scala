@@ -496,6 +496,7 @@ object AlgebraSuite {
           |       (MIN(?k) AS ?min_k) (MAX(?k) AS ?max_k)
           |       (SUM(?k) / COUNT(*) AS ?ratio)
           |       (MIN(?nm) AS ?min_name) (MAX(?nm) AS ?max_name)
+          |       (GROUP_CONCAT(?nm; SEPARATOR="|") AS ?gc_names)
           |WHERE { ?n ex:key ?k . ?n ex:name ?nm . }""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(RdfIO.readTrig(s, path))
     }),
@@ -952,6 +953,7 @@ object AlgebraSuite {
         |       '"' || CAST(MAX(n_nationkey) AS VARCHAR) ||
         |         '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS max_k,
         |       CAST(SUM(n_nationkey) AS DOUBLE) / count(*) AS ratio,
+        |       string_agg(n_name, '|' ORDER BY n_name) AS gc_names,
         |       '"' || MIN(n_name) || '"' AS min_name,
         |       '"' || MAX(n_name) || '"' AS max_name
         |FROM nation""".stripMargin,

@@ -102,8 +102,12 @@ object Script {
       // rewrites over the quad frame: filter + relabel + union — no
       // row-at-a-time copying, the same shape at any scale
       case AddGraphStmt(src, dst) =>
-        if (src != dst) ds = ckpt(ds.unionByName(
-          ds.where(col("graph") === src).withColumn("graph", lit(dst))))
+        // RDF graphs are sets: the rebuilt destination dedupes, so a quad
+        // already present in dst (or a repeated ADD) does not double up
+        if (src != dst) ds = ckpt(ds.where(col("graph") =!= dst).unionByName(
+          ds.where(col("graph") === dst).unionByName(
+            ds.where(col("graph") === src).withColumn("graph", lit(dst)))
+            .distinct()))
       case CopyGraphStmt(src, dst) =>
         if (src != dst) ds = ckpt(ds.where(col("graph") =!= dst).unionByName(
           ds.where(col("graph") === src).withColumn("graph", lit(dst))))

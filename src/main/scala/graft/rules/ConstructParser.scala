@@ -669,15 +669,18 @@ object ConstructParser {
         var all = seeds
         var frontier = seeds
         var rounds = 0
-        while (rounds < 1000 && frontier.limit(1).count() > 0) {
+        var growing = true
+        while (growing) {
+          if (rounds >= 1000) throw new IllegalStateException(
+            "DESCRIBE CBD did not converge in 1000 rounds (bnode chain too deep)")
           val star = quads.join(frontier,
             quads.col("subj") === frontier.col("__resource"), "left_semi")
           frontier = star.where(col("obj").startsWith("_:"))
             .select(col("obj").as("__resource")).distinct()
             .join(all, Seq("__resource"), "left_anti")
             .localCheckpoint(true)
-          if (frontier.limit(1).count() > 0)
-            all = all.union(frontier).localCheckpoint(true)
+          growing = frontier.limit(1).count() > 0
+          if (growing) all = all.union(frontier).localCheckpoint(true)
           rounds += 1
         }
         quads.join(all,
@@ -826,12 +829,26 @@ object ConstructParser {
           skipWs()
           val desc = kw("DESC")
           val ascKw = !desc && kw("ASC")
+          // a plain term-typed var sorts numeric-typed literals by VALUE
+          // (before other terms, which sort lexically) — consistent with
+          // MIN/MAX and SPARQL §15.1's numeric ordering
+          def varKey(v: String): Column =
+            if (sawPattern && bgpVarTerm.getOrElse(v, false)) termOrdKey(col(v))
+            else col(v)
           if (desc || ascKw) {
             skipWs(); expect('(')
-            val (c, isAgg) = aggExpr()
+            skipWs()
+            val save = i
+            val (c, isAgg) =
+              if (peek == '?') {
+                val v = varName()
+                skipWs()
+                if (peek == ')') (varKey(v), false)
+                else { i = save; aggExpr() } // DESC(?v + 1): full expression
+              } else aggExpr()
             skipWs(); expect(')')
             orders += ((c, !desc, isAgg))
-          } else if (peek == '?') orders += ((col(varName()), true, false))
+          } else if (peek == '?') orders += ((varKey(varName()), true, false))
           else if (peek == '(') {
             i += 1
             val (c, isAgg) = aggExpr()
@@ -935,6 +952,11 @@ object ConstructParser {
           }
         require(orders.forall(o => !o._3 || hasAgg),
           "aggregate ORDER BY needs GROUP BY or an aggregate projection")
+        // hidden aggregate sort keys ride inside `projected`, so DISTINCT
+        // would dedup over them and keep projection-identical rows —
+        // reject loudly rather than silently widen the result
+        require(!(distinctRows && orders.exists(_._3)),
+          "SELECT DISTINCT cannot combine with an aggregate ORDER BY key")
         val deduped = if (distinctRows) projected.distinct() else projected
         val ordered =
           if (orders.isEmpty) deduped
@@ -966,34 +988,43 @@ object ConstructParser {
       * their numeric semantics; term-typed args aggregate by VALUE.
       */
     private def aggExpr(): (Column, Boolean) = {
-      var (c, isAgg) = aggMulExpr()
+      var (c, isAgg) = aggMulExpr(first = true)
       skipWs()
       var go = true
       while (go) {
         if (peek == '+') {
-          i += 1; val (r, ra) = aggMulExpr(); c = c + r; isAgg ||= ra; skipWs()
+          i += 1; val (r, ra) = aggMulExpr(first = false)
+          c = c + r; isAgg ||= ra; skipWs()
         } else if (peek == '-') {
-          i += 1; val (r, ra) = aggMulExpr(); c = c - r; isAgg ||= ra; skipWs()
+          i += 1; val (r, ra) = aggMulExpr(first = false)
+          c = c - r; isAgg ||= ra; skipWs()
         } else go = false
       }
       (c, isAgg)
     }
 
-    private def aggMulExpr(): (Column, Boolean) = {
-      var (c, isAgg) = aggPrimary()
+    private def aggMulExpr(first: Boolean): (Column, Boolean) = {
+      var (c, isAgg) = aggPrimary(narrow = !first)
       skipWs()
       var go = true
       while (go) {
         if (peek == '*') {
-          i += 1; val (r, ra) = aggPrimary(); c = c * r; isAgg ||= ra; skipWs()
+          i += 1; val (r, ra) = aggPrimary(narrow = true)
+          c = c * r; isAgg ||= ra; skipWs()
         } else if (peek == '/') {
-          i += 1; val (r, ra) = aggPrimary(); c = c / r; isAgg ||= ra; skipWs()
+          i += 1; val (r, ra) = aggPrimary(narrow = true)
+          c = c / r; isAgg ||= ra; skipWs()
         } else go = false
       }
       (c, isAgg)
     }
 
-    private def aggPrimary(): (Column, Boolean) = {
+    /** `narrow` = this primary is a RIGHT operand of the aggregate-level
+      * arithmetic, so the plain-expression fallback must stop at unary
+      * level (a full expr() would greedily swallow the additive tail and
+      * break precedence: SUM(?k) * 2 + 1 must not become SUM(?k) * 3).
+      */
+    private def aggPrimary(narrow: Boolean): (Column, Boolean) = {
       skipWs()
       if (kw("COUNT")) {
         skipWs(); expect('('); skipWs()
@@ -1031,7 +1062,10 @@ object ConstructParser {
       } else if (kw("GROUP_CONCAT")) {
         skipWs(); expect('('); skipWs()
         val dist = kw("DISTINCT")
-        val a = { skipWs(); expr().c.cast("string") }
+        // term-typed args concatenate their STR lexical forms (§18.5.1.7
+        // applies the string value), not the full N-Triples term
+        val a = { skipWs(); val e = expr()
+          (if (e.term) raw(e) else e.c).cast("string") }
         skipWs()
         var sep = " " // SPARQL default separator
         if (peek == ';') {
@@ -1053,7 +1087,7 @@ object ConstructParser {
         skipWs(); expect(')')
         (round(inner, d), isAgg)
       } else {
-        val e = expr()
+        val e = if (narrow) unary() else expr()
         (e.c, false)
       }
     }
@@ -1517,6 +1551,14 @@ object ConstructParser {
       * in the result — OPTIONAL-only vars, vars missing from a UNION
       * branch, UNDEF VALUES cells. MINUS needs this to decide between the
       * scale-fast equi anti-join and full §8.3 compatibility semantics.
+      *
+      * Bounded reduction: vars projected out of a `{ SELECT … }` subquery
+      * and BIND-introduced vars are NOT tracked as maybe-unbound (a BIND
+      * whose expression errors yields NULL, and a subquery may project an
+      * OPTIONAL-only var). Marking every BIND/subquery var nullable would
+      * flip common hot joins to the nested-loop compatibility path, so
+      * the equi path is kept there; a NULL in such a shared var drops the
+      * row in a later join instead of merging per §8.3.
       */
     private def compileGroupN(els: Seq[WhereEl], quads: DataFrame,
         ds: DatasetClause = NoDataset,
@@ -1607,8 +1649,16 @@ object ConstructParser {
           val (filterEls, restEls) = inner.partition(_.isInstanceOf[FilterE])
           val (subBase, mn) = compileGroupN(restEls, quads, ds)
           val subCols = subBase.columns.toSet
+          // a filter ALSO routes to the join condition when it touches a
+          // var that can be NULL inside the group but is bound outside:
+          // §6.1 evaluates F on the MERGED solution, where that var takes
+          // the outer binding
+          val outerBacked = mn.intersect(acc.columns.toSet)
           val (innerF, joinF) = filterEls.map(_.asInstanceOf[FilterE].c)
-            .partition(c => refNames(c).subsetOf(subCols))
+            .partition { c =>
+              val refs = refNames(c)
+              refs.subsetOf(subCols) && refs.intersect(outerBacked).isEmpty
+            }
           val sub = innerF.foldLeft(subBase)(_ filter _)
           val sharedV = acc.columns.intersect(sub.columns)
           val useCompat = sharedV.exists(v =>
@@ -1906,9 +1956,20 @@ object ConstructParser {
       require(a.isEmpty, s"$fn() takes no arguments")
     }
 
-    private def randSeed(fn: String): Long = ctx.seed.getOrElse(fail(
-      s"$fn() needs an injected seed: pass EvalCtx(seed = Some(...)) " +
-        "so plans stay deterministic and resumable"))
+    /** Parse-scoped call-site counter: two RAND()/UUID() calls in one
+      * query must be independent per row, while the same query text must
+      * reproduce identical values run-to-run (so NOT the JVM-global
+      * BNODE counter).
+      */
+    private var ndSite = 0
+
+    private def randSeed(fn: String): Long = {
+      val base = ctx.seed.getOrElse(fail(
+        s"$fn() needs an injected seed: pass EvalCtx(seed = Some(...)) " +
+          "so plans stay deterministic and resumable"))
+      ndSite += 1
+      base + ndSite.toLong * 0x9E3779B97F4A7C15L
+    }
 
     /** Deterministic v4-shaped UUID text per row: two seeded 64-bit
       * hashes over the row id, hex-formatted 8-4-4-4-12.

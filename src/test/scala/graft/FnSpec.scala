@@ -337,22 +337,30 @@ class FnSpec extends AnyFunSuite {
     }
     val ctx = EvalCtx(now = Some("2026-02-03T04:05:06Z"), seed = Some(42L))
     def runQ() = ConstructParser.parseSelect(
-      """SELECT ?k ?n ?r ?u ?su WHERE {
+      """SELECT ?k ?n ?r ?u ?su ?u2 WHERE {
         |  BIND(STR(NOW()) AS ?n)
         |  BIND(RAND() AS ?r)
         |  BIND(UUID() AS ?u)
         |  BIND(STRUUID() AS ?su)
+        |  BIND(UUID() AS ?u2)
         |}""".stripMargin, ctx).run(data.repartition(1)).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
-          r.getString(3), r.getString(4))).sortBy(_._1)
+          r.getString(3), r.getString(4), r.getString(5))).sortBy(_._1)
     val a = runQ(); val b = runQ()
     assert(a === b) // same seed → identical rows across runs
-    assert(a.forall { case (_, n, r, u, su) =>
+    assert(a.forall { case (_, n, r, u, su, u2) =>
       n == "2026-02-03T04:05:06Z" && r >= 0.0 && r < 1.0 &&
         u.startsWith("<urn:uuid:") &&
-        su.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")
+        su.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}") &&
+        u != u2 // independent per CALL SITE, not just per row
     })
     // distinct per row
     assert(a.map(_._4).distinct.length === a.length)
+  }
+
+  test("aggregate arithmetic keeps precedence: SUM(?k) * 2 + 1") {
+    val got = rows(
+      "SELECT (SUM(?k) * 2 + 1 AS ?v) WHERE { FILTER(?k > 0) }", data)
+    assert(got.length === 1 && got(0).getLong(0) === 643L) // (1+20+300)*2+1
   }
 }

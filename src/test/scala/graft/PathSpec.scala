@@ -475,6 +475,20 @@ class PathSpec extends AnyFunSuite {
     assert(top.toSeq === Seq((t("loop"), 3L))) // 3-way next tie broken by ?p
   }
 
+  test("ORDER BY over numeric-typed literal terms sorts by value") {
+    import spark.implicits._
+    val xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    val data = Seq(
+      ("<s1>", "<" + EX + "n>", "\"9\"^^<" + xsd + ">"),
+      ("<s2>", "<" + EX + "n>", "\"10\"^^<" + xsd + ">"))
+      .toDF("subj", "pred", "obj")
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?v WHERE { ?s ex:n ?v . } ORDER BY ?v LIMIT 1""".stripMargin)
+    // lexical ordering would put "10" first; value ordering puts 9 first
+    assert(q.run(data).collect().map(_.getString(0)).toSeq === Seq("<s1>"))
+  }
+
   test("seminaive closure equals doubling closure on chains and cycles") {
     import org.apache.spark.sql.functions.col
     val edges = chain.where(col("pred") === t("next"))
