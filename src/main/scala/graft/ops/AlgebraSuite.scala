@@ -601,6 +601,16 @@ object AlgebraSuite {
       RdfIO.writeTrigFixture(s, dir, path)
       RdfIO.probe(s, path)
     }),
+    "stream_dedup_quads" -> ((s, dir) => {
+      // streaming exact dedup (append mode, each distinct quad once);
+      // the transcript quads contain no duplicates, so distinct = all —
+      // the dedup fixture doubles the stream by writing two copies
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_stream2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val t = trip(s, dir)
+      RdfIO.writeNQuads(t.union(t), path)
+      graft.streaming.StreamOps.runDedupQuads(s, path)
+    }),
     "stream_nquads_window" -> ((s, dir) => {
       // Structured Streaming end to end: N-Quads file stream → event-time
       // window aggregation → memory sink, bounded via AvailableNow; the
@@ -1020,6 +1030,9 @@ object AlgebraSuite {
          |WHERE graph = '<http://example.org/g3>'
          |  AND pred = '<http://example.org/comment>'""".stripMargin,
     "ngs_probe" -> "SELECT 'trig' AS syntax, 'none' AS compression",
+    "stream_dedup_quads" ->
+      s"""$tripCte
+         |SELECT DISTINCT graph, subj, pred, obj FROM trip""".stripMargin,
     "stream_nquads_window" ->
       s"""WITH ${Transcripts.oracleCte}
          |SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,

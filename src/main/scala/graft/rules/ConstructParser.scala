@@ -2090,9 +2090,12 @@ object ConstructParser {
           def side(x: E) = if (anyTerm) termCol(x) else x.c
           E(when(a.head.c, side(a(1))).otherwise(side(a(2))), anyTerm)
         case _ if kw("LANGMATCHES") =>
+          // RFC 4647 basic filtering: range "en" matches "en" AND "en-US"
           val (t1, r1) = arg2()
+          val t = lower(raw(t1)); val r = lower(raw(r1))
           E(when(raw(r1) === "*", raw(t1) =!= "")
-            .otherwise(lower(raw(t1)) === lower(raw(r1))), term = false)
+            .otherwise(t === r || t.startsWith(concat(r, lit("-")))),
+            term = false)
         case _ if kw("LANG") =>
           E(regexp_extract(termCol(arg1()), "@([A-Za-z0-9-]+)$", 1), term = false)
         case _ if kw("DATATYPE") =>

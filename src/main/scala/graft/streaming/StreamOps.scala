@@ -79,6 +79,28 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` over the quad key on a
+    * bounded N-Quads stream (append mode — each distinct quad emits
+    * exactly once; on an unbounded stream pair it with a watermark via
+    * `dropDuplicatesWithinWatermark` to bound state). Batch twin:
+    * `SELECT DISTINCT` over the same quads.
+    */
+  def runDedupQuads(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val name = "graft_stream_dedup_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val q = readNQuadsStream(spark, dir)
+      .dropDuplicates("graph", "subj", "pred", "obj")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Custom running state (SURVEY §2.9 / the reference's per-record
     * accumulation): running turn count per conversation, emitted on every
     * update — `flatMapGroupsWithState` keeps one Long per key, so state

@@ -358,6 +358,22 @@ class FnSpec extends AnyFunSuite {
     assert(a.map(_._4).distinct.length === a.length)
   }
 
+  test("LANGMATCHES basic filtering: range matches subtags (RFC 4647)") {
+    val got = rows(
+      """SELECT ?k ?en ?enExact ?star ?de WHERE {
+        |  BIND(STRLANG(?name, "en-US") AS ?l)
+        |  BIND(LANGMATCHES(LANG(?l), "en") AS ?en)
+        |  BIND(LANGMATCHES(LANG(?l), "en-US") AS ?enExact)
+        |  BIND(LANGMATCHES(LANG(?l), "*") AS ?star)
+        |  BIND(LANGMATCHES(LANG(?l), "de") AS ?de)
+        |  FILTER(?k = 1)
+        |}""".stripMargin, data)
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) &&
+      !r.getBoolean(4))
+  }
+
   test("aggregate arithmetic keeps precedence: SUM(?k) * 2 + 1") {
     val got = rows(
       "SELECT (SUM(?k) * 2 + 1 AS ?v) WHERE { FILTER(?k > 0) }", data)
