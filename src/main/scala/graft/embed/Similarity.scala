@@ -61,6 +61,83 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Deterministic coarse quantizer for [[ivfTopK]]: Lloyd's iterations
+    * with init = the `nCells` lowest `vec_id` vectors. Centroids live on
+    * the driver (nCells × dim doubles — bounded by construction: the
+    * quantizer is COARSE; cell contents never leave the cluster). Each
+    * iteration is one argmax-assign projection + one per-dimension mean
+    * aggregation (posexplode → groupBy(cell, pos) → avg).
+    */
+  private[graft] def trainCentroids(base: DataFrame, nCells: Int,
+      iters: Int): IndexedSeq[Seq[Double]] = {
+    var centroids: IndexedSeq[Seq[Double]] = base.orderBy("vec_id")
+      .limit(nCells).collect().map(_.getSeq[Double](1)).toIndexedSeq
+    (0 until iters).foreach { _ =>
+      val assigned = base.withColumn("cell", nearestCell(col("v"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dim = centroids.head.size
+      centroids = centroids.indices.map { c =>
+        // a cell that lost every vector keeps its previous centroid
+        if (!means.contains((c, 0))) centroids(c)
+        else (0 until dim).map(p => means((c, p)))
+      }
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (ties → higher cell id; array_max
+    * over structs orders by (sim, cell)).
+    */
+  private def nearestCell(v: Column, centroids: IndexedSeq[Seq[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (cent, c) =>
+      struct(cosine(v, typedLit(cent)).as("s"), lit(c).as("c"))
+    }: _*)).getField("c")
+
+  /** Top-`nProbe` cells for a probe vector, as an array of cell ids. */
+  private def probeCells(v: Column, centroids: IndexedSeq[Seq[Double]],
+      nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centroids.zipWithIndex.map {
+        case (cent, c) =>
+          struct(cosine(v, typedLit(cent)).as("s"), lit(c).as("c"))
+      }: _*))), 1, nProbe),
+      s => s.getField("c"))
+
+  /** IVF (inverted-file) ANN: the SECOND scale path next to LSH. A
+    * coarse k-means quantizer assigns every vector to one cell; a probe
+    * searches only its `nProbe` nearest cells, so the scan shrinks to
+    * candidates-in-probed-cells via a plain equi-join on the cell id —
+    * at 100 TB the index build is one pass (plus `iters` cheap training
+    * sweeps) and queries touch nProbe/nCells of the data. Recall vs the
+    * exact baseline is measured in TrainingSpec (≥0.9 asserted at
+    * 16 cells / 4 probes on the sandbox corpus). Hash-free but
+    * data-dependent (centroids), so the driver entry is rows-only like
+    * the LSH path.
+    */
+  def ivfTopK(embeddings: DataFrame, probeFilter: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v")).localCheckpoint(false)
+    val centroids = trainCentroids(base, nCells, iters)
+    val indexed = base.withColumn("cell", nearestCell(col("v"), centroids))
+    val probes = base.filter(probeFilter)
+      .withColumn("cell",
+        explode(probeCells(col("v"), centroids, nProbe)))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cell"))
+    val scored = indexed.join(broadcast(probes),
+        Seq("cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k with multi-table (band-OR) LSH: `tables` independent
     * hyperplane sets each bucket every vector; candidates = vectors
     * sharing ANY table's bucket with the probe (deduplicated), then exact

@@ -66,6 +66,10 @@ object TrainingSuite {
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     "embed_ann" -> ((s, dir) =>
       Similarity.annTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // data-dependent centroids (not ANSI-SQL-reproducible) => rows-only;
+    // recall vs the exact baseline asserted in TrainingSpec
+    "embed_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     "mm_meta" -> ((s, dir) =>
       Binary.metadata(Binary.withPayload(documents(s, dir)))),
     "mm_frames" -> ((s, dir) =>

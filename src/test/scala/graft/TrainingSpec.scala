@@ -141,6 +141,39 @@ class TrainingSpec extends AnyFunSuite {
       "band-OR tables must not lower recall vs a single table")
   }
 
+  test("ivf recall@10 vs brute force >= 0.9; probing more cells helps") {
+    // same regime split as the LSH test: near-orthogonal natural vectors
+    // scatter over cells (recall reported as context); the ASSERTED
+    // recall uses planted near-duplicate neighbors (cosine ≈ 0.97 —
+    // real embedding clusters), which a working quantizer must co-cell
+    import org.apache.spark.sql.Column
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val probeF = col("vec_id") < 20
+    val unit = (j: Column, i: Column, id: Column) =>
+      (pmod(xxhash64(j, i, id), lit(2001L)) - 1000L) / 1000.0
+    val planted = emb.filter(probeF)
+      .crossJoin(spark.range(10).select($"id".as("j")))
+      .select(($"vec_id" * 10 + $"j" + 100000L).as("vec_id"),
+        zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+          (x, i) => (x * (lit(1.0) + lit(0.2) * unit($"j", i, $"vec_id")))
+            .cast("float")).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(planted)
+    def recall(c: org.apache.spark.sql.DataFrame, nProbe: Int): Double = {
+      val truth = Similarity.bruteForceTopK(c, probeF, 10)
+        .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+      val got = Similarity.ivfTopK(c, probeF, 10, nCells = 16,
+        nProbe = nProbe).select($"probe_id", $"vec_id")
+        .as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(corpus, 1); val r4 = recall(corpus, 4)
+    info(f"ivf(16 cells) planted recall@10: nProbe=1 -> $r1%.3f, nProbe=4 -> $r4%.3f")
+    val natural = recall(emb, 4)
+    info(f"ivf(16 cells) natural recall@10 at nProbe=4: $natural%.3f (context)")
+    assert(r4 >= 0.9, f"ivf planted recall@10 $r4%.3f < 0.9 at nProbe=4")
+    assert(r4 >= r1, "probing more cells must not lower recall")
+  }
+
   test("embedding-cosine LSH dedup: precision 1.0, recall >= 0.9 on near-dups") {
     import org.apache.spark.sql.Column
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
