@@ -72,6 +72,7 @@ object Similarity {
       iters: Int): IndexedSeq[Seq[Double]] = {
     var centroids: IndexedSeq[Seq[Double]] = base.orderBy("vec_id")
       .limit(nCells).collect().map(_.getSeq[Double](1)).toIndexedSeq
+    if (centroids.isEmpty) return centroids // empty corpus: no quantizer
     (0 until iters).foreach { _ =>
       val assigned = base.withColumn("cell", nearestCell(col("v"), centroids))
       val means = assigned
@@ -88,22 +89,25 @@ object Similarity {
     centroids
   }
 
+  /** (cosine, cell-id) struct per centroid — the single scoring
+    * expression both assignment and probing derive from, so they can
+    * never silently diverge.
+    */
+  private def cellScores(v: Column, centroids: IndexedSeq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (cent, c) =>
+      struct(cosine(v, typedLit(cent)).as("s"), lit(c).as("c"))
+    }: _*)
+
   /** Index of the max-cosine centroid (ties → higher cell id; array_max
     * over structs orders by (sim, cell)).
     */
   private def nearestCell(v: Column, centroids: IndexedSeq[Seq[Double]]): Column =
-    array_max(array(centroids.zipWithIndex.map { case (cent, c) =>
-      struct(cosine(v, typedLit(cent)).as("s"), lit(c).as("c"))
-    }: _*)).getField("c")
+    array_max(cellScores(v, centroids)).getField("c")
 
   /** Top-`nProbe` cells for a probe vector, as an array of cell ids. */
   private def probeCells(v: Column, centroids: IndexedSeq[Seq[Double]],
       nProbe: Int): Column =
-    transform(
-      slice(reverse(array_sort(array(centroids.zipWithIndex.map {
-        case (cent, c) =>
-          struct(cosine(v, typedLit(cent)).as("s"), lit(c).as("c"))
-      }: _*))), 1, nProbe),
+    transform(slice(reverse(array_sort(cellScores(v, centroids))), 1, nProbe),
       s => s.getField("c"))
 
   /** IVF (inverted-file) ANN: the SECOND scale path next to LSH. A
@@ -122,6 +126,9 @@ object Similarity {
     val base = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v")).localCheckpoint(false)
     val centroids = trainCentroids(base, nCells, iters)
+    if (centroids.isEmpty) // empty corpus: empty result, like the baseline
+      return base.select(col("vec_id").as("probe_id"), col("vec_id"),
+        lit(0.0d).as("sim"), lit(0).as("rank")).where(lit(false))
     val indexed = base.withColumn("cell", nearestCell(col("v"), centroids))
     val probes = base.filter(probeFilter)
       .withColumn("cell",

@@ -1062,10 +1062,7 @@ object ConstructParser {
       } else if (kw("GROUP_CONCAT")) {
         skipWs(); expect('('); skipWs()
         val dist = kw("DISTINCT")
-        // term-typed args concatenate their STR lexical forms (§18.5.1.7
-        // applies the string value), not the full N-Triples term
-        val a = { skipWs(); val e = expr()
-          (if (e.term) raw(e) else e.c).cast("string") }
+        val e = { skipWs(); expr() }
         skipWs()
         var sep = " " // SPARQL default separator
         if (peek == ';') {
@@ -1075,9 +1072,14 @@ object ConstructParser {
           sep = stringLit()
         }
         skipWs(); expect(')')
-        val lst = if (dist) collect_set(a) else collect_list(a)
+        // DISTINCT applies to the solution TERMS (§18.5.1.7: Distinct
+        // precedes the string conversion — "a" and "a"@en stay two
+        // elements), then term args concatenate their STR lexical forms;
         // sorted for determinism (SPARQL leaves concat order unspecified)
-        (array_join(sort_array(lst), sep), true)
+        val a = e.c.cast("string")
+        val lst = sort_array(if (dist) collect_set(a) else collect_list(a))
+        val strs = if (e.term) transform(lst, rawTermCol(_)) else lst
+        (array_join(strs, sep), true)
       } else if (kw("ROUND")) {
         skipWs(); expect('(')
         val (inner, isAgg) = aggExpr()
@@ -1086,8 +1088,13 @@ object ConstructParser {
         val d = number().toInt
         skipWs(); expect(')')
         (round(inner, d), isAgg)
+      } else if (narrow) {
+        // right operand of aggregate arithmetic: numeric by construction,
+        // so coerce term/raw values to their numeric form here (unary()
+        // alone would feed a raw N-Triples term string into `*`/`+`)
+        (numC(unary()), false)
       } else {
-        val e = if (narrow) unary() else expr()
+        val e = expr()
         (e.c, false)
       }
     }
@@ -2246,14 +2253,16 @@ object ConstructParser {
       * the machine-generated terms this engine produces).
       */
     private def raw(e: E): Column =
-      if (!e.term) e.c.cast("string")
-      else {
-        val c = e.c.cast("string")
-        when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
-          .when(c.startsWith("\""),
-            regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
-          .otherwise(c)
-      }
+      if (!e.term) e.c.cast("string") else rawTermCol(e.c)
+
+    /** STR() of a term-valued column (usable inside array lambdas too). */
+    private def rawTermCol(c0: Column): Column = {
+      val c = c0.cast("string")
+      when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
+        .when(c.startsWith("\""),
+          regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
+        .otherwise(c)
+    }
 
     private def argList(): Seq[E] = {
       skipWs(); expect('(')

@@ -58,20 +58,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
 
-  /** Run [[tsWindowCounts]] over an N-Quads directory as a BOUNDED stream
-    * (`Trigger.AvailableNow` drains all available files then stops) into
-    * a memory sink, returning the final result table — the
-    * CORRECTNESS-gate entry for the streaming path (§2.9): same oracle
-    * SQL as the batch twin.
+  /** Drain a BOUNDED stream (`Trigger.AvailableNow`: all available input,
+    * then stop) into a memory sink and return the result table — the
+    * shared scaffolding of every CORRECTNESS-gate streaming entry.
     */
-  def runTsWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+  private def runToMemorySink(df: DataFrame, prefix: String, dir: String,
+      mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-ckpt").toString
-    val name = "graft_stream_win_" +
+    val name = prefix +
       java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val q = tsWindowCounts(readNQuadsStream(spark, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete) // complete: bounded input, all windows
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -79,27 +78,24 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** [[tsWindowCounts]] over an N-Quads directory as a bounded stream —
+    * complete mode emits every window; same oracle SQL as the batch twin.
+    */
+  def runTsWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(tsWindowCounts(readNQuadsStream(spark, dir)),
+      "graft_stream_win_", dir, OutputMode.Complete)
+
   /** Streaming exact dedup: `dropDuplicates` over the quad key on a
     * bounded N-Quads stream (append mode — each distinct quad emits
     * exactly once; on an unbounded stream pair it with a watermark via
     * `dropDuplicatesWithinWatermark` to bound state). Batch twin:
     * `SELECT DISTINCT` over the same quads.
     */
-  def runDedupQuads(spark: SparkSession, dir: String): DataFrame = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
-    val name = "graft_stream_dedup_" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val q = readNQuadsStream(spark, dir)
-      .dropDuplicates("graph", "subj", "pred", "obj")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runDedupQuads(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(
+      readNQuadsStream(spark, dir)
+        .dropDuplicates("graph", "subj", "pred", "obj"),
+      "graft_stream_dedup_", dir, OutputMode.Append)
 
   /** Custom running state (SURVEY §2.9 / the reference's per-record
     * accumulation): running turn count per conversation, emitted on every

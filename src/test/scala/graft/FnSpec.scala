@@ -377,6 +377,7 @@ class FnSpec extends AnyFunSuite {
   test("aggregate arithmetic keeps precedence: SUM(?k) * 2 + 1") {
     val got = rows(
       "SELECT (SUM(?k) * 2 + 1 AS ?v) WHERE { FILTER(?k > 0) }", data)
-    assert(got.length === 1 && got(0).getLong(0) === 643L) // (1+20+300)*2+1
+    assert(got.length === 1 &&
+      got(0).getDouble(0) === 643.0) // (1+20+300)*2+1, numeric coercion
   }
 }
