@@ -896,12 +896,34 @@ object ConstructParser {
         val projected =
           if (!hasAgg) {
             if (items.toSeq == Seq(Star)) bindings
-            else bindings.select(items.toSeq.map {
-              case PlainVar(v) => col(v)
-              case Derived(v, c, _) => c.as(v)
-              case Star => throw new IllegalArgumentException(
-                "* cannot mix with named projections")
-            }: _*)
+            else {
+              // ORDER BY keys evaluate against the FULL binding frame
+              // (SPARQL sorts solutions BEFORE projection, so sorting by
+              // a non-projected var is legal) and ride through as hidden
+              // columns — except under DISTINCT, where a hidden key
+              // would widen the dedup (there the keys must be projected)
+              // a key referencing a DERIVED projection alias must wait
+              // for the projection; everything else computes early
+              val derivedNames =
+                items.collect { case Derived(v, _, _) => v }.toSet
+              val early = orders.toSeq.zipWithIndex.collect {
+                case ((c, _, false), k)
+                    if !distinctRows &&
+                      refNames(c).intersect(derivedNames).isEmpty => k
+              }.toSet
+              val preOrd = orders.toSeq.zipWithIndex.foldLeft(bindings) {
+                case (df, ((c, _, _), k)) if early(k) =>
+                  df.withColumn("__ord" + k, c)
+                case (df, _) => df
+              }
+              val ordCols = orders.indices.filter(early).map(k => col("__ord" + k))
+              preOrd.select(items.toSeq.map {
+                case PlainVar(v) => col(v)
+                case Derived(v, c, _) => c.as(v)
+                case Star => throw new IllegalArgumentException(
+                  "* cannot mix with named projections")
+              } ++ ordCols: _*)
+            }
           } else {
             val keyNames = groupBys.map(_._1).toSeq
             val plain = items.collect { case PlainVar(v) => v }
@@ -961,14 +983,15 @@ object ConstructParser {
         val ordered =
           if (orders.isEmpty) deduped
           else {
-            // each key materializes as a hidden column (agg keys already
-            // rode through the aggregation), sorted on, then dropped —
-            // the drop is a narrow projection, so ordering survives
+            // each key materializes as a hidden column (agg keys and
+            // non-agg pre-projection keys already ride in the frame),
+            // sorted on, then dropped — the drop is a narrow projection,
+            // so ordering survives
             var df = deduped
             val sortCols = orders.toSeq.zipWithIndex.map {
-              case ((c, asc, isAgg), k) =>
+              case ((c, asc, _), k) =>
                 val name = "__ord" + k
-                if (!isAgg) df = df.withColumn(name, c)
+                if (!df.columns.contains(name)) df = df.withColumn(name, c)
                 if (asc) col(name).asc else col(name).desc
             }
             df.orderBy(sortCols: _*)

@@ -461,6 +461,22 @@ class PathSpec extends AnyFunSuite {
       (t("n2"), t("n3"), null), (t("n3"), t("n4"), null)))
   }
 
+  test("ORDER BY a non-projected var sorts solutions before projection") {
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE { ?s ex:next ?o . }
+         |ORDER BY DESC(?o) LIMIT 1""".stripMargin)
+    // ?o is not projected; the highest object is n4, whose subject is n3
+    assert(q.run(chain).collect().map(_.getString(0)).toSeq === Seq(t("n3")))
+    // ...and a key on a derived projection alias still resolves (late)
+    val q2 = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT (STR(?s) AS ?str) WHERE { ?s ex:next ?o . }
+         |ORDER BY DESC(?str) LIMIT 1""".stripMargin)
+    assert(q2.run(chain).collect().map(_.getString(0)).toSeq ===
+      Seq(EX + "n3"))
+  }
+
   test("ORDER BY expressions: DESC(expr) and aggregate keys") {
     val q = ConstructParser.parseSelect(
       s"""PREFIX ex: <$EX>
@@ -473,6 +489,25 @@ class PathSpec extends AnyFunSuite {
          |GROUP BY ?p ORDER BY DESC(COUNT(*)) ?p LIMIT 1""".stripMargin)
     val top = q2.run(chain).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(top.toSeq === Seq((t("loop"), 3L))) // 3-way next tie broken by ?p
+  }
+
+  test("VALUES-bound cell flowing into OPTIONAL keeps LeftJoin semantics") {
+    // row binds ?l = <b> BEFORE the OPTIONAL; n1's actual label is <a>,
+    // so the optional pattern has no COMPATIBLE row — per LeftJoin the
+    // row survives WITH ?l = <b> (an equi path would either drop it or
+    // rebind ?l)
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?l WHERE {
+         |  ?s ex:next ?o .
+         |  VALUES (?s ?l) { (<${EX}n1> <${EX}b>) (<${EX}n2> UNDEF) }
+         |  OPTIONAL { ?s ex:label ?l . }
+         |}""".stripMargin)
+    val got = q.run(chain).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    // n1 keeps its VALUES binding <b>; n2 has no label → ?l unbound
+    assert(got === Set((t("n1"), t("b")), (t("n2"), null)))
   }
 
   test("ORDER BY over numeric-typed literal terms sorts by value") {
