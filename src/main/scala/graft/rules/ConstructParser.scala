@@ -275,6 +275,10 @@ object ConstructParser {
       * subquery's visible variables.
       */
     private var lastProjection: Seq[(String, Boolean)] = Nil
+    /** Projected plain vars of the most recent [[selectQuery]] parse that
+      * may be UNBOUND ([[staticNulls]] of its group).
+      */
+    private var lastProjectionNulls: Set[String] = Set.empty
     // object vars bound by property functions before BGP mode flips
     private val propFnVars = scala.collection.mutable.ArrayBuffer[String]()
     // the enclosing query's dataset clause: subqueries inherit it when
@@ -874,6 +878,10 @@ object ConstructParser {
 
       val bgp = sawPattern
       val pipeline = !bgp && containsPropFn(els)
+      lastProjectionNulls = {
+        val m = staticNulls(els)._2
+        items.toSeq.collect { case PlainVar(v) if m.contains(v) => v }.toSet
+      }
       lastProjection = items.toSeq.map {
         case PlainVar(v) => (v, bgpVarTerm.getOrElse(v, true))
         case Derived(v, _, _) => (v, false)
@@ -1342,8 +1350,12 @@ object ConstructParser {
     private case class ValuesE(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends WhereEl
     /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
       * are visible, so the compiled frame joins like any pattern.
+      * `nulls` = projected vars that may be UNBOUND (computed statically
+      * from the subquery's element tree at parse time), so the enclosing
+      * group picks compatibility joins for them.
       */
-    private case class SubSelectE(q: ParsedSelect) extends WhereEl
+    private case class SubSelectE(q: ParsedSelect,
+        nulls: Set[String]) extends WhereEl
     /** `?json json:unnest ?item` — property function (the reference's
       * magic-predicate extension mechanism, docs/sparql-extensions):
       * explodes a JSON-array value into one solution per element, the
@@ -1443,6 +1455,7 @@ object ConstructParser {
           val savedDs = dsCtx
           val sub = selectQuery(expectEnd = false)
           val proj = lastProjection
+          val projNulls = lastProjectionNulls
           skipWs(); expect('}')
           binds = savedBinds
           filters = savedFilters
@@ -1457,7 +1470,9 @@ object ConstructParser {
             binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
           }
           proj.foreach { case (v, t) => bgpVarTerm(v) = t }
-          out += SubSelectE(sub)
+          out += SubSelectE(sub, proj.collect {
+            case (v, _) if projNulls.contains(v) => v
+          }.toSet)
         } else if (peek == '{') {
           val first = groupBlock(graphCtx)
           skipWs()
@@ -1517,6 +1532,50 @@ object ConstructParser {
       case _: PropFnE => "a property function"
       case _: BindE => "BIND"
       case _: FilterE => "FILTER"
+    }
+
+    /** Static (parse-time) binding analysis of a group: (bound vars,
+      * maybe-unbound vars). Mirrors [[compileGroupN]]'s dynamic tracking
+      * — OPTIONAL-only vars, UNION branch asymmetry, UNDEF VALUES cells,
+      * nested subquery nulls — so a subquery's nullability is known
+      * BEFORE it compiles.
+      */
+    private def staticNulls(els: Seq[WhereEl]): (Set[String], Set[String]) = {
+      var bound = Set.empty[String]
+      var maybe = Set.empty[String]
+      def tokVar(t: Tok): Option[String] =
+        t match { case VarT(v) => Some(v); case _ => None }
+      def patVars(e: WhereEl): Set[String] = e match {
+        case TpE(g, a, b, c) =>
+          (Seq(a, b, c).flatMap(tokVar) ++ g.flatMap(tokVar)).toSet
+        case _ => Set.empty
+      }
+      els.foreach {
+        case tp: TpE => bound ++= patVars(tp)
+        case BindE(v, _) => bound += v
+        case _: FilterE => ()
+        case GroupE(inner) =>
+          val (b, m) = staticNulls(inner); bound ++= b; maybe ++= m
+        case UnionE(gs) =>
+          val parts = gs.map(staticNulls)
+          val all = parts.map(_._1).reduce(_ union _)
+          val common = parts.map(_._1).reduce(_ intersect _)
+          bound ++= all
+          maybe ++= parts.flatMap(_._2).toSet ++ (all diff common)
+        case OptionalE(inner) =>
+          val (b, m) = staticNulls(inner)
+          maybe ++= m ++ (b diff bound)
+          bound ++= b
+        case _: MinusE | _: ExistsE => () // no new bindings
+        case ValuesE(vars, rows) =>
+          bound ++= vars
+          maybe ++= vars.zipWithIndex.collect {
+            case (v, k) if rows.exists(_(k).isEmpty) => v
+          }
+        case SubSelectE(_, nulls) => maybe ++= nulls
+        case PropFnE(_, _, ov) => bound += ov
+      }
+      (bound, maybe)
     }
 
     /** Does the element tree contain a property-function pattern? */
@@ -1582,13 +1641,13 @@ object ConstructParser {
       * branch, UNDEF VALUES cells. MINUS needs this to decide between the
       * scale-fast equi anti-join and full §8.3 compatibility semantics.
       *
-      * Bounded reduction: vars projected out of a `{ SELECT … }` subquery
-      * and BIND-introduced vars are NOT tracked as maybe-unbound (a BIND
-      * whose expression errors yields NULL, and a subquery may project an
-      * OPTIONAL-only var). Marking every BIND/subquery var nullable would
-      * flip common hot joins to the nested-loop compatibility path, so
-      * the equi path is kept there; a NULL in such a shared var drops the
-      * row in a later join instead of merging per §8.3.
+      * Subquery-projected vars carry their own statically-computed null
+      * set ([[staticNulls]]). Bounded reduction: BIND-introduced vars are
+      * NOT tracked as maybe-unbound (a BIND whose expression errors
+      * yields NULL); marking every BIND var nullable would flip common
+      * hot joins to the nested-loop compatibility path, so the equi path
+      * is kept there — a NULL in such a shared var drops the row in a
+      * later join instead of merging per §8.3.
       */
     private def compileGroupN(els: Seq[WhereEl], quads: DataFrame,
         ds: DatasetClause = NoDataset,
@@ -1747,7 +1806,7 @@ object ConstructParser {
             else Bgp.join(acc, inline) // tiny frame: AQE broadcasts it
             maybeNull ++= undefVars
           }
-        case SubSelectE(q) => joinIn(q.run(quads))
+        case SubSelectE(q, nulls) => joinIn(q.run(quads), nulls)
         case PropFnE(sv, sTerm, ov) =>
           require(acc != null && acc.columns.contains(sv),
             s"json:unnest subject ?$sv is not bound")

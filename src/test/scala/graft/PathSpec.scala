@@ -461,6 +461,20 @@ class PathSpec extends AnyFunSuite {
       (t("n2"), t("n3"), null), (t("n3"), t("n4"), null)))
   }
 
+  test("subquery-projected OPTIONAL-only vars merge compatibly (§8.3)") {
+    // the subquery projects ?l, which its never-matching OPTIONAL leaves
+    // unbound — joining against the outer ?l binding must MERGE (unbound
+    // compatible with anything), not equi-drop the NULL rows
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s ?l WHERE {
+         |  ?s ex:label ?l .
+         |  { SELECT ?s ?l WHERE {
+         |      ?s ex:next ?o . OPTIONAL { ?s ex:nothing ?l . } } }
+         |}""".stripMargin)
+    assert(pairs(q.run(chain)) === Set((t("n1"), t("a"))))
+  }
+
   test("ORDER BY a non-projected var sorts solutions before projection") {
     val q = ConstructParser.parseSelect(
       s"""PREFIX ex: <$EX>
