@@ -118,11 +118,11 @@ object Bgp {
   def minusCompat(a: DataFrame, b: DataFrame): DataFrame = {
     val s = shared(a, b)
     if (s.isEmpty) return a
-    val bb = b.select(s.map(c => col(c).as("__m_" + c)): _*).distinct()
+    val bb = b.select(s.map(c => col(c).as("#m_" + c)): _*).distinct()
     val compatible = s.map(v =>
-      col(v).isNull || col("__m_" + v).isNull || col(v) === col("__m_" + v))
+      col(v).isNull || col("#m_" + v).isNull || col(v) === col("#m_" + v))
       .reduce(_ && _)
-    val domShared = s.map(v => col(v) === col("__m_" + v)).reduce(_ || _)
+    val domShared = s.map(v => col(v) === col("#m_" + v)).reduce(_ || _)
     a.join(bb, compatible && domShared, "left_anti")
   }
 
@@ -140,10 +140,10 @@ object Bgp {
 
   private def renamedRight(b: DataFrame, s: Seq[String]): DataFrame =
     b.select(b.columns.map(c =>
-      col(c).as(if (s.contains(c)) "__c_" + c else c)): _*)
+      col(c).as(if (s.contains(c)) "#c_" + c else c)): _*)
 
   private def compatCond(s: Seq[String]) = s.map(v =>
-    col(v).isNull || col("__c_" + v).isNull || col(v) === col("__c_" + v))
+    col(v).isNull || col("#c_" + v).isNull || col(v) === col("#c_" + v))
     .reduce(_ && _)
 
   /** Merge shared vars (left binding wins when both bound — they agree
@@ -152,8 +152,8 @@ object Bgp {
   private def mergeSelect(merged: DataFrame, a: DataFrame,
       bb: DataFrame, s: Seq[String]): DataFrame = {
     val keep = a.columns.map(c =>
-      if (s.contains(c)) coalesce(col(c), col("__c_" + c)).as(c) else col(c)) ++
-      bb.columns.filterNot(_.startsWith("__c_")).map(col)
+      if (s.contains(c)) coalesce(col(c), col("#c_" + c)).as(c) else col(c)) ++
+      bb.columns.filterNot(_.startsWith("#c_")).map(col)
     merged.select(keep.toSeq: _*)
   }
 
@@ -189,13 +189,13 @@ object Bgp {
     */
   def optionalCond(a: DataFrame, b: DataFrame, conds: Seq[Column],
       compat: Boolean = false): DataFrame = {
-    val withId = a.withColumn("__lj_id", monotonically_increasing_id())
+    val withId = a.withColumn("#lj_id", monotonically_increasing_id())
       .localCheckpoint(false)
     val joined = if (compat) compatJoin(withId, b) else join(withId, b)
     val matched = conds.foldLeft(joined)(_ filter _)
     val unmatched = withId.join(
-      matched.select("__lj_id").distinct(), Seq("__lj_id"), "left_anti")
-    matched.unionByName(unmatched, allowMissingColumns = true).drop("__lj_id")
+      matched.select("#lj_id").distinct(), Seq("#lj_id"), "left_anti")
+    matched.unionByName(unmatched, allowMissingColumns = true).drop("#lj_id")
   }
 
   /** FILTER [NOT] EXISTS with compatibility semantics (semi/anti on the

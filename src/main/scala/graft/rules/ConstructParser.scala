@@ -86,7 +86,7 @@ object ConstructParser {
   }
 
   /** Hidden column carrying the per-solution id for fresh template bnodes. */
-  private[rules] val RowIdCol = "__construct_rowid"
+  private[rules] val RowIdCol = "#construct_rowid"
 
   /** JVM-global BNODE() call-site counter: labels stay distinct across
     * separately parsed queries operating on one dataset.
@@ -608,15 +608,15 @@ object ConstructParser {
       skipWs()
       kw("WHERE") // optional keyword
       skipWs()
-      bgpVarTerm("__g") = true
-      val els = groupBlock(graphCtx = Some(VarT("__g")))
+      bgpVarTerm("#g") = true
+      val els = groupBlock(graphCtx = Some(VarT("#g")))
       skipWs()
       if (peek == ';') i += 1
       skipWs()
       if (i < n) fail("trailing input after ASK query")
       require(sawPattern, "per-graph ASK needs at least one triple pattern")
       ParsedSelect { input =>
-        compileGroup(els, input).select(col("__g").as("graph")).distinct()
+        compileGroup(els, input).select(col("#g").as("graph")).distinct()
       }
     }
 
@@ -656,12 +656,12 @@ object ConstructParser {
           if (consts.isEmpty) None
           else Some(spark.createDataFrame(
             spark.sparkContext.parallelize(consts.toSeq.map(Row(_)), 1),
-            StructType(Seq(StructField("__resource", StringType)))))
+            StructType(Seq(StructField("#resource", StringType)))))
         val varDf =
           if (vars.isEmpty) None
           else {
             val bound = compileGroup(els, quads, ds)
-            Some(vars.map(v => bound.select(col(v).as("__resource")))
+            Some(vars.map(v => bound.select(col(v).as("#resource")))
               .reduce(_ union _))
           }
         val seeds = (constDf.toSeq ++ varDf.toSeq)
@@ -678,17 +678,17 @@ object ConstructParser {
           if (rounds >= 1000) throw new IllegalStateException(
             "DESCRIBE CBD did not converge in 1000 rounds (bnode chain too deep)")
           val star = quads.join(frontier,
-            quads.col("subj") === frontier.col("__resource"), "left_semi")
+            quads.col("subj") === frontier.col("#resource"), "left_semi")
           frontier = star.where(col("obj").startsWith("_:"))
-            .select(col("obj").as("__resource")).distinct()
-            .join(all, Seq("__resource"), "left_anti")
+            .select(col("obj").as("#resource")).distinct()
+            .join(all, Seq("#resource"), "left_anti")
             .localCheckpoint(true)
           growing = frontier.limit(1).count() > 0
           if (growing) all = all.union(frontier).localCheckpoint(true)
           rounds += 1
         }
         quads.join(all,
-          quads.col("subj") === all.col("__resource"), "left_semi")
+          quads.col("subj") === all.col("#resource"), "left_semi")
       }
     }
 
@@ -777,7 +777,7 @@ object ConstructParser {
             } else {
               expect(')')
               // unnamed expression key: hidden column, not projectable
-              groupBys += (("__gb" + groupBys.size, Some(e.c)))
+              groupBys += (("#gb" + groupBys.size, Some(e.c)))
             }
           }
           skipWs()
@@ -821,8 +821,11 @@ object ConstructParser {
       }
       // ORDER BY keys: `?v`, `[ASC|DESC](expr)`, `(expr)` — full §17
       // expressions (incl. aggregates like DESC(COUNT(*)), which ride as
-      // hidden agg columns). Expression keys must reference PROJECTED
-      // vars (SPARQL's order-by-non-projected corner is not modeled).
+      // hidden agg columns). Non-aggregate keys may reference
+      // NON-PROJECTED vars (SPARQL sorts solutions before projection) —
+      // except under DISTINCT, and except keys that ALSO reference a
+      // derived projection alias (those evaluate post-projection);
+      // impossible combinations are rejected loudly at run construction.
       val orders = scala.collection.mutable.ArrayBuffer[(Column, Boolean, Boolean)]()
       skipWs()
       if (kw("ORDER")) {
@@ -880,7 +883,12 @@ object ConstructParser {
       val pipeline = !bgp && containsPropFn(els)
       lastProjectionNulls = {
         val m = staticNulls(els)._2
-        items.toSeq.collect { case PlainVar(v) if m.contains(v) => v }.toSet
+        items.toSeq.collect {
+          case PlainVar(v) if m.contains(v) => v
+          // conservative: a derived value is maybe-null when any var it
+          // references is (covers renames and aggregates of nullables)
+          case Derived(v, c, _) if refNames(c).intersect(m).nonEmpty => v
+        }.toSet
       }
       lastProjection = items.toSeq.map {
         case PlainVar(v) => (v, bgpVarTerm.getOrElse(v, true))
@@ -919,12 +927,26 @@ object ConstructParser {
                     if !distinctRows &&
                       refNames(c).intersect(derivedNames).isEmpty => k
               }.toSet
+              // late (post-projection) keys can only see projected names
+              // — reject the impossible combinations loudly rather than
+              // surfacing an unresolved-column analysis error
+              val projNames = items.toSeq.collect {
+                case PlainVar(v) => v
+                case Derived(v, _, _) => v
+              }.toSet
+              orders.toSeq.zipWithIndex.foreach { case ((c, _, isAgg), k) =>
+                require(isAgg || early(k) || refNames(c).subsetOf(projNames),
+                  "ORDER BY key references a non-projected var in a " +
+                    "position that evaluates after projection (DISTINCT, " +
+                    "or mixed with a derived alias): project the var or " +
+                    "drop DISTINCT")
+              }
               val preOrd = orders.toSeq.zipWithIndex.foldLeft(bindings) {
                 case (df, ((c, _, _), k)) if early(k) =>
-                  df.withColumn("__ord" + k, c)
+                  df.withColumn("#ord" + k, c)
                 case (df, _) => df
               }
-              val ordCols = orders.indices.filter(early).map(k => col("__ord" + k))
+              val ordCols = orders.indices.filter(early).map(k => col("#ord" + k))
               preOrd.select(items.toSeq.map {
                 case PlainVar(v) => col(v)
                 case Derived(v, c, _) => c.as(v)
@@ -941,10 +963,10 @@ object ConstructParser {
             // HAVING + aggregate ORDER BY operands ride along as hidden
             // agg columns
             val hidden = havings.zipWithIndex.collect {
-              case ((c, true, _, _), k) => c.as("__having" + k)
+              case ((c, true, _, _), k) => c.as("#having" + k)
             }
             val hiddenOrd = orders.zipWithIndex.collect {
-              case ((c, _, true), k) => c.as("__ord" + k)
+              case ((c, _, true), k) => c.as("#ord" + k)
             }
             val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq ++
               hidden ++ hiddenOrd
@@ -960,7 +982,7 @@ object ConstructParser {
                 .agg(aggs.head, aggs.tail: _*)
             val filtered = havings.zipWithIndex.foldLeft(g) {
               case (df, ((c, isAgg, op, rhs), k)) =>
-                val lhs = if (isAgg) col("__having" + k) else c
+                val lhs = if (isAgg) col("#having" + k) else c
                 df.filter(op match {
                   case "bool" => lhs
                   case "=" => lhs === rhs
@@ -977,7 +999,7 @@ object ConstructParser {
               case Star => throw new IllegalArgumentException(
                 "* cannot mix with aggregation")
             } ++ orders.zipWithIndex.collect {
-              case ((_, _, true), k) => col("__ord" + k)
+              case ((_, _, true), k) => col("#ord" + k)
             }: _*)
           }
         require(orders.forall(o => !o._3 || hasAgg),
@@ -998,12 +1020,12 @@ object ConstructParser {
             var df = deduped
             val sortCols = orders.toSeq.zipWithIndex.map {
               case ((c, asc, _), k) =>
-                val name = "__ord" + k
+                val name = "#ord" + k
                 if (!df.columns.contains(name)) df = df.withColumn(name, c)
                 if (asc) col(name).asc else col(name).desc
             }
             df.orderBy(sortCols: _*)
-              .drop(orders.indices.map("__ord" + _).toSeq: _*)
+              .drop(orders.indices.map("#ord" + _).toSeq: _*)
           }
         val off = offsetN.map(ordered.offset).getOrElse(ordered)
         limitN.map(off.limit).getOrElse(off)
@@ -1354,7 +1376,7 @@ object ConstructParser {
       * from the subquery's element tree at parse time), so the enclosing
       * group picks compatibility joins for them.
       */
-    private case class SubSelectE(q: ParsedSelect,
+    private case class SubSelectE(q: ParsedSelect, vars: Set[String],
         nulls: Set[String]) extends WhereEl
     /** `?json json:unnest ?item` — property function (the reference's
       * magic-predicate extension mechanism, docs/sparql-extensions):
@@ -1470,7 +1492,7 @@ object ConstructParser {
             binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
           }
           proj.foreach { case (v, t) => bgpVarTerm(v) = t }
-          out += SubSelectE(sub, proj.collect {
+          out += SubSelectE(sub, proj.map(_._1).toSet, proj.collect {
             case (v, _) if projNulls.contains(v) => v
           }.toSet)
         } else if (peek == '{') {
@@ -1572,7 +1594,8 @@ object ConstructParser {
           maybe ++= vars.zipWithIndex.collect {
             case (v, k) if rows.exists(_(k).isEmpty) => v
           }
-        case SubSelectE(_, nulls) => maybe ++= nulls
+        case SubSelectE(_, vars, nulls) =>
+          bound ++= vars; maybe ++= nulls
         case PropFnE(_, _, ov) => bound += ov
       }
       (bound, maybe)
@@ -1806,7 +1829,7 @@ object ConstructParser {
             else Bgp.join(acc, inline) // tiny frame: AQE broadcasts it
             maybeNull ++= undefVars
           }
-        case SubSelectE(q, nulls) => joinIn(q.run(quads), nulls)
+        case SubSelectE(q, _, nulls) => joinIn(q.run(quads), nulls)
         case PropFnE(sv, sTerm, ov) =>
           require(acc != null && acc.columns.contains(sv),
             s"json:unnest subject ?$sv is not bound")
@@ -1819,14 +1842,14 @@ object ConstructParser {
           // (a direct explode of the computed expression triples its
           // evaluation through InferFiltersFromGenerate)
           acc = acc
-            .withColumn("__jsonarr", from_json(js,
+            .withColumn("#jsonarr", from_json(js,
               org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.VariantType)))
             .select(col("*"),
-              posexplode_outer(col("__jsonarr")).as(Seq("__jsonpos", "__jsonel")))
-            .where(col("__jsonel").isNotNull)
-            .withColumn(ov, col("__jsonel").cast("string"))
-            .drop("__jsonarr", "__jsonpos", "__jsonel")
+              posexplode_outer(col("#jsonarr")).as(Seq("#jsonpos", "#jsonel")))
+            .where(col("#jsonel").isNotNull)
+            .withColumn(ov, col("#jsonel").cast("string"))
+            .drop("#jsonarr", "#jsonpos", "#jsonel")
       }
       require(acc != null, "empty group pattern")
       (conds.foldLeft(acc)(_ filter _), maybeNull.toSet)
@@ -1848,7 +1871,7 @@ object ConstructParser {
       case PathT(_) => fail("property path outside predicate position")
       // a bnode in a WHERE pattern is a variable scoped to the query
       // (SPARQL §19.6) — named so it cannot collide with real ?vars
-      case BnodeT(l) => Right("__bnode_" + l)
+      case BnodeT(l) => Right("#bnode_" + l)
     }
 
     // -------------------------------------------------------- expressions
