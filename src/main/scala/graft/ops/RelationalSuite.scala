@@ -55,6 +55,19 @@ object RelationalSuite {
     "ngs_subjects" -> ((s, dir) =>
       NgsOps.subjects(SyntheticQuads.mixedSubjectTriples(s, dir))),
     "ngs_wc" -> ((s, dir) => NgsOps.wc(quads(s, dir))),
+    // merge/join of two named-graph streams (unimplemented in the
+    // reference CLI; relational forms shipped beyond it): two
+    // overlapping row-subsets of the corpus
+    "ngs_merge" -> ((s, dir) => {
+      val q = quads(s, dir)
+      NgsOps.mergeStreams(q.where(col("idx") % 2 === 0).drop("idx"),
+        q.where(col("idx") % 3 === 0).drop("idx"))
+    }),
+    "ngs_join" -> ((s, dir) => {
+      val q = quads(s, dir)
+      NgsOps.joinStreams(q.where(col("idx") % 2 === 0).drop("idx"),
+        q.where(col("idx") % 3 === 0).drop("idx"))
+    }),
     "ngs_map_graph" -> ((s, dir) =>
       NgsOps.mapToGraph(NgsOps.headGraphs(quads(s, dir).drop("idx"), 3),
         "<urn:merged>")),
@@ -218,6 +231,17 @@ object RelationalSuite {
          |SELECT graph, subj, '<http://www.example.org/hash>',
          |       '"' || sha256(trim(graph, '<>')) || '"'
          |FROM quads""".stripMargin,
+    "ngs_merge" ->
+      s"""WITH $Q
+         |SELECT DISTINCT graph, subj, pred, obj FROM quads
+         |WHERE idx % 2 = 0 OR idx % 3 = 0""".stripMargin,
+    "ngs_join" ->
+      s"""WITH $Q,
+         |a AS (SELECT * FROM quads WHERE idx % 2 = 0),
+         |b AS (SELECT * FROM quads WHERE idx % 3 = 0)
+         |SELECT DISTINCT graph, subj, pred, obj
+         |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |WHERE graph IN (SELECT graph FROM a INTERSECT SELECT graph FROM b)""".stripMargin,
     "ngs_head" ->
       s"""WITH $Q
          |SELECT graph, subj, pred, obj FROM quads
