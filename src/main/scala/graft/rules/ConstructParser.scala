@@ -1574,7 +1574,9 @@ object ConstructParser {
       }
       els.foreach {
         case tp: TpE => bound ++= patVars(tp)
-        case BindE(v, _) => bound += v
+        case BindE(v, e) =>
+          if (refNames(e.c).exists(maybe.contains)) maybe += v
+          bound += v
         case _: FilterE => ()
         case GroupE(inner) =>
           val (b, m) = staticNulls(inner); bound ++= b; maybe ++= m
@@ -1665,12 +1667,13 @@ object ConstructParser {
       * scale-fast equi anti-join and full §8.3 compatibility semantics.
       *
       * Subquery-projected vars carry their own statically-computed null
-      * set ([[staticNulls]]). Bounded reduction: BIND-introduced vars are
-      * NOT tracked as maybe-unbound (a BIND whose expression errors
-      * yields NULL); marking every BIND var nullable would flip common
-      * hot joins to the nested-loop compatibility path, so the equi path
-      * is kept there — a NULL in such a shared var drops the row in a
-      * later join instead of merging per §8.3.
+      * set ([[staticNulls]]), and a BIND referencing a maybe-unbound var
+      * propagates the flag. Bounded reduction: a BIND whose expression
+      * errors to NULL on ALL-BOUND inputs (e.g. YEAR of a malformed
+      * literal) is NOT tracked — marking every BIND var nullable would
+      * flip common hot joins to the nested-loop compatibility path, so
+      * the equi path is kept there; such a NULL drops the row in a later
+      * join instead of merging per §8.3.
       */
     private def compileGroupN(els: Seq[WhereEl], quads: DataFrame,
         ds: DatasetClause = NoDataset,
@@ -1806,6 +1809,10 @@ object ConstructParser {
             else Bgp.exists(acc, sub)
         case BindE(v, e) =>
           require(acc != null, "BIND before any pattern in a BGP group")
+          // a BIND over a maybe-unbound var is itself maybe-unbound
+          // (NULL propagates through expressions); BINDs over all-bound
+          // inputs stay untracked — see the bounded reduction above
+          if (refNames(e.c).exists(maybeNull.contains)) maybeNull += v
           acc = acc.withColumn(v, e.c)
         case FilterE(c) => conds += c
         case ValuesE(vars, rows) =>

@@ -461,6 +461,23 @@ class PathSpec extends AnyFunSuite {
       (t("n2"), t("n3"), null), (t("n3"), t("n4"), null)))
   }
 
+  test("BIND over a maybe-unbound var propagates nullability into MINUS") {
+    // ?m = STR(?l) is NULL when the OPTIONAL missed; MINUS shares {s, m}
+    // — §8.3 compatibility must remove n1's row (m unbound matches, s
+    // agrees), which requires ?m to be TRACKED as maybe-null
+    val data = triples(
+      ("n1", "next", "n2"), ("n2", "next", "n3"), ("n2", "label", "b"))
+    val q = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?s WHERE {
+         |  ?s ex:next ?x .
+         |  OPTIONAL { ?s ex:nothing ?l . }
+         |  BIND(STR(?l) AS ?m)
+         |  MINUS { ?s ex:next ?y . ?y ex:label ?lab . BIND(STR(?lab) AS ?m) }
+         |}""".stripMargin)
+    assert(q.run(data).collect().map(_.getString(0)).toSet === Set(t("n2")))
+  }
+
   test("subquery-projected OPTIONAL-only vars merge compatibly (§8.3)") {
     // the subquery projects ?l, which its never-matching OPTIONAL leaves
     // unbound — joining against the outer ?l binding must MERGE (unbound
