@@ -1575,7 +1575,12 @@ object ConstructParser {
       els.foreach {
         case tp: TpE => bound ++= patVars(tp)
         case BindE(v, e) =>
-          if (refNames(e.c).exists(maybe.contains)) maybe += v
+          // mirror of the dynamic tracking: maybe-null refs propagate AND
+          // statically-fallible expressions (error→NULL per §17.2) are
+          // maybe-unbound even over all-bound inputs
+          if (refNames(e.c).exists(maybe.contains) ||
+              org.apache.spark.sql.graft.bridge.fallibleToNull(e.c))
+            maybe += v
           bound += v
         case _: FilterE => ()
         case GroupE(inner) =>
@@ -1667,13 +1672,13 @@ object ConstructParser {
       * scale-fast equi anti-join and full §8.3 compatibility semantics.
       *
       * Subquery-projected vars carry their own statically-computed null
-      * set ([[staticNulls]]), and a BIND referencing a maybe-unbound var
-      * propagates the flag. Bounded reduction: a BIND whose expression
-      * errors to NULL on ALL-BOUND inputs (e.g. YEAR of a malformed
-      * literal) is NOT tracked — marking every BIND var nullable would
-      * flip common hot joins to the nested-loop compatibility path, so
-      * the equi path is kept there; such a NULL drops the row in a later
-      * join instead of merging per §8.3.
+      * set ([[staticNulls]]), a BIND referencing a maybe-unbound var
+      * propagates the flag, and a BIND whose expression can error to NULL
+      * on ALL-BOUND inputs (e.g. YEAR of a malformed literal) is detected
+      * statically ([[org.apache.spark.sql.graft.bridge.fallibleToNull]])
+      * and tracked too — closing the last documented §8.3 reduction. The
+      * equi path is kept for BINDs of total expressions (concat of bound
+      * vars, arithmetic guarded with full otherwise, plain renames).
       */
     private def compileGroupN(els: Seq[WhereEl], quads: DataFrame,
         ds: DatasetClause = NoDataset,
@@ -1810,9 +1815,15 @@ object ConstructParser {
         case BindE(v, e) =>
           require(acc != null, "BIND before any pattern in a BGP group")
           // a BIND over a maybe-unbound var is itself maybe-unbound
-          // (NULL propagates through expressions); BINDs over all-bound
-          // inputs stay untracked — see the bounded reduction above
-          if (refNames(e.c).exists(maybeNull.contains)) maybeNull += v
+          // (NULL propagates through expressions), and a BIND whose
+          // expression can ERROR to NULL on all-bound inputs (date
+          // accessor on a malformed literal, numeric coercion of a
+          // non-numeric term, try-casts — detected statically from the
+          // compiled catalyst tree) is maybe-unbound too, so later
+          // joins/MINUS on ?v route through §8.3 compatibility
+          if (refNames(e.c).exists(maybeNull.contains) ||
+              org.apache.spark.sql.graft.bridge.fallibleToNull(e.c))
+            maybeNull += v
           acc = acc.withColumn(v, e.c)
         case FilterE(c) => conds += c
         case ValuesE(vars, rows) =>
@@ -2090,18 +2101,32 @@ object ConstructParser {
       base + ndSite.toLong * 0x9E3779B97F4A7C15L
     }
 
-    /** Deterministic v4-shaped UUID text per row: two seeded 64-bit
-      * hashes over the row id, hex-formatted 8-4-4-4-12.
+    /** Stable per-row fingerprint: hash of the WHOLE row's content (star
+      * expands at analysis), so RAND()/UUID()/STRUUID() replay identically
+      * under re-runs, resumes, AQE coalescing, or different splits — which
+      * monotonically_increasing_id did not guarantee. Documented
+      * reduction: duplicate solution rows receive identical values (the
+      * replayable-by-content design), and a query that also mints
+      * template bnodes folds the per-row bnode id into the hash.
+      */
+    private def rowFp: Column = xxhash64(struct(col("*")))
+
+    /** Deterministic RFC 4122 v4 UUID text per row: two seeded 64-bit
+      * hashes over the row fingerprint, hex-formatted 8-4-4-4-12 with the
+      * version nibble forced to '4' and the variant nibble to [89ab].
       */
     private def uuidHex(fn: String): Column = {
       val seed = randSeed(fn)
       def hex16(k: Long) = lpad(hex(pmod(
-        xxhash64(lit(seed + k), monotonically_increasing_id()),
+        xxhash64(lit(seed + k), rowFp),
         lit(Long.MaxValue))), 16, "0")
       val a = lower(hex16(0)); val b = lower(hex16(1))
-      concat(substring(a, 1, 8), lit("-"), substring(a, 9, 4), lit("-"),
-        substring(a, 13, 4), lit("-"), substring(b, 1, 4), lit("-"),
-        substring(b, 5, 12))
+      val variant = element_at(
+        array(lit("8"), lit("9"), lit("a"), lit("b")),
+        pmod(conv(substring(b, 1, 1), 16, 10).cast("int"), lit(4)) + lit(1))
+      concat(substring(a, 1, 8), lit("-"), substring(a, 9, 4), lit("-4"),
+        substring(a, 14, 3), lit("-"), variant,
+        substring(b, 2, 3), lit("-"), substring(b, 5, 12))
     }
 
     private def unary(): E = {
@@ -2270,9 +2295,9 @@ object ConstructParser {
         case _ if kw("RAND") =>
           expectEmptyArgs("RAND")
           // deterministic per-row double in [0,1) from the injected seed —
-          // xxhash64 over the row id (NOT java Random: replayable per row)
-          E(pmod(xxhash64(lit(randSeed("RAND")),
-            monotonically_increasing_id()), lit(1L << 52))
+          // xxhash64 over the row CONTENT (NOT java Random, NOT a
+          // partition-layout id: replayable per row across re-runs)
+          E(pmod(xxhash64(lit(randSeed("RAND")), rowFp), lit(1L << 52))
             .cast("double") / lit((1L << 52).toDouble), term = false, num = true)
         case _ if kw("UUID") =>
           expectEmptyArgs("UUID")

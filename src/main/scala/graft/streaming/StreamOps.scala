@@ -50,9 +50,13 @@ object StreamOps {
     */
   def tsWindowCounts(quads: DataFrame): DataFrame =
     quads.where(col("pred") === "<http://graft.io/p/ts>")
+      // nullif guards ANSI mode: a malformed p:ts literal makes
+      // regexp_extract yield "" and a bare cast would throw, killing the
+      // stream — NULL ts rows drop at the window instead (matches
+      // numTermVal's batch-side handling)
       .withColumn("ts",
-        timestamp_micros(regexp_extract(col("obj"), "^\"(\\d+)\"", 1)
-          .cast("long")))
+        timestamp_micros(nullif(
+          regexp_extract(col("obj"), "^\"(\\d+)\"", 1), lit("")).cast("long")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"))
@@ -65,17 +69,35 @@ object StreamOps {
   private def runToMemorySink(df: DataFrame, prefix: String, dir: String,
       mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
+    val ckptPath = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt")
+    // per-invocation nonce: repeated runs in one session must not silently
+    // overwrite each other's memory-sink table
     val name = prefix +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+      "_" + nonce.getAndIncrement()
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckptPath.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // AvailableNow is done here — the checkpoint has no further use;
+    // delete it instead of accumulating one temp dir per invocation
+    deleteRecursively(ckptPath)
     spark.table(name)
+  }
+
+  private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      all.foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+        case _: java.io.IOException => () // best-effort cleanup
+      })
+    }
   }
 
   /** [[tsWindowCounts]] over an N-Quads directory as a bounded stream —

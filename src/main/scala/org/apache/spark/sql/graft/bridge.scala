@@ -23,4 +23,36 @@ object bridge {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.name
       }.toSet
+
+  /** Static check: can this Column yield NULL even when every input
+    * attribute is non-NULL? Walks the catalyst tree for the
+    * NULL-introducing shapes this codebase's compiled SPARQL expressions
+    * use to signal "evaluation error → unbound" (SPARQL §17.2):
+    * `when` without `otherwise`, explicit NULL branches, `nullif`,
+    * try-casts, and the JSON/variant extractors (malformed input → NULL).
+    * Conservative by design — a guarded-but-total expression may be
+    * flagged; the cost is only a compatibility-join routing downstream,
+    * never a wrong answer.
+    */
+  def fallibleToNull(c: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def nullLit(e: Expression): Boolean = e match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+      .exists {
+        case CaseWhen(branches, elseV) =>
+          elseV.isEmpty || branches.exists(b => nullLit(b._2)) ||
+            elseV.exists(nullLit)
+        case If(_, t, f) => nullLit(t) || nullLit(f)
+        case _: NullIf => true
+        case cast: Cast => cast.evalMode == EvalMode.TRY
+        case _: TryEval => true
+        case _: JsonToStructs => true
+        case _: GetJsonObject => true
+        case _: org.apache.spark.sql.catalyst.expressions.variant.VariantGet => true
+        case e => nullLit(e)
+      }
+  }
 }

@@ -105,4 +105,33 @@ class BgpCompatSpec extends AnyFunSuite {
     assert(sorted(sols(Bgp.compatSemi(lf, rf, anti = true))) ===
       sorted(sols(Bgp.notExists(lf, rf))))
   }
+
+  test("an erroring BIND feeding a join routes through §8.3 compat: " +
+      "YEAR of a malformed literal is unbound, so it merges with any ?y") {
+    import org.apache.spark.sql.SparkSession
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val quads = Seq(
+      ("<a>", "<http://ex.org/date>", "\"2020-02-02\""),
+      ("<b>", "<http://ex.org/date>", "\"garbage\""), // YEAR → NULL
+      ("<c>", "<http://ex.org/date2>", "\"2020-12-31\""),
+      ("<d>", "<http://ex.org/date2>", "\"2021-05-05\"")
+    ).toDF("subj", "pred", "obj")
+    val q =
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s ?s2 ?y WHERE {
+        |  ?s ex:date ?d .
+        |  BIND(YEAR(?d) AS ?y)
+        |  { SELECT ?s2 ?y WHERE { ?s2 ex:date2 ?d2 . BIND(YEAR(?d2) AS ?y) } }
+        |}""".stripMargin
+    val got = graft.rules.ConstructParser.parseSelect(q).run(quads)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // §8.3: <b>'s unbound ?y is compatible with EVERY subquery solution
+    // (the equi fast path would silently drop both <b> rows)
+    assert(got === Set(
+      ("<a>", "<c>", 2020L),
+      ("<b>", "<c>", 2020L),
+      ("<b>", "<d>", 2021L)))
+  }
 }

@@ -336,22 +336,27 @@ class FnSpec extends AnyFunSuite {
         .run(data)
     }
     val ctx = EvalCtx(now = Some("2026-02-03T04:05:06Z"), seed = Some(42L))
-    def runQ() = ConstructParser.parseSelect(
+    def runQ(parts: Int) = ConstructParser.parseSelect(
       """SELECT ?k ?n ?r ?u ?su ?u2 WHERE {
         |  BIND(STR(NOW()) AS ?n)
         |  BIND(RAND() AS ?r)
         |  BIND(UUID() AS ?u)
         |  BIND(STRUUID() AS ?su)
         |  BIND(UUID() AS ?u2)
-        |}""".stripMargin, ctx).run(data.repartition(1)).collect()
+        |}""".stripMargin, ctx).run(data.repartition(parts)).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
           r.getString(3), r.getString(4), r.getString(5))).sortBy(_._1)
-    val a = runQ(); val b = runQ()
-    assert(a === b) // same seed → identical rows across runs
+    val a = runQ(1); val b = runQ(3)
+    // same seed → identical rows across runs AND across partition layouts
+    // (values derive from row CONTENT, not monotonically_increasing_id)
+    assert(a === b)
     assert(a.forall { case (_, n, r, u, su, u2) =>
       n == "2026-02-03T04:05:06Z" && r >= 0.0 && r < 1.0 &&
         u.startsWith("<urn:uuid:") &&
-        su.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}") &&
+        // strict RFC 4122 v4: version nibble '4', variant in [89ab]
+        su.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}") &&
+        u.substring("<urn:uuid:".length).matches(
+          "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}>") &&
         u != u2 // independent per CALL SITE, not just per row
     })
     // distinct per row
