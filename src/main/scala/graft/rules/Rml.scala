@@ -1,0 +1,436 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.RdfTerms
+import graft.sources.TrigParser
+
+/** (R2)RML → Spark compiler: the reference's headline KG-construction
+  * workload (`rpt rmltk rml to sparql` + `optimize workload` + `sansa
+  * query`, docs/rml/index.md:10-41; the rml2exec command itself is
+  * commented out upstream, CmdRml2Exec.java:1-4, with the compiler in the
+  * external rmltk dependency — re-expressed here from the public RML /
+  * R2RML vocabularies, not ported).
+  *
+  * Spark-first design: a mapping file is DRIVER-SIDE METADATA (a few KB
+  * of Turtle), parsed once with [[TrigParser]]; every triples map
+  * compiles to [[Rule]] templates — pure Catalyst column expressions —
+  * and all maps sharing one logical source FUSE onto a single scan with
+  * a single explode ([[RuleCompiler.compile]]), which is the shared-scan
+  * grouping the reference calls `optimize workload`
+  * (docs/rml/index.md:23-28) done at plan-build time. Referencing object
+  * maps (rr:parentTriplesMap) become equi-joins between the child and
+  * parent scans — broadcastable by AQE when the parent side is small —
+  * or, when child and parent share the logical source and there is no
+  * join condition, collapse into the shared scan (same-row semantics per
+  * R2RML §8.4, no join at all).
+  *
+  * Supported subset (everything else fails LOUDLY, never silently):
+  * logical sources over CSV files (header row) and JSON files (top-level
+  * array iterator `$[*]`, all primitives read as strings — mirroring the
+  * reference's deliberate choice to register JSON *without* natural
+  * mappings, CmdRml2Exec.java:62-63); subject/predicate/object/graph
+  * maps via rr:template / rml:reference / rr:column / rr:constant with
+  * rr:termType, rr:datatype, rr:language, rr:class and the
+  * rr:subject/rr:predicate/rr:object/rr:graph constant shortcuts; both
+  * the classic namespaces (rr:, rml:, ql:) and the RML2 namespace
+  * (http://w3id.org/rml/).
+  */
+object Rml {
+
+  // ---------------------------------------------------------------- model
+
+  final case class LogicalSource(
+      source: String, formulation: String, iterator: Option[String])
+
+  sealed trait TermGen
+  /** rr:template — `{ref}` parts interpolate column values (IRI-safe
+    * percent-encoded in IRI context, R2RML §7.3).
+    */
+  final case class TemplateGen(template: String, termType: String) extends TermGen
+  /** rml:reference / rr:column — the column's value as-is. */
+  final case class RefGen(ref: String, termType: String,
+      datatype: Option[String], language: Option[String]) extends TermGen
+  /** rr:constant — an already-formatted N-Triples term. */
+  final case class ConstGen(term: String) extends TermGen
+  /** rr:parentTriplesMap + rr:joinCondition* (child, parent). */
+  final case class RefObjectGen(parentMap: String,
+      joins: Seq[(String, String)]) extends TermGen
+
+  final case class Pom(predicates: Seq[TermGen], objects: Seq[TermGen],
+      graphs: Seq[TermGen])
+
+  final case class TriplesMap(
+      id: String,
+      source: LogicalSource,
+      subject: TermGen,
+      classes: Seq[String],
+      graphs: Seq[TermGen],
+      poms: Seq[Pom])
+
+  val DefaultGraph = "<urn:x-arq:DefaultGraph>"
+  private val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+  // -------------------------------------------------------------- parsing
+
+  private val Namespaces = Seq(
+    "http://www.w3.org/ns/r2rml#",
+    "http://semweb.mmlab.be/ns/rml#",
+    "http://semweb.mmlab.be/ns/ql#",
+    "http://w3id.org/rml/")
+
+  /** `<ns-iri>` → local name for the RML/R2RML vocabularies; anything
+    * else keeps its full term form.
+    */
+  private def local(term: String): String =
+    if (term.startsWith("<") && term.endsWith(">")) {
+      val iri = term.substring(1, term.length - 1)
+      Namespaces.find(iri.startsWith)
+        .map(ns => iri.substring(ns.length)).getOrElse(term)
+    } else term
+
+  /** Decoded body of an N-Triples literal term ("..."[@lang|^^<dt>]). */
+  private def litBody(term: String): String = {
+    require(term.startsWith("\""),
+      s"expected a literal in the RML mapping, got $term")
+    val close = {
+      var k = 1; var esc = false; var at = -1
+      while (at < 0 && k < term.length) {
+        val c = term.charAt(k)
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') at = k
+        k += 1
+      }
+      require(at > 0, s"unterminated literal in RML mapping: $term"); at
+    }
+    val b = term.substring(1, close)
+    // reverse of TrigParser.ntEscape
+    val sb = new StringBuilder(b.length)
+    var k = 0
+    while (k < b.length) {
+      val c = b.charAt(k)
+      if (c == '\\' && k + 1 < b.length) {
+        b.charAt(k + 1) match {
+          case '\\' => sb.append('\\'); case '"' => sb.append('"')
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case 't' => sb.append('\t'); case o => sb.append('\\').append(o)
+        }
+        k += 2
+      } else { sb.append(c); k += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse a mapping document (Turtle text) into its triples maps —
+    * driver-side metadata work, deterministic order by map id.
+    */
+  def parseMapping(ttl: String): Seq[TriplesMap] = {
+    val quads = TrigParser.parse(ttl, DefaultGraph, genPrefix = "rml").toSeq
+    // subject → (normalized predicate local name → object terms, in order)
+    val idx: Map[String, Seq[(String, String)]] =
+      quads.groupBy(_.subj).map { case (s, qs) =>
+        s -> qs.map(q => (local(q.pred), q.obj))
+      }
+    def props(s: String): Seq[(String, String)] = idx.getOrElse(s, Nil)
+    def objs(s: String, p: String): Seq[String] =
+      props(s).collect { case (`p`, o) => o }
+    def obj1(s: String, p: String): Option[String] = objs(s, p).headOption
+
+    def termType(node: String, default: String): String =
+      obj1(node, "termType").map(local) match {
+        case Some(t @ ("IRI" | "Literal" | "BlankNode")) => t
+        case Some(other) => throw new IllegalArgumentException(
+          s"unsupported rr:termType $other")
+        case None => default
+      }
+
+    /** A term map node in `pos` ∈ subject|predicate|object|graph. */
+    def termMap(node: String, pos: String): TermGen = {
+      val defaultType = if (pos == "object") "Literal" else "IRI"
+      (obj1(node, "template"), obj1(node, "reference")
+          .orElse(obj1(node, "column")), obj1(node, "constant"),
+          obj1(node, "parentTriplesMap")) match {
+        case (Some(t), None, None, None) =>
+          TemplateGen(litBody(t), termType(node, "IRI"))
+        case (None, Some(r), None, None) =>
+          RefGen(litBody(r), termType(node, defaultType),
+            obj1(node, "datatype").map(d => d.substring(1, d.length - 1)),
+            obj1(node, "language").map(litBody))
+        case (None, None, Some(c), None) =>
+          ConstGen(if (c.startsWith("<") || c.startsWith("_:")) c
+            else c) // IRI/bnode term or literal term, both already formatted
+        case (None, None, None, Some(p)) =>
+          require(pos == "object",
+            s"rr:parentTriplesMap is only valid in an object map")
+          val joins = objs(node, "joinCondition").map { jc =>
+            (litBody(obj1(jc, "child").getOrElse(throw new IllegalArgumentException(
+              "rr:joinCondition needs rr:child"))),
+              litBody(obj1(jc, "parent").getOrElse(throw new IllegalArgumentException(
+                "rr:joinCondition needs rr:parent"))))
+          }
+          RefObjectGen(p, joins)
+        case _ => throw new IllegalArgumentException(
+          s"a term map needs exactly one of rr:template / rml:reference / " +
+            s"rr:column / rr:constant / rr:parentTriplesMap (at $node in $pos)")
+      }
+    }
+
+    /** Shortcut (rr:subject/predicate/object/graph) + map form. */
+    def termMaps(s: String, shortcut: String, mapProp: String,
+        pos: String): Seq[TermGen] =
+      objs(s, shortcut).map(t => ConstGen(t): TermGen) ++
+        objs(s, mapProp).map(termMap(_, pos))
+
+    val tmSubjects = idx.keys.filter(s => props(s).exists(_._1 == "logicalSource"))
+    tmSubjects.toSeq.sorted.map { tmId =>
+      val lsNode = obj1(tmId, "logicalSource").get
+      val srcTerm = obj1(lsNode, "source").getOrElse(
+        throw new IllegalArgumentException(s"$tmId: logicalSource needs rml:source"))
+      require(srcTerm.startsWith("\""),
+        s"$tmId: only plain file-path rml:source literals are supported " +
+          s"(got $srcTerm — DCAT/SPARQL-service/database sources are out of scope)")
+      require(obj1(lsNode, "query").isEmpty && obj1(lsNode, "tableName").isEmpty,
+        s"$tmId: rml:query / rr:tableName logical sources are not supported")
+      val formulation = obj1(lsNode, "referenceFormulation").map(local)
+        .getOrElse("CSV")
+      val ls = LogicalSource(litBody(srcTerm), formulation,
+        obj1(lsNode, "iterator").map(litBody))
+
+      val subjShort = objs(tmId, "subject").map(t => ConstGen(t): TermGen)
+      val subjMaps = objs(tmId, "subjectMap")
+      val subjects = subjShort ++ subjMaps.map(termMap(_, "subject"))
+      require(subjects.size == 1,
+        s"$tmId: exactly one subject map required, got ${subjects.size}")
+      val classes = subjMaps.flatMap(sm => objs(sm, "class"))
+      val graphs = subjMaps.flatMap(sm =>
+        termMaps(sm, "graph", "graphMap", "graph"))
+
+      val poms = objs(tmId, "predicateObjectMap").map { pomId =>
+        val preds = termMaps(pomId, "predicate", "predicateMap", "predicate")
+        val os = termMaps(pomId, "object", "objectMap", "object")
+        require(preds.nonEmpty && os.nonEmpty,
+          s"$tmId: a predicateObjectMap needs ≥1 predicate and ≥1 object")
+        Pom(preds, os, termMaps(pomId, "graph", "graphMap", "graph"))
+      }
+      TriplesMap(tmId, ls, subjects.head, classes, graphs, poms)
+    }
+  }
+
+  // ------------------------------------------------------------ compiling
+
+  /** IRI-safe percent-encoding of a template value (R2RML §7.3: encode
+    * every char outside iunreserved). Literal `replace` chain — no regex
+    * on the hot path; `%` first so the encoding is injective.
+    */
+  private val IriUnsafe: Seq[(String, String)] = Seq(
+    "%" -> "%25", " " -> "%20", "!" -> "%21", "\"" -> "%22", "#" -> "%23",
+    "$" -> "%24", "&" -> "%26", "'" -> "%27", "(" -> "%28", ")" -> "%29",
+    "*" -> "%2A", "+" -> "%2B", "," -> "%2C", "/" -> "%2F", ":" -> "%3A",
+    ";" -> "%3B", "<" -> "%3C", "=" -> "%3D", ">" -> "%3E", "?" -> "%3F",
+    "@" -> "%40", "[" -> "%5B", "\\" -> "%5C", "]" -> "%5D", "^" -> "%5E",
+    "`" -> "%60", "{" -> "%7B", "|" -> "%7C", "}" -> "%7D")
+
+  private def iriSafe(c: Column): Column =
+    IriUnsafe.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to)) }
+
+  /** Split "a {x} b {y}" into Left(text) / Right(ref) parts. `\{`/`\}`
+    * escape braces in literal text.
+    */
+  private[graft] def templateParts(tpl: String): Seq[Either[String, String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Either[String, String]]()
+    val txt = new StringBuilder
+    var k = 0
+    while (k < tpl.length) {
+      tpl.charAt(k) match {
+        case '\\' if k + 1 < tpl.length &&
+            (tpl.charAt(k + 1) == '{' || tpl.charAt(k + 1) == '}') =>
+          txt.append(tpl.charAt(k + 1)); k += 2
+        case '{' =>
+          val close = tpl.indexOf('}', k)
+          require(close > k, s"unclosed {ref} in template: $tpl")
+          if (txt.nonEmpty) { out += Left(txt.toString); txt.clear() }
+          out += Right(tpl.substring(k + 1, close))
+          k = close + 1
+        case c => txt.append(c); k += 1
+      }
+    }
+    if (txt.nonEmpty) out += Left(txt.toString)
+    require(out.exists(_.isRight), s"template has no {ref}: $tpl")
+    out.toSeq
+  }
+
+  /** Compile one term map to a Column producing an N-Triples term (NULL
+    * when any referenced value is NULL — the triple is then suppressed,
+    * R2RML §11.1 / RuleCompiler's NULL filter).
+    */
+  private def genCol(g: TermGen, colFn: String => Column): Column = g match {
+    case ConstGen(t) => lit(t)
+    case TemplateGen(tpl, tt) =>
+      val parts = templateParts(tpl)
+      def joined(enc: Column => Column): Column =
+        concat(parts.map {
+          case Left(text) => lit(text)
+          case Right(ref) => enc(colFn(ref).cast("string"))
+        }: _*)
+      tt match {
+        case "IRI" => concat(lit("<"), joined(iriSafe), lit(">"))
+        case "Literal" => RdfTerms.strLit(joined(identity))
+        case "BlankNode" => concat(lit("_:"), joined(iriSafe))
+      }
+    case RefGen(ref, tt, dt, lang) =>
+      val v = colFn(ref).cast("string")
+      tt match {
+        case "IRI" => RdfTerms.iri(v)
+        case "BlankNode" => concat(lit("_:"), iriSafe(v))
+        case "Literal" => (dt, lang) match {
+          case (Some(d), _) => RdfTerms.typedLit(v, d)
+          case (None, Some(l)) => concat(RdfTerms.strLit(v), lit("@" + l))
+          case (None, None) => RdfTerms.strLit(v)
+        }
+      }
+    case _: RefObjectGen => throw new IllegalStateException(
+      "referencing object maps compile as joins, not term columns")
+  }
+
+  private def readSource(spark: SparkSession, ls: LogicalSource,
+      baseDir: String): DataFrame = {
+    val path =
+      if (ls.source.matches("^(/|[a-zA-Z]+:).*")) ls.source
+      else baseDir + "/" + ls.source
+    ls.formulation match {
+      case "CSV" =>
+        spark.read.option("header", "true").csv(path)
+      case "JSONPath" =>
+        val it = ls.iterator.getOrElse("$[*]")
+        require(it == "$[*]",
+          s"only the top-level array iterator \"$$[*]\" is supported for " +
+            s"JSON logical sources (got \"$it\")")
+        // primitivesAsString: every value is a string — the reference's
+        // non-natural JSON mapping choice (CmdRml2Exec.java:62-63)
+        spark.read.option("multiLine", "true")
+          .option("primitivesAsString", "true").json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported referenceFormulation $other — supported: ql:CSV, " +
+          "ql:JSONPath with iterator \"$[*]\"")
+    }
+  }
+
+  private def graphCols(tm: TriplesMap, pom: Option[Pom],
+      colFn: String => Column): Seq[Column] = {
+    val gs = pom.map(_.graphs).filter(_.nonEmpty).getOrElse(tm.graphs)
+    val named = gs.filterNot {
+      case ConstGen(t) => local(t) == "defaultGraph"
+      case _ => false
+    }
+    if (gs.isEmpty) Seq(lit(DefaultGraph))
+    else if (named.isEmpty) Seq(lit(DefaultGraph))
+    else named.map(genCol(_, colFn))
+  }
+
+  /** Fixed templates for one triples map over its (possibly shared) scan:
+    * class triples + every non-referencing predicate×object×graph combo.
+    */
+  private def templatesFor(tm: TriplesMap,
+      colFn: String => Column): Seq[TripleTemplate] = {
+    val s = genCol(tm.subject, colFn)
+    val classTriples = for {
+      c <- tm.classes
+      g <- graphCols(tm, None, colFn)
+    } yield TripleTemplate(s, lit(RdfType), lit(c), g)
+    val pomTriples = for {
+      pom <- tm.poms
+      o <- pom.objects if !o.isInstanceOf[RefObjectGen]
+      p <- pom.predicates
+      g <- graphCols(tm, Some(pom), colFn)
+    } yield TripleTemplate(s, genCol(p, colFn), genCol(o, colFn), g)
+    classTriples ++ pomTriples
+  }
+
+  /** Compile a whole mapping into one `(subj, pred, obj, graph)` frame.
+    *
+    * Plan shape: one scan per DISTINCT logical source (maps sharing a
+    * source fuse into a single scan + single explode), plus one equi-join
+    * per referencing object map with join conditions; a final
+    * `dropDuplicates` makes the output a set (the upstream builder's
+    * `setDistinct(true)`, CmdRml2Exec.java:73). At 100 TB the distinct is
+    * the only shuffle for join-free mappings.
+    */
+  def compile(spark: SparkSession, maps: Seq[TriplesMap],
+      baseDir: String): DataFrame = {
+    require(maps.nonEmpty, "mapping has no triples maps")
+    val mapById = maps.map(m => m.id -> m).toMap
+    val bySource: Seq[(LogicalSource, Seq[TriplesMap])] =
+      maps.groupBy(_.source).toSeq.sortBy(_._1.source)
+    val scans: Map[LogicalSource, DataFrame] =
+      bySource.map { case (ls, _) => ls -> readSource(spark, ls, baseDir) }.toMap
+
+    // shared-scan branches: all fixed templates of all maps per source.
+    // A no-join referencing object map over the SAME source is same-row
+    // semantics (R2RML §8.4 "joint query" degenerate case) — it folds
+    // into the shared scan as parent-subject-over-child-row.
+    val scanBranches = bySource.flatMap { case (ls, group) =>
+      val df = scans(ls)
+      val colFn = (n: String) => df(n)
+      val rules = group.map { tm =>
+        val sameRow = for {
+          pom <- tm.poms
+          o <- pom.objects.collect { case r: RefObjectGen => r }
+          parent = mapById.getOrElse(o.parentMap,
+            throw new IllegalArgumentException(
+              s"${tm.id}: unknown rr:parentTriplesMap ${o.parentMap}"))
+          if o.joins.isEmpty
+        } yield {
+          require(parent.source == tm.source,
+            s"${tm.id}: a referencing object map without rr:joinCondition " +
+              "needs child and parent on the same logical source")
+          for {
+            p <- pom.predicates
+            g <- graphCols(tm, Some(pom), colFn)
+          } yield TripleTemplate(genCol(tm.subject, colFn), genCol(p, colFn),
+            genCol(parent.subject, colFn), g)
+        }
+        Rule(tm.id, lit(true), templatesFor(tm, colFn) ++ sameRow.flatten)
+      }.filter(_.templates.nonEmpty)
+      if (rules.isEmpty) None else Some(RuleCompiler.compile(df, rules))
+    }
+
+    // join branches: one per referencing object map WITH conditions
+    val joinBranches = for {
+      tm <- maps
+      pom <- tm.poms
+      ro <- pom.objects.collect { case r: RefObjectGen => r }
+      if ro.joins.nonEmpty
+    } yield {
+      val parent = mapById.getOrElse(ro.parentMap,
+        throw new IllegalArgumentException(
+          s"${tm.id}: unknown rr:parentTriplesMap ${ro.parentMap}"))
+      val c = scans(tm.source).alias("c")
+      val p = scans(parent.source).alias("p")
+      val cond = ro.joins.map { case (cc, pc) =>
+        col("c." + cc) === col("p." + pc) }.reduce(_ && _)
+      val joined = c.join(p, cond)
+      val cFn = (n: String) => col("c." + n)
+      val pFn = (n: String) => col("p." + n)
+      val templates = for {
+        pr <- pom.predicates
+        g <- graphCols(tm, Some(pom), cFn)
+      } yield TripleTemplate(genCol(tm.subject, cFn), genCol(pr, cFn),
+        genCol(parent.subject, pFn), g)
+      RuleCompiler.compile(joined, Seq(Rule(tm.id + "→" + parent.id,
+        lit(true), templates)))
+    }
+
+    (scanBranches ++ joinBranches).reduce(_ unionByName _)
+      .dropDuplicates(Seq("subj", "pred", "obj", "graph"))
+  }
+
+  /** Parse + compile a mapping file in one step. */
+  def execute(spark: SparkSession, mappingPath: String): DataFrame = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mappingPath)), java.nio.charset.StandardCharsets.UTF_8)
+    val dir = java.nio.file.Paths.get(mappingPath).toAbsolutePath.getParent.toString
+    compile(spark, parseMapping(text), dir)
+  }
+}
