@@ -324,6 +324,33 @@ object AlgebraSuite {
            |GROUP BY ?role ORDER BY ?role""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
     }),
+    "service_file" -> ((s, dir) => {
+      // SERVICE against a LOCAL FILE endpoint (docs/examples/
+      // README.md:630-650): the inner group evaluates against the
+      // file's own dataset, then joins into the outer solutions. The
+      // fixture is a deterministic N-Triples dump of the nation table.
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = sys.props("java.io.tmpdir") + s"/graft_service_$tag.nt"
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey").collect()
+      val sb = new StringBuilder
+      nat.foreach(r => sb.append("<http://ex.org/n/").append(r.getLong(0))
+        .append("> <http://ex.org/lbl> \"").append(r.getString(1))
+        .append("\" .\n"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      val outer = customer(s, dir).select(
+        concat(lit("<http://ex.org/c/"), col("c_custkey"), lit(">")).as("subj"),
+        lit("<http://ex.org/nat>").as("pred"),
+        concat(lit("<http://ex.org/n/"), col("c_nationkey"), lit(">")).as("obj"))
+      val q =
+        s"""PREFIX ex: <http://ex.org/>
+           |SELECT ?c ?nat ?lbl WHERE {
+           |  ?c ex:nat ?nat .
+           |  SERVICE <file:$path> { ?nat ex:lbl ?lbl . }
+           |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(outer)
+    }),
     "csv_parse" -> ((s, dir) =>
       // csv:parse port: rows serialized as CSV lines, parsed back to typed
       // columns (reference: docs/examples/README.md:390-413)
@@ -896,6 +923,11 @@ object AlgebraSuite {
          |  WHERE a.pred = '<${P}tool>' AND a.obj = '"tool_purchase"'
          |    AND n.pred = '<${P}next>'
          |    AND b.pred = '<${P}tool>' AND b.obj = '"tool_purchase"')""".stripMargin,
+    "service_file" ->
+      """SELECT '<http://ex.org/c/'||c_custkey||'>' AS c,
+        |       '<http://ex.org/n/'||c_nationkey||'>' AS nat,
+        |       '"'||n_name||'"' AS lbl
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey""".stripMargin,
     "csv_parse" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "csv_scan" ->

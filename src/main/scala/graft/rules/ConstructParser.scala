@@ -88,6 +88,24 @@ object ConstructParser {
   /** Hidden column carrying the per-solution id for fresh template bnodes. */
   private[rules] val RowIdCol = "#construct_rowid"
 
+  /** Resolve a SERVICE endpoint IRI to a local filesystem path. Only
+    * `file:` IRIs are accepted (file:/abs, file:///abs, file:relative);
+    * network schemes fail loudly — federation is out of scope in a
+    * zero-egress build, and silently treating an http: endpoint as a
+    * path would corrupt results.
+    */
+  private[graft] def serviceFilePath(url: String): String = {
+    require(url.startsWith("file:"),
+      s"SERVICE endpoint <$url> is not supported: only local file: IRIs " +
+        "are resolvable here (network federation is scoped out)")
+    val rest = url.stripPrefix("file:")
+    if (rest.startsWith("///")) rest.substring(2)
+    else if (rest.startsWith("//")) throw new IllegalArgumentException(
+      s"SERVICE <$url>: file IRIs with an authority (file://host/…) are " +
+        "not supported — use file:///absolute/path")
+    else rest
+  }
+
   /** JVM-global BNODE() call-site counter: labels stay distinct across
     * separately parsed queries operating on one dataset.
     */
@@ -1370,6 +1388,8 @@ object ConstructParser {
       * UNDEF (the var stays unbound in that row — SPARQL §10.2).
       */
     private case class ValuesE(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends WhereEl
+    private case class ServiceE(url: String, els: Seq[WhereEl],
+        silent: Boolean) extends WhereEl
     /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
       * are visible, so the compiled frame joins like any pattern.
       * `nulls` = projected vars that may be UNBOUND (computed statically
@@ -1467,6 +1487,25 @@ object ConstructParser {
           g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
           skipWs()
           out += GroupE(groupBlock(Some(g)))
+        } else if (kw("SERVICE")) {
+          // SERVICE against a LOCAL FILE dataset (reference
+          // docs/examples/README.md:630-650; SURVEY §2.1 adjudicates the
+          // local-file form as spark.read + §8.3 join). Network endpoints
+          // (http:, vfs:, x-binsearch:) stay scoped out — loud reject at
+          // compile. The inner group runs against the file's OWN dataset,
+          // not the outer quad table, so no outer graph context applies.
+          skipWs()
+          val silent = kw("SILENT")
+          if (silent) skipWs()
+          val ep = tok() match {
+            case IriT(iri) => iri
+            case VarT(v) => fail(
+              s"SERVICE ?$v: variable endpoints are not supported " +
+                "(solutions would need per-row dataset dispatch)")
+            case other => fail(s"SERVICE needs an IRI endpoint, got $other")
+          }
+          skipWs()
+          out += ServiceE(ep, groupBlock(None), silent)
         } else if (peek == '{' && subselectAhead) {
           i += 1
           // selectQuery resets parser state — save and restore around it
@@ -1554,6 +1593,7 @@ object ConstructParser {
       case _: PropFnE => "a property function"
       case _: BindE => "BIND"
       case _: FilterE => "FILTER"
+      case _: ServiceE => "SERVICE"
     }
 
     /** Static (parse-time) binding analysis of a group: (bound vars,
@@ -1603,6 +1643,11 @@ object ConstructParser {
           }
         case SubSelectE(_, vars, nulls) =>
           bound ++= vars; maybe ++= nulls
+        case ServiceE(_, inner, silent) =>
+          val (b, m) = staticNulls(inner)
+          // SILENT: an unreachable endpoint binds nothing at all
+          if (silent) maybe ++= b ++ m
+          else { bound ++= b; maybe ++= m }
         case PropFnE(_, _, ov) => bound += ov
       }
       (bound, maybe)
@@ -1848,6 +1893,27 @@ object ConstructParser {
             maybeNull ++= undefVars
           }
         case SubSelectE(q, _, nulls) => joinIn(q.run(quads), nulls)
+        case ServiceE(url, inner, silent) =>
+          // local-file SERVICE: read the endpoint's dataset (auto-probed
+          // N-Quads/TriG), evaluate the inner group AGAINST THAT FILE,
+          // then join the solution sequence into the outer group per
+          // §8.3 (shared-var compat routing included via joinIn).
+          // SILENT + unreadable endpoint = the unit solution (join
+          // identity, SPARQL-fed §18.2.2.2), i.e. acc is left unchanged.
+          val spark = quads.sparkSession
+          val path = ConstructParser.serviceFilePath(url)
+          val sub =
+            try Some(graft.sources.RdfIO.readRdfAuto(spark, path))
+            catch {
+              case e: Exception if silent => None
+              case e: Exception => throw new IllegalArgumentException(
+                s"SERVICE <$url> failed to read (add SILENT to tolerate): " +
+                  e.getMessage, e)
+            }
+          sub.foreach { sdf =>
+            val (res, mn) = compileGroupN(inner, sdf, NoDataset)
+            joinIn(res, mn)
+          }
         case PropFnE(sv, sTerm, ov) =>
           require(acc != null && acc.columns.contains(sv),
             s"json:unnest subject ?$sv is not bound")
