@@ -160,33 +160,9 @@ object TrainingSuite {
         |  round((length(text) - len(string_split(text, ' ')) + 1)
         |       / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) AS mean_tok_len
         |FROM documents""".stripMargin,
-    "text_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(text,' '), x -> x = 'the')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'a')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'of')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'and')) AS s_en,
-        |    len(list_filter(string_split(text,' '), x -> x = 'der')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'die')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'und')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'nicht')) AS s_de,
-        |    len(list_filter(string_split(text,' '), x -> x = 'le')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'la')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'et')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'les')) AS s_fr,
-        |    len(list_filter(string_split(text,' '), x -> x = 'el')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'la')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'y')) +
-        |    len(list_filter(string_split(text,' '), x -> x = 'los')) AS s_es
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
-        |  CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS score
-        |FROM s""".stripMargin,
+    // char-trigram rank-distance model; the SQL mirror is GENERATED from
+    // the same literal profiles (TextFns.LangProfiles) — no drift possible
+    "text_langid" -> TextFns.langIdOracle("documents"),
     "embed_topk" ->
       """WITH scored AS (
         |  SELECT p.vec_id AS probe_id, v.vec_id,

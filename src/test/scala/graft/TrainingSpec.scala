@@ -14,6 +14,73 @@ class TrainingSpec extends AnyFunSuite {
 
   private lazy val corpus = TrainingSuite.dupCorpus(spark, TestSpark.sf0001).cache()
 
+  test("langId: trigram rank distance >= 0.95 accuracy on held-out " +
+      "multilingual sentences (none from the profile training text)") {
+    // 4 held-out docs per language — written AFTER the profiles were
+    // frozen, sharing no sentences with the training paragraphs
+    val planted: Seq[(String, String)] = Seq(
+      "da" -> "Han købte et nyt hus fordi familien havde brug for mere plads til børnene og deres ting.",
+      "da" -> "Om vinteren bliver dagene korte og vi tænder lys i vinduerne for at gøre det hyggeligt.",
+      "da" -> "Hun læser altid avisen om morgenen før hun tager på arbejde med toget ind til byen.",
+      "da" -> "Det danske sprog har mange ord som er svære at udtale for folk fra andre lande.",
+      "de" -> "Er kaufte ein neues Haus weil die Familie mehr Platz für die Kinder und ihre Sachen brauchte.",
+      "de" -> "Im Winter werden die Tage kurz und wir zünden Kerzen an um es gemütlich zu machen.",
+      "de" -> "Sie liest morgens immer die Zeitung bevor sie mit dem Zug zur Arbeit in die Stadt fährt.",
+      "de" -> "Die deutsche Sprache hat viele Wörter die für Menschen aus anderen Ländern schwer auszusprechen sind.",
+      "en" -> "He bought a new house because the family needed more room for the children and their things.",
+      "en" -> "In winter the days grow short and we light candles in the windows to make it cozy.",
+      "en" -> "She always reads the newspaper in the morning before taking the train to work in the city.",
+      "en" -> "The English language has many words that are hard to pronounce for people from other countries.",
+      "es" -> "Compró una casa nueva porque la familia necesitaba más espacio para los niños y sus cosas.",
+      "es" -> "En invierno los días se hacen cortos y encendemos velas en las ventanas para estar cómodos.",
+      "es" -> "Ella siempre lee el periódico por la mañana antes de tomar el tren al trabajo en la ciudad.",
+      "es" -> "La lengua española tiene muchas palabras difíciles de pronunciar para personas de otros países.",
+      "fr" -> "Il a acheté une nouvelle maison parce que la famille avait besoin de plus de place pour les enfants.",
+      "fr" -> "En hiver les jours deviennent courts et nous allumons des bougies aux fenêtres pour le confort.",
+      "fr" -> "Elle lit toujours le journal le matin avant de prendre le train pour aller travailler en ville.",
+      "fr" -> "La langue française contient beaucoup de mots difficiles à prononcer pour les gens des autres pays.",
+      "it" -> "Ha comprato una casa nuova perché la famiglia aveva bisogno di più spazio per i bambini.",
+      "it" -> "In inverno le giornate diventano corte e accendiamo candele alle finestre per stare comodi.",
+      "it" -> "Lei legge sempre il giornale la mattina prima di prendere il treno per andare al lavoro in città.",
+      "it" -> "La lingua italiana ha molte parole difficili da pronunciare per le persone di altri paesi.",
+      "nl" -> "Hij kocht een nieuw huis omdat het gezin meer ruimte nodig had voor de kinderen en hun spullen.",
+      "nl" -> "In de winter worden de dagen kort en we steken kaarsen aan voor de ramen om het gezellig te maken.",
+      "nl" -> "Zij leest altijd de krant in de ochtend voordat ze de trein naar haar werk in de stad neemt.",
+      "nl" -> "De nederlandse taal heeft veel woorden die moeilijk uit te spreken zijn voor mensen uit andere landen.",
+      "pl" -> "Kupił nowy dom ponieważ rodzina potrzebowała więcej miejsca dla dzieci i ich rzeczy.",
+      "pl" -> "Zimą dni stają się krótkie i zapalamy świece w oknach żeby było przytulnie w domu.",
+      "pl" -> "Ona zawsze czyta gazetę rano zanim pojedzie pociągiem do pracy w mieście.",
+      "pl" -> "Język polski ma wiele słów które są trudne do wymówienia dla ludzi z innych krajów.",
+      "pt" -> "Comprou uma casa nova porque a família precisava de mais espaço para as crianças e as suas coisas.",
+      "pt" -> "No inverno os dias ficam curtos e acendemos velas nas janelas para ficar confortável.",
+      "pt" -> "Ela lê sempre o jornal de manhã antes de apanhar o comboio para o trabalho na cidade.",
+      "pt" -> "A língua portuguesa tem muitas palavras difíceis de pronunciar para pessoas de outros países.",
+      "sv" -> "Han köpte ett nytt hus eftersom familjen behövde mer plats för barnen och deras saker.",
+      "sv" -> "På vintern blir dagarna korta och vi tänder ljus i fönstren för att göra det mysigt.",
+      "sv" -> "Hon läser alltid tidningen på morgonen innan hon tar tåget till jobbet inne i staden.",
+      "sv" -> "Det svenska språket har många ord som är svåra att uttala för människor från andra länder.")
+    val docs = planted.zipWithIndex
+      .map { case ((lang, text), k) => (k.toLong, lang, text) }
+      .toDF("doc_id", "true_lang", "text")
+    val pred = TextFns.langId(docs.select("doc_id", "text"))
+    val joined = pred.join(docs.select("doc_id", "true_lang"), "doc_id")
+    val n = joined.count()
+    val correct = joined.where(col("pred_lang") === col("true_lang")).count()
+    val acc = correct.toDouble / n
+    assert(n === planted.size)
+    assert(acc >= 0.95, {
+      val misses = joined.where(col("pred_lang") =!= col("true_lang"))
+        .collect().map(r => s"${r.getAs[String]("true_lang")}→" +
+          s"${r.getAs[String]("pred_lang")}").mkString(", ")
+      s"accuracy $acc < 0.95; misses: $misses"
+    })
+    // input with no full trigram degrades to "und", never errors
+    val tiny = Seq((0L, "!?"), (1L, "")).toDF("doc_id", "text")
+    val t = TextFns.langId(tiny).collect()
+      .map(r => r.getString(1)).toSet
+    assert(t === Set("und"))
+  }
+
   test("exact dedup groups the injected normalized duplicates") {
     val e = Dedup.exact(corpus)
     // every doc_id%10==5 original got an upper+whitespace twin at +200000
