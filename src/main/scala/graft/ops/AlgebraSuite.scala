@@ -324,6 +324,21 @@ object AlgebraSuite {
            |GROUP BY ?role ORDER BY ?role""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
     }),
+    "graphql_query" -> ((s, dir) =>
+      // GraphQL front door (docs/graphql/index.md): nested entity JSON
+      // per turn — @bind id, @one role, @many tools, nested next-turn
+      // object via the implicit lateral-join rule
+      graft.graphql.GraphQl.compile(trip(s, dir),
+        """query Q @prefix(map: {p: "http://graft.io/p/", g: "http://graft.io/"}) {
+          |  turns @pattern(of: "?t a g:Turn", from: "t", to: "t") {
+          |    id @bind(of: "?t")
+          |    role @pattern(of: "?t p:role ?r", from: "t", to: "r") @one
+          |    tools @pattern(of: "?t p:tool ?tool", from: "t", to: "tool")
+          |    next @pattern(of: "?t p:next ?n", from: "t", to: "n") {
+          |      nrole @pattern(of: "?n p:role ?nr", from: "n", to: "nr") @one
+          |    }
+          |  }
+          |}""".stripMargin)),
     "service_file" -> ((s, dir) => {
       // SERVICE against a LOCAL FILE endpoint (docs/examples/
       // README.md:630-650): the inner group evaluates against the
@@ -923,6 +938,23 @@ object AlgebraSuite {
          |  WHERE a.pred = '<${P}tool>' AND a.obj = '"tool_purchase"'
          |    AND n.pred = '<${P}next>'
          |    AND b.pred = '<${P}tool>' AND b.obj = '"tool_purchase"')""".stripMargin,
+    "graphql_query" ->
+      s"""WITH ${Transcripts.oracleCte},
+         |t AS (
+         |  SELECT conv_id, turn_idx, role, tool,
+         |    lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_idx,
+         |    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+         |  FROM transcripts
+         |)
+         |SELECT 'turns' AS field,
+         |  'http://graft.io/conv/' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS id,
+         |  '{"id":' || to_json('http://graft.io/conv/' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR)) ||
+         |  ',"role":' || to_json(role) ||
+         |  ',"tools":' || CASE WHEN tool IS NULL THEN '[]' ELSE '[' || to_json(tool) || ']' END ||
+         |  ',"next":' || CASE WHEN next_idx IS NULL THEN '[]'
+         |      ELSE '[{"nrole":' || to_json(next_role) || '}]' END ||
+         |  '}' AS js
+         |FROM t""".stripMargin,
     "service_file" ->
       """SELECT '<http://ex.org/c/'||c_custkey||'>' AS c,
         |       '<http://ex.org/n/'||c_nationkey||'>' AS nat,

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graphql.GraphQl
+
+/** GraphQL→query compiler: parsing, nested pattern compilation with
+  * implicit/explicit joins, @bind, cardinality control, prefixes, and
+  * loud rejects.
+  */
+class GraphQlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val quads = {
+    import spark.implicits._
+    Seq(
+      ("<p1>", "<http://ex.org/type>", "<http://ex.org/Person>"),
+      ("<p2>", "<http://ex.org/type>", "<http://ex.org/Person>"),
+      ("<p1>", "<http://ex.org/name>", "\"Ada\""),
+      ("<p2>", "<http://ex.org/name>", "\"Alan\""),
+      ("<p1>", "<http://ex.org/knows>", "<p2>"),
+      ("<p1>", "<http://ex.org/tag>", "\"b\""),
+      ("<p1>", "<http://ex.org/tag>", "\"a\""),
+      ("<p2>", "<http://ex.org/tag>", "\"c\"")
+    ).toDF("subj", "pred", "obj")
+  }
+
+  test("parse: fields, directives, nested sets, comments, commas") {
+    val q = GraphQl.parse(
+      """# a comment
+        |query Sample @prefix(map: {ex: "http://ex.org/"}, name: "x", iri: "http://x/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s") {
+        |    id @bind(of: "?s"),
+        |    tags @pattern(of: "?s ex:tag ?t", from: "s", to: "t") @many
+        |  }
+        |}""".stripMargin)
+    assert(q.roots.size === 1)
+    assert(q.roots.head.name === "people")
+    assert(q.roots.head.children.map(_.name) === Seq("id", "tags"))
+    assert(q.directives.head.name === "prefix")
+  }
+
+  test("nested query: implicit lateral joins, sorted arrays, @one guard") {
+    val text =
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s") {
+        |    id @bind(of: "?s")
+        |    name @pattern(of: "?s ex:name ?n", from: "s", to: "n") @one
+        |    tags @pattern(of: "?s ex:tag ?t", from: "s", to: "t")
+        |    knows @pattern(of: "?s ex:knows ?k", from: "s", to: "k") {
+        |      kname @pattern(of: "?k ex:name ?kn", from: "k", to: "kn") @one
+        |    }
+        |  }
+        |}""".stripMargin
+    val rows = GraphQl.compile(quads, text).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(rows("p1") ===
+      """{"id":"p1","name":"Ada","tags":["a","b"],"knows":[{"kname":"Alan"}]}""")
+    assert(rows("p2") ===
+      """{"id":"p2","name":"Alan","tags":["c"],"knows":[]}""")
+    // single-document envelope
+    val doc = GraphQl.document(quads, text)
+    assert(doc.startsWith("{\"data\":{\"people\":[{\"id\":\"p1\"") &&
+      doc.endsWith("}]}}"))
+  }
+
+  test("@one with multiple matches raises loudly") {
+    val text =
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s") {
+        |    tag @pattern(of: "?s ex:tag ?t", from: "s", to: "t") @one
+        |  }
+        |}""".stripMargin
+    val e = intercept[Exception](GraphQl.compile(quads, text).collect())
+    assert(e.getMessage.contains("@one") ||
+      e.getMessage.contains("is @one but matched") ||
+      Option(e.getCause).exists(_.getMessage.contains("matched")))
+  }
+
+  test("@join overrides the implicit parent-target join") {
+    // root targets BOTH ?s and ?n; the child joins on ?s only via @join
+    val text =
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  rows @pattern(of: "?s ex:name ?n", from: "s", to: ["s", "n"]) {
+        |    tags @pattern(of: "?x ex:tag ?t", from: "x", to: "t")
+        |         @join(parent: "s", this: "x")
+        |  }
+        |}""".stripMargin
+    val got = GraphQl.compile(quads, text).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(got("p1") === """{"tags":["a","b"]}""")
+    assert(got("p2") === """{"tags":["c"]}""")
+  }
+
+  test("@one cascade sets the default cardinality for children") {
+    val text =
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s")
+        |         @one(self: false, cascade: true) {
+        |    name @pattern(of: "?s ex:name ?n", from: "s", to: "n")
+        |  }
+        |}""".stripMargin
+    val got = GraphQl.compile(quads, text).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    // name inherited @one → scalar, not array
+    assert(got("p1") === """{"name":"Ada"}""")
+  }
+
+  test("loud rejects: @index, unknown directives, mutations, no pattern") {
+    def bad(t: String, frag: String): Unit = {
+      val e = intercept[Exception](GraphQl.compile(quads, t).collect())
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    bad("""{ f @pattern(of: "?s ?p ?o", to: "o") @index(by: "?p") }""",
+      "@index is not supported")
+    bad("""{ f @pattern(of: "?s ?p ?o", to: "o") @frobnicate }""",
+      "unknown directive")
+    bad("""{ f }""", "needs @pattern or @bind")
+    intercept[IllegalArgumentException](
+      GraphQl.parse("mutation { f }"))
+  }
+}
