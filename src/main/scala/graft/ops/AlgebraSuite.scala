@@ -324,6 +324,69 @@ object AlgebraSuite {
            |GROUP BY ?role ORDER BY ?role""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
     }),
+    "csv_scan_pf" -> ((s, dir) => {
+      // csv:parse FILE form via the text front door — the reference's
+      // streaming CSV scan (docs/examples/README.md:390-413, csv.sparql
+      // statement 1); fixture shared with csv_scan
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
+      val rows = customer(s, dir)
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey").collect()
+      val sb = new StringBuilder("k,name,seg\n")
+      rows.foreach(r =>
+        sb.append(r.getLong(0)).append(',').append(r.getString(1))
+          .append(',').append(r.getString(2)).append('\n'))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      val unit = s.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+        StructType(Nil))
+      graft.rules.ConstructParser.parseSelect(
+        s"SELECT * { <file:$path> csv:parse (?rowJson \"excel -h\") }").run(unit)
+    }),
+    "csv_inline_pf" -> ((s, dir) => {
+      // csv.sparql statement 2 VERBATIM: inline CSV literal
+      val unit = s.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+        StructType(Nil))
+      graft.rules.ConstructParser.parseSelect(
+        "SELECT * {\n\"\"\"fn,ln\nMary,Major\nJohn,Doe\"\"\" csv:parse (?rowJson \"excel -h\")\n}")
+        .run(unit)
+    }),
+    "xml_unnest_text" -> ((s, dir) => {
+      // xml-unnest.sparql VERBATIM: xsd:xml literal + xml:unnest PF
+      val unit = s.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+        StructType(Nil))
+      graft.rules.ConstructParser.parseSelect(
+        "SELECT * {\n  \"\"\"<ul id=\"ul1\"><li>item</li></ul>\"\"\"^^xsd:xml xml:unnest (\"//li\" ?item)\n}")
+        .run(unit)
+    }),
+    "example_io" -> ((s, dir) => {
+      // io.sparql statement 1 VERBATIM (eg: prelude, BIND-only UNION
+      // branch = unit solution, [] anonymous subject), seeded with
+      // customer-derived eg:value triples
+      val seed = customer(s, dir).select(
+        concat(lit("<http://www.example.org/c"), col("c_custkey"), lit(">")).as("subj"),
+        lit("<http://www.example.org/value>").as("pred"),
+        concat(lit("\""), col("c_custkey"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")).as("obj"))
+      val q =
+        """CONSTRUCT {
+          |  ?s eg:value ?o
+          |}
+          |{
+          |  {
+          |    BIND(1 AS ?o)
+          |  }
+          |  UNION {
+          |    [] eg:value ?y
+          |    BIND(?y + 1 AS ?o)
+          |  }
+          |  BIND(IRI(CONCAT(STR(eg:), 's', STR(?o))) AS ?s)
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseConstruct(q).run(seed)
+    }),
     "graphql_query" -> ((s, dir) =>
       // GraphQL front door (docs/graphql/index.md): nested entity JSON
       // per turn — @bind id, @one role, @many tools, nested next-turn
@@ -938,6 +1001,30 @@ object AlgebraSuite {
          |  WHERE a.pred = '<${P}tool>' AND a.obj = '"tool_purchase"'
          |    AND n.pred = '<${P}next>'
          |    AND b.pred = '<${P}tool>' AND b.obj = '"tool_purchase"')""".stripMargin,
+    "csv_scan_pf" ->
+      """SELECT '"' ||
+        |  replace(replace(to_json(struct_pack(
+        |      k := CAST(c_custkey AS VARCHAR), name := c_name,
+        |      seg := c_mktsegment))::VARCHAR,
+        |    chr(92), chr(92)||chr(92)), '"', chr(92)||'"') ||
+        |  '"^^<http://www.w3.org/2001/XMLSchema#json>' AS rowJson
+        |FROM customer""".stripMargin,
+    "csv_inline_pf" ->
+      """SELECT '"{\"fn\":\"Mary\",\"ln\":\"Major\"}"^^<http://www.w3.org/2001/XMLSchema#json>' AS rowJson
+        |UNION ALL
+        |SELECT '"{\"fn\":\"John\",\"ln\":\"Doe\"}"^^<http://www.w3.org/2001/XMLSchema#json>'""".stripMargin,
+    "xml_unnest_text" ->
+      """SELECT '"item"' AS item""",
+    "example_io" ->
+      """SELECT '<http://www.example.org/s' ||
+        |         CAST(CAST(c_custkey + 1 AS DOUBLE) AS VARCHAR) || '>' AS subj,
+        |       '<http://www.example.org/value>' AS pred,
+        |       '"' || CAST(CAST(c_custkey + 1 AS DOUBLE) AS VARCHAR) || '"' AS obj,
+        |       '<urn:x-arq:DefaultGraph>' AS graph
+        |FROM customer
+        |UNION ALL
+        |SELECT '<http://www.example.org/s1.0>', '<http://www.example.org/value>',
+        |       '"1.0"', '<urn:x-arq:DefaultGraph>'""".stripMargin,
     "graphql_query" ->
       s"""WITH ${Transcripts.oracleCte},
          |t AS (

@@ -1,6 +1,6 @@
 package graft.rules
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.functions.RdfTerms
@@ -88,6 +88,12 @@ object ConstructParser {
   /** Hidden column carrying the per-solution id for fresh template bnodes. */
   private[rules] val RowIdCol = "#construct_rowid"
 
+  /** The unit solution: one row, zero columns (SPARQL's Z = { mu0 }). */
+  private[rules] def unitFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+      org.apache.spark.sql.types.StructType(Nil))
+
   /** Resolve a SERVICE endpoint IRI to a local filesystem path. Only
     * `file:` IRIs are accepted (file:/abs, file:///abs, file:relative);
     * network schemes fail loudly — federation is out of scope in a
@@ -114,6 +120,25 @@ object ConstructParser {
   /** The reference's JSON function namespace (jsa.aksw.org/fn). */
   private[rules] val JsonNs = "http://jsa.aksw.org/fn/json/"
   private[rules] val JsonUnnestIri = JsonNs + "unnest"
+  private[rules] val CsvNs = "http://jsa.aksw.org/fn/csv/"
+  private[rules] val XmlNs = "http://jsa.aksw.org/fn/xml/"
+  // literal, NOT XsdNs-derived: object init order (XsdNs binds later)
+  private[rules] val XsdJson = "http://www.w3.org/2001/XMLSchema#json"
+
+  /** Base directory for RELATIVE file IRIs in csv:parse / SERVICE etc.
+    * (the reference resolves them against the script's directory).
+    * Settable via `-Dgraft.sparql.base=…`; defaults to the process cwd.
+    */
+  private[graft] def fileBase: String =
+    sys.props.getOrElse("graft.sparql.base", sys.props("user.dir"))
+
+  private[graft] def resolveFileIri(iri: String): String = {
+    val p = if (iri.startsWith("file:")) serviceFilePath(iri) else iri
+    require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
+      s"<$iri> is not a resolvable local file IRI (network schemes are " +
+        "scoped out)")
+    if (p.startsWith("/")) p else fileBase + "/" + p
+  }
   private[rules] val XsdNs = "http://www.w3.org/2001/XMLSchema#"
 
   /** Execute a combined `DELETE {…} INSERT {…} WHERE {…}`: the shared
@@ -281,7 +306,20 @@ object ConstructParser {
   private[rules] final class P(s: String, ctx: EvalCtx = EvalCtx()) {
     private var i = 0
     private val n = s.length
-    private val prefixes = scala.collection.mutable.HashMap[String, String]()
+    // predefined prelude: the reference's integrate command lets scripts
+    // omit PREFIX lines for a set of well-known namespaces (its docs
+    // examples use eg:/csv:/xml:/json: undeclared — e.g. docs/examples/
+    // io.sparql, csv.sparql); an explicit PREFIX overrides the prelude
+    private val prefixes = scala.collection.mutable.HashMap[String, String](
+      "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+      "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+      "owl" -> "http://www.w3.org/2002/07/owl#",
+      "xsd" -> ConstructParser.XsdNs,
+      "eg" -> "http://www.example.org/",
+      "json" -> ConstructParser.JsonNs,
+      "csv" -> ConstructParser.CsvNs,
+      "xml" -> ConstructParser.XmlNs,
+      "norse" -> "https://w3id.org/aksw/norse#")
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
     // BGP mode state: flips when the first triple pattern is parsed;
@@ -299,6 +337,11 @@ object ConstructParser {
     private var lastProjectionNulls: Set[String] = Set.empty
     // object vars bound by property functions before BGP mode flips
     private val propFnVars = scala.collection.mutable.ArrayBuffer[String]()
+    // the subset of propFnVars whose values are TERMS (csv:parse rows,
+    // xml:unnest matches), not raw strings like json:unnest elements
+    private val propFnTermVars = scala.collection.mutable.HashSet[String]()
+    // fresh labels for `[]` anonymous pattern nodes
+    private var anonCounter = 0
     // the enclosing query's dataset clause: subqueries inherit it when
     // they declare no FROM of their own (SPARQL subqueries share the
     // outer dataset)
@@ -325,6 +368,7 @@ object ConstructParser {
       dsCtx = DatasetClause(Nil, Nil)
       withCtx = None
       propFnVars.clear()
+      propFnTermVars.clear()
     }
 
     private def prefixLoop(): Unit = {
@@ -825,7 +869,7 @@ object ConstructParser {
               else fail("expected comparison in HAVING")
             skipWs()
             val rhs: Column = peek match {
-              case '"' => lit(stringLit())
+              case '"' | '\'' => lit(stringLit())
               case '?' => col(varName())
               case c if c.isDigit || c == '-' => lit(number().toLong)
               case _ => fail("HAVING rhs must be a literal or variable")
@@ -1178,6 +1222,10 @@ object ConstructParser {
     private case class VarT(name: String) extends Tok
     private case class IriT(iri: String) extends Tok
     private case class StrT(v: String) extends Tok
+    /** Typed literal constant in a pattern position ("…"^^dt). */
+    private case class TypedStrT(v: String, dt: String) extends Tok
+    /** Collection object — only valid as property-function arguments. */
+    private case class ListT(items: Seq[Tok]) extends Tok
     private case class NumT(lex: String) extends Tok
     /** A property path in predicate position (WHERE patterns only). */
     private case class PathT(p: PathOps.PathExpr) extends Tok
@@ -1248,7 +1296,29 @@ object ConstructParser {
       peek match {
         case '?' => VarT(varName())
         case '<' => IriT(iriRef())
-        case '"' => StrT(stringLit())
+        case '"' | '\'' =>
+          val body = stringLit()
+          // optional ^^datatype suffix (langtags on pattern constants
+          // stay unsupported-loud via the '@' fallthrough below)
+          if (peek == '^' && i + 1 < n && s.charAt(i + 1) == '^') {
+            i += 2
+            skipWs()
+            val dt = if (peek == '<') iriRef() else prefixedIri()
+            TypedStrT(body, dt)
+          } else StrT(body)
+        case '(' =>
+          i += 1
+          val items = scala.collection.mutable.ArrayBuffer[Tok]()
+          skipWs()
+          while (peek != ')') { items += tok(); skipWs() }
+          i += 1
+          ListT(items.toSeq)
+        case '[' =>
+          // `[]` anonymous node = a fresh query-scoped variable
+          // (SPARQL §19.6); bracketed property lists stay unsupported
+          i += 1; skipWs()
+          if (peek == ']') { i += 1; anonCounter += 1; BnodeT("anon" + anonCounter) }
+          else fail("[…] property lists are not supported — only bare []")
         case '_' if i + 1 < n && s.charAt(i + 1) == ':' =>
           i += 2
           val start = i
@@ -1346,6 +1416,7 @@ object ConstructParser {
     private def termOf(t: Tok): Column = t match {
       case IriT(iri) => lit("<" + iri + ">")
       case StrT(v) => lit("\"" + TrigEscape(v) + "\"")
+      case TypedStrT(v, dt) => lit("\"" + TrigEscape(v) + "\"^^<" + dt + ">")
       case NumT(lex) =>
         lit("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
       case VarT(v) =>
@@ -1390,6 +1461,16 @@ object ConstructParser {
     private case class ValuesE(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends WhereEl
     private case class ServiceE(url: String, els: Seq[WhereEl],
         silent: Boolean) extends WhereEl
+    /** `src csv:parse (?row "excel -h")` — Left = file IRI (streaming
+      * scan), Right = inline CSV text.
+      */
+    private case class CsvParseE(src: Either[String, String], v: String,
+        opts: String) extends WhereEl
+    /** `src xml:unnest ("//xpath" ?item)` — Left = constant XML text,
+      * Right = a bound subject var holding an xsd:xml term.
+      */
+    private case class XmlUnnestE(src: Either[String, String],
+        xpath: String, v: String) extends WhereEl
     /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
       * are visible, so the compiled frame joins like any pattern.
       * `nulls` = projected vars that may be UNBOUND (computed statically
@@ -1546,6 +1627,53 @@ object ConstructParser {
           out += (if (gs.size == 1) GroupE(first) else UnionE(gs))
         } else {
           tripleLines(allowPaths = true).foreach {
+            case (src, IriT(iri), ListT(args))
+                if iri == ConstructParser.CsvNs + "parse" =>
+              // csv:parse property function (docs/examples/
+              // README.md:390-413): each CSV row becomes one solution
+              // with ?row bound to an xsd:json object literal
+              val (v, opts) = args match {
+                case Seq(VarT(rv)) => (rv, "excel -h")
+                case Seq(VarT(rv), StrT(o)) => (rv, o)
+                case _ => fail(
+                  "csv:parse takes (?rowVar \"optionsString\")")
+              }
+              val s0 = src match {
+                case IriT(f) => Left(f)
+                case StrT(t) => Right(t)
+                case TypedStrT(t, _) => Right(t)
+                case other => fail("csv:parse subject must be a CSV " +
+                  s"string literal or a file IRI, got $other")
+              }
+              out += CsvParseE(s0, v, opts)
+              propFnVars += v
+              propFnTermVars += v
+              if (sawPattern) bgpVarTerm(v) = true
+            case (src, IriT(iri), ListT(args))
+                if iri == ConstructParser.XmlNs + "unnest" =>
+              // xml:unnest property function (docs/examples/
+              // README.md:456-500): one solution per XPath match; the
+              // match's string-value binds as a plain literal (node
+              // re-serialization is not expressible with the codegen
+              // xpath primitive — documented reduction)
+              val (xp, v) = args match {
+                case Seq(StrT(x), VarT(xv)) => (x, xv)
+                case _ => fail("xml:unnest takes (\"xpath\" ?var)")
+              }
+              val s0 = src match {
+                case TypedStrT(x, _) => Left(x)
+                case StrT(x) => Left(x)
+                case VarT(sv) => Right(sv)
+                case other => fail("xml:unnest subject must be an XML " +
+                  s"literal or a bound variable, got $other")
+              }
+              out += XmlUnnestE(s0, xp, v)
+              propFnVars += v
+              propFnTermVars += v
+              if (sawPattern) bgpVarTerm(v) = true
+            case (_, _, ListT(_)) => fail(
+              "collection objects are only supported as " +
+                "property-function arguments (csv:parse, xml:unnest)")
             case (a, IriT(ConstructParser.JsonUnnestIri), c)
                 if !(a.isInstanceOf[VarT] && c.isInstanceOf[VarT]) =>
               fail("json:unnest needs a variable subject and a variable object")
@@ -1564,7 +1692,7 @@ object ConstructParser {
                 // BINDs and property-function vars parsed before the
                 // first pattern migrate to BGP vars
                 binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
-                propFnVars.foreach(v => bgpVarTerm(v) = false)
+                propFnVars.foreach(v => bgpVarTerm(v) = propFnTermVars(v))
               }
               out += TpE(graphCtx, a, b, c)
               Seq(a, b, c).foreach {
@@ -1594,6 +1722,8 @@ object ConstructParser {
       case _: BindE => "BIND"
       case _: FilterE => "FILTER"
       case _: ServiceE => "SERVICE"
+      case _: CsvParseE => "csv:parse"
+      case _: XmlUnnestE => "xml:unnest"
     }
 
     /** Static (parse-time) binding analysis of a group: (bound vars,
@@ -1649,6 +1779,8 @@ object ConstructParser {
           if (silent) maybe ++= b ++ m
           else { bound ++= b; maybe ++= m }
         case PropFnE(_, _, ov) => bound += ov
+        case CsvParseE(_, v, _) => bound += v
+        case XmlUnnestE(_, _, v) => bound += v
       }
       (bound, maybe)
     }
@@ -1656,6 +1788,8 @@ object ConstructParser {
     /** Does the element tree contain a property-function pattern? */
     private def containsPropFn(els: Seq[WhereEl]): Boolean = els.exists {
       case _: PropFnE => true
+      case _: CsvParseE => true
+      case _: XmlUnnestE => true
       case GroupE(in) => containsPropFn(in)
       case UnionE(gs) => gs.exists(containsPropFn)
       case OptionalE(in) => containsPropFn(in)
@@ -1858,7 +1992,11 @@ object ConstructParser {
             else if (neg) Bgp.notExists(acc, sub)
             else Bgp.exists(acc, sub)
         case BindE(v, e) =>
-          require(acc != null, "BIND before any pattern in a BGP group")
+          // a group (or UNION branch) that starts with BIND extends the
+          // UNIT solution (SPARQL 18.2: Join(Z, Extend(...)) with Z = the
+          // one empty mapping) — the io.sparql docs example's first
+          // branch is exactly this shape
+          if (acc == null) acc = ConstructParser.unitFrame(quads.sparkSession)
           // a BIND over a maybe-unbound var is itself maybe-unbound
           // (NULL propagates through expressions), and a BIND whose
           // expression can ERROR to NULL on all-bound inputs (date
@@ -1914,6 +2052,81 @@ object ConstructParser {
             val (res, mn) = compileGroupN(inner, sdf, NoDataset)
             joinIn(res, mn)
           }
+        case CsvParseE(src, v, opts) =>
+          // csv:parse: file form = a real distributed CSV scan (the
+          // reference's streaming form — arbitrarily large files);
+          // inline form = driver-side parse of the constant text. Rows
+          // surface as xsd:json object literals keyed by the header.
+          val spark = quads.sparkSession
+          val parts = opts.trim.split("\\s+").toSeq
+          require(parts.headOption.exists(Set("excel", "default").contains),
+            s"csv:parse: unsupported dialect '${opts.trim}' — supported: " +
+              "\"excel -h\" / \"default -h\"")
+          require(parts.tail == Seq("-h"),
+            "csv:parse: only the -h modifier (first row = headers) is " +
+              s"supported, got '$opts'")
+          val df = src match {
+            case Left(fileIri) =>
+              val path = ConstructParser.resolveFileIri(fileIri)
+              val raw = spark.read.option("header", "true").csv(path)
+              raw.select(RdfTerms.typedLit(
+                to_json(struct(raw.columns.map(col): _*)),
+                ConstructParser.XsdJson).as(v))
+            case Right(text) =>
+              val lines = text.split("\r?\n").toSeq.filter(_.nonEmpty)
+              require(lines.nonEmpty, "csv:parse: empty inline CSV")
+              // minimal excel-dialect split (no quoted-field support for
+              // the INLINE form — use the file form for full CSV)
+              def cells(l: String) = l.split(",", -1).toSeq
+              val hdr = cells(lines.head)
+              def jq(x: String) = "\"" + x.replace("\\", "\\\\")
+                .replace("\"", "\\\"") + "\""
+              val rows = lines.tail.map { l =>
+                val json = hdr.zip(cells(l)).map { case (k, x) =>
+                  jq(k) + ":" + jq(x) }.mkString("{", ",", "}")
+                "\"" + graft.sources.TrigParser.ntEscape(json) + "\"^^<" +
+                  ConstructParser.XsdJson + ">"
+              }
+              import spark.implicits._
+              rows.toList.toDF(v)
+          }
+          joinIn(df)
+        case XmlUnnestE(src, xp0, v) =>
+          // the codegen xpath primitive yields node string-values only
+          // for text()/@attr steps — element selections get /text()
+          // appended so "//li" means the li's text content
+          val xp = {
+            val last = xp0.substring(xp0.lastIndexOf('/') + 1)
+            if (last.startsWith("@") || last == "text()") xp0
+            else xp0 + "/text()"
+          }
+          // xml:unnest: explode the XPath matches' string-values (the
+          // codegen xpath primitive); constant XML = a one-row source,
+          // variable subject = a lateral per-solution explode
+          val spark = quads.sparkSession
+          src match {
+            case Left(constXml) =>
+              import spark.implicits._
+              val df = Seq(constXml).toDF("#xml")
+                .withColumn("#arr", xpath(col("#xml"), lit(xp)))
+                .select(explode_outer(col("#arr")).as("#item"))
+                .where(col("#item").isNotNull)
+                .select(RdfTerms.strLit(col("#item")).as(v))
+              joinIn(df)
+            case Right(sv) =>
+              require(acc != null && acc.columns.contains(sv),
+                s"xml:unnest subject ?$sv is not bound")
+              val body = RdfTerms.ntUnescape(
+                regexp_extract(col(sv).cast("string"),
+                  "(?s)^\"(.*)\"(?:\\^\\^<[^>]*>)?$", 1))
+              acc = acc
+                .withColumn("#xmlarr", xpath(body, lit(xp)))
+                .select(col("*"),
+                  explode_outer(col("#xmlarr")).as("#xmlitem"))
+                .where(col("#xmlitem").isNotNull)
+                .withColumn(v, RdfTerms.strLit(col("#xmlitem")))
+                .drop("#xmlarr", "#xmlitem")
+          }
         case PropFnE(sv, sTerm, ov) =>
           require(acc != null && acc.columns.contains(sv),
             s"json:unnest subject ?$sv is not bound")
@@ -1950,6 +2163,10 @@ object ConstructParser {
       case VarT(v) => Right(v)
       case IriT(iri) => Left("<" + iri + ">")
       case StrT(v) => Left("\"" + TrigEscape(v) + "\"")
+      case TypedStrT(v, dt) => Left("\"" + TrigEscape(v) + "\"^^<" + dt + ">")
+      case ListT(_) => fail(
+        "collection objects are only supported as property-function " +
+          "arguments (csv:parse, xml:unnest)")
       case NumT(lex) =>
         Left("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
       case PathT(_) => fail("property path outside predicate position")
@@ -2210,7 +2427,15 @@ object ConstructParser {
             bgpVarTerm.get(v).map(t => E(col(v), t))
               .getOrElse(E(col(v), term = false))
           else binds.getOrElse(v, E(col(v), term = false))
-        case '"' => E(lit(stringLit()), term = false)
+        case '"' | '\'' =>
+          val body = stringLit()
+          // typed-literal constants in expression position — the docs'
+          // `'…'^^xsd:xml` / `'…'^^xsd:json` payload idiom
+          if (peek == '^' && i + 1 < n && s.charAt(i + 1) == '^') {
+            i += 2; skipWs()
+            val dt = if (peek == '<') iriRef() else prefixedIri()
+            E(lit("\"" + TrigEscape(body) + "\"^^<" + dt + ">"), term = true)
+          } else E(lit(body), term = false)
         case '<' => E(lit("<" + iriRef() + ">"), term = true)
         case '(' => i += 1; val e = expr(); skipWs(); expect(')'); e
         case c if c.isDigit || c == '-' =>
@@ -2397,6 +2622,17 @@ object ConstructParser {
             E(get_json_object(jsonRaw(src), path), term = false)
           } else if (iri == ConstructParser.JsonNs + "parse") {
             E(jsonRaw(arg1()), term = false) // JSON rides as raw text
+          } else if (iri == ConstructParser.XmlNs + "path") {
+            // xml:path scalar (docs/examples/README.md:456-500): the
+            // XPath match's string-value ("//ul/@id" attribute form
+            // included); node re-serialization is not expressible with
+            // the codegen xpath primitives — documented reduction
+            expect('(')
+            val src = expr()
+            skipWs(); expect(','); skipWs()
+            val pathStr = stringLit()
+            skipWs(); expect(')')
+            E(xpath_string(jsonRaw(src), lit(pathStr)), term = false)
           } else fail(s"unknown function <$iri>")
         case _ => fail("unsupported expression")
       }
@@ -2559,10 +2795,41 @@ object ConstructParser {
       ns + s.substring(lstart, i)
     }
 
+    /** SPARQL string literal: short or long (triple-quoted), either
+      * quote char. Long strings take embedded newlines/quotes verbatim
+      * (the docs examples' inline CSV/XML payloads).
+      */
     private def stringLit(): String = {
-      expect('"')
+      skipWs()
+      val q = peek
+      if (q != '"' && q != '\'') fail("expected a string literal")
+      if (i + 2 < n && s.charAt(i + 1) == q && s.charAt(i + 2) == q) {
+        i += 3
+        val b = new StringBuilder
+        while (i + 2 < n && !(s.charAt(i) == q && s.charAt(i + 1) == q &&
+            s.charAt(i + 2) == q)) {
+          if (s.charAt(i) == '\\' && i + 1 < n) {
+            i += 1
+            s.charAt(i) match {
+              case 'n' => b.append('\n'); case 't' => b.append('\t')
+              case 'r' => b.append('\r'); case '"' => b.append('"')
+              case '\'' => b.append('\''); case '\\' => b.append('\\')
+              case o => fail(s"unsupported escape \\$o")
+            }
+            i += 1
+          } else { b.append(s.charAt(i)); i += 1 }
+        }
+        if (i + 2 >= n) fail("unterminated long string")
+        i += 3
+        return b.toString
+      }
+      shortString(q)
+    }
+
+    private def shortString(q: Char): String = {
+      expect(q)
       val b = new StringBuilder
-      while (i < n && s.charAt(i) != '"') {
+      while (i < n && s.charAt(i) != q) {
         if (s.charAt(i) == '\\') {
           if (i + 1 >= n) fail("dangling escape")
           i += 1
@@ -2583,7 +2850,7 @@ object ConstructParser {
           }
         } else { b.append(s.charAt(i)); i += 1 }
       }
-      expect('"')
+      expect(q)
       b.toString
     }
 

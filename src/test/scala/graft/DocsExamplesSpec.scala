@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rules.ConstructParser
+
+/** Reference docs/examples scripts run VERBATIM through the text front
+  * door (VERDICT r4 task 6): csv.sparql (both statements), xml-unnest
+  * .sparql, io.sparql, namespace-test.sparql's prefix carry-over idea,
+  * plus loud rejects for the documented out-of-scope corners.
+  */
+class DocsExamplesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+
+  private def unit = spark.createDataFrame(
+    java.util.Collections.singletonList(Row()), StructType(Nil))
+
+  private val XJ = "^^<http://www.w3.org/2001/XMLSchema#json>"
+
+  test("csv.sparql statement 2 verbatim: inline CSV literal via csv:parse") {
+    // docs/examples/csv.sparql:5-9, byte-for-byte
+    val q =
+      "SELECT * {\n" +
+        "\"\"\"fn,ln\n" +
+        "Mary,Major\n" +
+        "John,Doe\"\"\" csv:parse (?rowJson \"excel -h\")\n" +
+        "}"
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+      .map(_.getString(0)).toSet
+    assert(got === Set(
+      "\"{\\\"fn\\\":\\\"Mary\\\",\\\"ln\\\":\\\"Major\\\"}\"" + XJ,
+      "\"{\\\"fn\\\":\\\"John\\\",\\\"ln\\\":\\\"Doe\\\"}\"" + XJ))
+  }
+
+  test("csv.sparql statement 1 verbatim: file IRI form, relative base") {
+    val base = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(base, "example-data"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "example-data", "people.csv"),
+      "fn,ln\nMary,Major\nJohn,Doe\n") // = the reference's fixture content
+    val old = sys.props.get("graft.sparql.base")
+    sys.props("graft.sparql.base") = base
+    try {
+      val q = "SELECT * { <example-data/people.csv> csv:parse (?rowJson \"excel -h\") }"
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+        .map(_.getString(0)).toSet
+      assert(got === Set(
+        "\"{\\\"fn\\\":\\\"Mary\\\",\\\"ln\\\":\\\"Major\\\"}\"" + XJ,
+        "\"{\\\"fn\\\":\\\"John\\\",\\\"ln\\\":\\\"Doe\\\"}\"" + XJ))
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.sparql.base") = v
+        case None => sys.props.remove("graft.sparql.base")
+      }
+    }
+  }
+
+  test("xml-unnest.sparql verbatim: xsd:xml literal subject") {
+    val q =
+      "SELECT * {\n" +
+        "  \"\"\"<ul id=\"ul1\"><li>item</li></ul>\"\"\"^^xsd:xml xml:unnest (\"//li\" ?item)\n" +
+        "}"
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+      .map(_.getString(0)).toSeq
+    assert(got === Seq("\"item\"")) // match string-value as a literal term
+  }
+
+  test("xml:unnest over a VARIABLE subject explodes per solution") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<a>", "<http://ex.org/xml>",
+        "\"<r><li>x1</li><li>x2</li></r>\"^^<http://www.w3.org/2001/XMLSchema#xml>"),
+      ("<b>", "<http://ex.org/xml>", "\"<r><li>y</li></r>\""))
+      .toDF("subj", "pred", "obj")
+    val q =
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s ?item WHERE {
+        |  ?s ex:xml ?x .
+        |  ?x xml:unnest ("//li" ?item)
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("<a>", "\"x1\""), ("<a>", "\"x2\""),
+      ("<b>", "\"y\"")))
+  }
+
+  test("io.sparql CONSTRUCT verbatim: BIND-only UNION branch = unit solution") {
+    import spark.implicits._
+    // docs/examples/io.sparql statement 1, byte-for-byte (eg: prelude)
+    val q =
+      """CONSTRUCT {
+        |  ?s eg:value ?o
+        |}
+        |{
+        |  {
+        |    BIND(1 AS ?o)
+        |  }
+        |  UNION {
+        |    [] eg:value ?y
+        |    BIND(?y + 1 AS ?o)
+        |  }
+        |  BIND(IRI(CONCAT(STR(eg:), 's', STR(?o))) AS ?s)
+        |}""".stripMargin
+    val seed = Seq(
+      ("<http://www.example.org/a>", "<http://www.example.org/value>",
+        "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+      .toDF("subj", "pred", "obj")
+    val got = ConstructParser.parseConstruct(q).run(seed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // numeric tower is double-based (documented): ?o prints 1.0 / 6.0
+    assert(got.map(t => (t._1, t._2)) === Set(
+      ("<http://www.example.org/s1.0>", "<http://www.example.org/value>"),
+      ("<http://www.example.org/s6.0>", "<http://www.example.org/value>")))
+    assert(got.map(_._3).exists(_.contains("1")))
+    // with an EMPTY input the pattern branch vanishes, the unit branch stays
+    val empty = seed.where("1=0")
+    val got2 = ConstructParser.parseConstruct(q).run(empty).collect()
+    assert(got2.length === 1)
+  }
+
+  test("namespace carry-over shape: PREFIX from one statement reused " +
+      "(namespace-test.sparql's check, via the script runner's prefix scope)") {
+    // the pair lives in the reference's test resources; the semantic —
+    // a later statement reusing an earlier PREFIX — is covered by the
+    // script layer; here: the PRELUDE makes eg:/rdfs: available with no
+    // declaration at all, which the second file (test-used-prefixes
+    // .sparql) relies on
+    import spark.implicits._
+    val quads = Seq(("<s>", "<http://www.w3.org/2000/01/rdf-schema#label>",
+      "\"Foobar\"")).toDF("subj", "pred", "obj")
+    val got = ConstructParser.parseSelect(
+      "SELECT ?o WHERE { ?s rdfs:label ?o }").run(quads).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("\"Foobar\""))
+  }
+
+  test("loud rejects: non-file IRIs, unsupported dialects, property lists") {
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[Exception](
+        ConstructParser.parseSelect(q).run(unit).collect())
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    bad("SELECT * { <http://x.org/f.csv> csv:parse (?r \"excel -h\") }",
+      "not a resolvable local file IRI")
+    bad("SELECT * { \"a,b\" csv:parse (?r \"tsv\") }", "unsupported dialect")
+    bad("SELECT * { \"a,b\" csv:parse (?r \"excel\") }", "-h")
+    bad("SELECT * { [ ?p ?o ] ?q ?r }", "property lists are not supported")
+  }
+}
