@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.TruncateOps
 
 /** Document deduplication for training-data pipelines: exact,
   * n-gram-Jaccard (the exact baseline), MinHash+LSH (the 100 TB path),
@@ -148,7 +149,7 @@ object Dedup {
     val ex = exact(docs) // (doc_id, rep_id, group_size)
     val reps = docs.join(
       ex.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
-    val sh = shingles(reps, n).localCheckpoint(false)
+    val sh = shingles(reps, n).truncateLineage(false)
     val sig = minhashSignatures(sh, numHashes)
     val buckets0 = lshBuckets(sig, numHashes, rowsPerBand)
     val buckets = if (maxBucketSize == Long.MaxValue) buckets0

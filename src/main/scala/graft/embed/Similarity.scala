@@ -3,6 +3,7 @@ package graft.embed
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.TruncateOps
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -124,7 +125,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, probeFilter: Column, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val base = embeddings.select(col("vec_id"),
-      asDouble(col("embedding")).as("v")).localCheckpoint(false)
+      asDouble(col("embedding")).as("v")).truncateLineage(false)
     val centroids = trainCentroids(base, nCells, iters)
     if (centroids.isEmpty) // empty corpus: empty result, like the baseline
       return base.select(col("vec_id").as("probe_id"), col("vec_id"),

@@ -2,6 +2,7 @@ package graft.graphops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Connected components over an edge list via alternating large-star /
   * small-star contraction (Kiveris et al., "Connected Components in
@@ -38,7 +39,7 @@ object ConnectedComponents {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst")) // src > dst invariant
       .distinct()
-      .localCheckpoint(false) // materialized by the first fingerprint job
+      .truncateLineage(false) // materialized by the first fingerprint job
 
     // Hybrid solve: an alias graph far below cluster scale is cheaper on
     // the driver (one collect + union-find) than as log-n shuffle rounds —
@@ -91,7 +92,7 @@ object ConnectedComponents {
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .distinct()
-        .localCheckpoint(false) // materialized by the fingerprint below
+        .truncateLineage(false) // materialized by the fingerprint below
 
       // converged when the edge set is a stable set of stars. Cheap
       // order-independent fingerprint (count + hash-sum) instead of two

@@ -2,6 +2,7 @@ package graft.linking
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Entity-linking stage: dictionary gazetteer + broadcast mention scan.
   *
@@ -210,7 +211,7 @@ object Gazetteer {
     // Span side deliberately uses ALL lengths 1..maxTok (no length-set
     // pruning like the exact path): fuzzy matches may differ in token
     // count from every gazetteer surface (typos add/drop separators).
-    val spans = ngramSpans(transcripts, maxTok).localCheckpoint(false)
+    val spans = ngramSpans(transcripts, maxTok).truncateLineage(false)
     val spanKeys = spans.select(col("__ng")).distinct()
     val spanSh = spanKeys
       .select(col("__ng").as("doc_id"), explode(charShingles(col("__ng"), 3)).as("shingle"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** SPARQL basic-graph-pattern algebra over a triple/quad DataFrame —
   * the reference executes these inside Jena ARQ (BGP conjunction =
@@ -190,7 +191,7 @@ object Bgp {
   def optionalCond(a: DataFrame, b: DataFrame, conds: Seq[Column],
       compat: Boolean = false): DataFrame = {
     val withId = a.withColumn("#lj_id", monotonically_increasing_id())
-      .localCheckpoint(false)
+      .truncateLineage(false)
     val joined = if (compat) compatJoin(withId, b) else join(withId, b)
     val matched = conds.foldLeft(joined)(_ filter _)
     val unmatched = withId.join(

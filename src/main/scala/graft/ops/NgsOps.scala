@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.RdfTerms
+import graft.Checkpoints.TruncateOps
 
 /** Named-graph-stream operators (`ngs`) re-expressed over a quad DataFrame
   * (columns graph, subj, pred, obj). The reference processes one named
@@ -71,7 +72,7 @@ object NgsOps {
     val sorted = keyed.repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(false)
+      .truncateLineage(false)
     // pid/position recovered with exact integer bit ops (id = pid<<33 | pos);
     // float division would only be exact below 2^53 and pmod costs a branch
     val counts = sorted

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** SPARQL 1.1 property paths (§9) over a triple DataFrame — the reference
   * evaluates these inside Jena ARQ (any `integrate` query may use
@@ -88,13 +89,13 @@ object PathOps {
     * rounds; fixpoint when the distinct pair count stops growing.
     */
   private[graft] def closure(edges: DataFrame): DataFrame = {
-    var r = edges.select("s", "o").distinct().localCheckpoint(true)
+    var r = edges.select("s", "o").distinct().truncateLineage(true)
     var size = r.count()
     var round = 0
     while (round < MaxRounds) {
       val doubled = r.as("l").join(r.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      val next = r.union(doubled).distinct().localCheckpoint(true)
+      val next = r.union(doubled).distinct().truncateLineage(true)
       val nsize = next.count()
       if (nsize == size) return r
       r = next
@@ -119,15 +120,12 @@ object PathOps {
     * seminaive delta ⋈ edges \ all shape trips Spark 4's checkpoint
     * attribute mapping and AQE metrics reset).
     */
-  private def materialize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    // RDD-level localCheckpoint TRUNCATES LINEAGE (plain persist would
-    // let the per-round RDD chain grow until task serialization
-    // stack-overflows at diameter-many rounds)
-    val rdd = df.rdd.localCheckpoint()
-    rdd.count()
-    spark.createDataFrame(rdd, df.schema)
-  }
+  private def materialize(df: DataFrame): DataFrame =
+    // RDD-level checkpoint TRUNCATES LINEAGE (plain persist would let
+    // the per-round RDD chain grow until task serialization
+    // stack-overflows at diameter-many rounds); reliable when
+    // graft.checkpointDir is set
+    graft.Checkpoints.truncateRdd(df)
 
   private[graft] def closureSeminaive(edges: DataFrame): DataFrame = {
     val e = materialize(edges.select("s", "o").distinct())
@@ -165,7 +163,7 @@ object PathOps {
     val spark = edges.sparkSession
     import spark.implicits._
     var visited = edges.where(col("s") === seed).select("o")
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage(true)
     var frontier = visited
     var round = 0
     while (frontier.limit(1).count() > 0 && round < (1 << 20)) {
@@ -174,8 +172,8 @@ object PathOps {
         .select(col("e.o"))
         .distinct()
         .join(visited, Seq("o"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+        .truncateLineage(true)
+      visited = visited.union(next).truncateLineage(true)
       frontier = next
       round += 1
     }
@@ -228,14 +226,14 @@ object PathOps {
       .select(col("g"), col("s"), col("s").as("o"))
 
   private[graft] def closureG(edges: DataFrame): DataFrame = {
-    var r = edges.select("g", "s", "o").distinct().localCheckpoint(true)
+    var r = edges.select("g", "s", "o").distinct().truncateLineage(true)
     var size = r.count()
     var round = 0
     while (round < MaxRounds) {
       val doubled = r.as("l").join(r.as("r"),
         col("l.g") === col("r.g") && col("l.o") === col("r.s"))
         .select(col("l.g").as("g"), col("l.s").as("s"), col("r.o").as("o"))
-      val next = r.union(doubled).distinct().localCheckpoint(true)
+      val next = r.union(doubled).distinct().truncateLineage(true)
       val nsize = next.count()
       if (nsize == size) return r
       r = next

@@ -6,6 +6,7 @@ import graft.sources.Transcripts
 import graft.rules.{Rule, RuleCompiler, TranscriptRules}
 import graft.linking.Gazetteer
 import graft.graphops.ConnectedComponents
+import graft.Checkpoints.TruncateOps
 
 /** The end-to-end KG-construction pipeline (north rule): triple extraction
   * → entity linking → CC canonicalization → deduplicated triples + stats.
@@ -30,7 +31,7 @@ object Kg {
     scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, Seq[Int])]()
   private def gazFor(spark: SparkSession, sfDir: String): (DataFrame, Seq[Int]) =
     gazCache.getOrElseUpdate((spark, sfDir), {
-      val g = Gazetteer(spark, sfDir).localCheckpoint(false)
+      val g = Gazetteer(spark, sfDir).truncateLineage(false)
       (g, Gazetteer.surfaceTokenLengths(g))
     })
   private val ccCache =
@@ -44,7 +45,7 @@ object Kg {
   def aliasCc(spark: SparkSession, sfDir: String): DataFrame =
     ccCache.getOrElseUpdate((spark, sfDir),
       ConnectedComponents(Gazetteer.aliasEdges(spark, sfDir))
-        .localCheckpoint(false))
+        .truncateLineage(false))
 
   /** Deduplicated canonical triples: base extraction + mention triples with
     * canonical entity IRIs + the alias→canonical mapping as triples in a
@@ -126,7 +127,7 @@ object Kg {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   def canonicalTriplesShared(spark: SparkSession, sfDir: String): DataFrame =
     ctCache.getOrElseUpdate((spark, sfDir),
-      canonicalTriples(spark, sfDir).localCheckpoint(false))
+      canonicalTriples(spark, sfDir).truncateLineage(false))
 
   /** Per-named-graph profile (VoID-style: reference qb1–qb5 queries). */
   def graphStats(spark: SparkSession, sfDir: String): DataFrame =

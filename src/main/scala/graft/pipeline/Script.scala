@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
+import graft.Checkpoints.TruncateOps
 
 /** Ordered statement-sequence runner — the reference's `integrate` model:
   * a `.sparql` file is an ordered list of queries/updates sharing ONE
@@ -28,7 +29,7 @@ object Script {
     var last: Option[DataFrame] = None
     stmts.foreach {
       case Update(name, f) =>
-        f(spark).localCheckpoint(true).createOrReplaceTempView(name)
+        f(spark).truncateLineage(true).createOrReplaceTempView(name)
       case Query(f) =>
         last = Some(f(spark))
     }
@@ -73,7 +74,7 @@ object Script {
       rows.toDF(QuadCols: _*)
     def anti(ds: DataFrame, del: DataFrame): DataFrame =
       ds.join(del.select(QuadCols.map(col): _*), QuadCols, "left_anti")
-    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def ckpt(df: DataFrame): DataFrame = df.truncateLineage(true)
 
     var ds = initial.getOrElse(
       Seq.empty[(String, String, String, String)].toDF(QuadCols: _*))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.functions.RdfTerms
 import graft.ops.{Bgp, PathOps}
+import graft.Checkpoints.TruncateOps
 
 /** SPARQL CONSTRUCT text → [[Rule]] compiler — the reference's front door
   * is "run this SPARQL statement text" (SparqlIntegrateCmdImpls.java:
@@ -149,7 +150,7 @@ object ConstructParser {
   def runModify(del: ParsedConstruct, ins: ParsedConstruct,
       dataset: DataFrame): (DataFrame, DataFrame) = {
     val bound = del.where.map(_(dataset)).getOrElse(dataset)
-      .localCheckpoint(false)
+      .truncateLineage(false)
     (del.applyTo(bound), ins.applyTo(bound))
   }
 
@@ -727,7 +728,7 @@ object ConstructParser {
               .reduce(_ union _))
           }
         val seeds = (constDf.toSeq ++ varDf.toSeq)
-          .reduce(_ union _).distinct().localCheckpoint(true)
+          .reduce(_ union _).distinct().truncateLineage(true)
         // Concise Bounded Description (Jena's default describe handler):
         // the outgoing star, following BLANK-NODE objects transitively —
         // driver fixpoint bounded by the bnode-chain depth (like the CC
@@ -744,9 +745,9 @@ object ConstructParser {
           frontier = star.where(col("obj").startsWith("_:"))
             .select(col("obj").as("#resource")).distinct()
             .join(all, Seq("#resource"), "left_anti")
-            .localCheckpoint(true)
+            .truncateLineage(true)
           growing = frontier.limit(1).count() > 0
-          if (growing) all = all.union(frontier).localCheckpoint(true)
+          if (growing) all = all.union(frontier).truncateLineage(true)
           rounds += 1
         }
         quads.join(all,

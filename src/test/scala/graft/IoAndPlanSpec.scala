@@ -99,4 +99,31 @@ class IoAndPlanSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM graft_stream_out").head.getLong(0)
     assert(n === 1000)
   }
+
+  test("checkpoint strategy switch: reliable (graft.checkpointDir) and " +
+      "local modes agree on iterative closure results") {
+    import graft.ops.{NgsOps, PathOps}
+    // a chain: closure exercises the doubling rounds (Dataset-level
+    // truncation) and seminaive the RDD-level truncateRdd path
+    val edges = (0 until 40).map(k => (s"<n$k>", s"<n${k + 1}>"))
+      .toDF("s", "o")
+    def closure() = PathOps.closure(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def semi() = PathOps.closureSeminaive(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val localC = closure(); val localS = semi()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sys.props("graft.checkpointDir") = dir
+    try {
+      assert(graft.Checkpoints.reliableDir === Some(dir))
+      assert(closure() === localC) // reliable mode, same answer
+      assert(semi() === localS)    // RDD-level reliable path too
+      // the checkpoint dir actually received data (reliable, not local)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .count()
+      assert(wrote > 1, "reliable checkpoint wrote nothing")
+    } finally sys.props.remove("graft.checkpointDir")
+    // back to local mode: still agrees
+    assert(closure() === localC)
+  }
 }
