@@ -79,6 +79,75 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("dedup")) {
+      // MinHash-LSH dedup at scale: the ×factor dup corpus (replica
+      // texts made DISTINCT so rep-collapse cannot shrink the LSH input)
+      // at two parallelism levels (N→4N evidence for the dedup path
+      // specifically), plus one run with the bucket cap engaged to show
+      // the logged drop and its cost/recall effect.
+      import org.apache.spark.sql.functions._
+      val factor = sys.env.getOrElse("SPARK_GRAFT_DEDUP_FACTOR", "16").toInt
+      val Array(n1, n2) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
+        .split(",").map(_.trim.toInt)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      // two replica shapes: `similar = false` inserts a replica marker
+      // between EVERY pair of tokens, so replica shingle sets are
+      // DISJOINT and pairs grow linearly in factor (the honest scaling
+      // workload); `similar = true` only prefixes the text, making every
+      // doc a near-dup of its factor−1 siblings — pair count grows
+      // QUADRATICALLY in factor, the pathological hot-bucket case the
+      // maxBucketSize cap exists for
+      def corpus(s: SparkSession, similar: Boolean) = {
+        val base = graft.ops.TrainingSuite.dupCorpus(s, sfDir)
+        (0 until factor).map { k =>
+          val text =
+            if (similar) concat(lit(s"r$k "), col("text"))
+            else concat_ws(s" x$k ", split(col("text"), " "))
+          base.select((col("doc_id") + k.toLong * 10000000L).as("doc_id"),
+            text.as("text"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+      }
+      def run(s: SparkSession, c: org.apache.spark.sql.DataFrame,
+          cap: Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.dedup.Dedup.minhashPairs(c, n = 3, threshold = 0.6,
+          maxBucketSize = cap).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val results = Seq(n1, n2).map { k =>
+        val s = session(k)
+        try {
+          val c = corpus(s, similar = false)
+          run(s, c, Long.MaxValue) // warm
+          val runs = (1 to reps).map(_ => run(s, c, Long.MaxValue))
+          System.err.println(s"[dedup] local[$k] runs: " +
+            runs.map(r => f"${r._1}%.1fs").mkString(", "))
+          (runs.map(_._1).min, runs.head._2)
+        } finally s.stop()
+      }
+      val Seq((tLo, pLo), (tHi, pHi)) = results
+      require(pLo == pHi, s"pair mismatch across parallelism: $pLo vs $pHi")
+      val eff = (tLo / tHi) / (n2.toDouble / n1)
+      // cap demo on the PATHOLOGICAL corpus at the high level: uncapped
+      // vs capped time + pairs; the drop is LOGGED by minhashPairs
+      val cap = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CAP", "16").toLong
+      val s2 = session(n2)
+      val (tBad, pBad, tCap, pCap) =
+        try {
+          val c = corpus(s2, similar = true)
+          val (tb, pb) = run(s2, c, Long.MaxValue)
+          val (tc, pc) = run(s2, c, cap)
+          (tb, pb, tc, pc)
+        } finally s2.stop()
+      System.err.println(
+        f"[dedup] pairs=$pLo local[$n1]=$tLo%.2fs local[$n2]=$tHi%.2fs " +
+          f"eff=$eff%.2f; pathological corpus: uncapped $tBad%.2fs " +
+          f"($pBad pairs) vs cap=$cap $tCap%.2fs ($pCap pairs, " +
+          f"recall ${pCap.toDouble / pBad}%.3f)")
+      println(s"""{"metric":"dedup_scaling_${n1}_to_$n2","value":$eff,"unit":"ratio","queries":{"lo_sec":$tLo,"hi_sec":$tHi,"pairs":$pLo,"pathological_sec":$tBad,"pathological_pairs":$pBad,"capped_sec":$tCap,"capped_pairs":$pCap,"factor":$factor},"sf":"$sfDir"}""")
+      return
+    }
+
     if (args.headOption.contains("path")) {
       // doubling vs seminaive transitive closure on the two canonical
       // shapes: a LONG CHAIN (diameter = n: doubling needs log2 n rounds,

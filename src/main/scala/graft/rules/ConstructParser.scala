@@ -1485,8 +1485,13 @@ object ConstructParser {
       * explodes a JSON-array value into one solution per element, the
       * element bound as RAW JSON text. Works in both WHERE modes.
       */
-    private case class PropFnE(subjVar: String, subjIsTerm: Boolean,
-        objVar: String) extends WhereEl
+    /** subj: Left = constant JSON text, Right = (var, isTerm). pos:
+      * Left = index VARIABLE (binds 0-based position; if already bound,
+      * positional ZIP join — the test-zip-arrays idiom), Right = index
+      * literal (keep only that element).
+      */
+    private case class PropFnE(subj: Either[String, (String, Boolean)],
+        objVar: String, pos: Option[Either[String, Int]] = None) extends WhereEl
 
     /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
       * `GRAPH term` token, threaded into each contained triple pattern.
@@ -1672,20 +1677,41 @@ object ConstructParser {
               propFnVars += v
               propFnTermVars += v
               if (sawPattern) bgpVarTerm(v) = true
-            case (_, _, ListT(_)) => fail(
-              "collection objects are only supported as " +
-                "property-function arguments (csv:parse, xml:unnest)")
-            case (a, IriT(ConstructParser.JsonUnnestIri), c)
-                if !(a.isInstanceOf[VarT] && c.isInstanceOf[VarT]) =>
-              fail("json:unnest needs a variable subject and a variable object")
-            case (VarT(sv), IriT(ConstructParser.JsonUnnestIri), VarT(ov)) =>
+            case (subjTok, IriT(ConstructParser.JsonUnnestIri), objTok) =>
               // property function — does not flip BGP mode by itself
-              val sTerm =
-                if (sawPattern) bgpVarTerm.getOrElse(sv, true)
-                else binds.get(sv).exists(_.term)
-              out += PropFnE(sv, sTerm, ov)
+              val (ov, pos) = objTok match {
+                case VarT(v) => (v, None)
+                case ListT(Seq(VarT(v))) => (v, None)
+                case ListT(Seq(VarT(v), VarT(iv))) => (v, Some(Left(iv)))
+                case ListT(Seq(VarT(v), NumT(k))) => (v, Some(Right(k.toInt)))
+                case other => fail("json:unnest takes ?item, " +
+                  s"(?item ?index) or (?item <number>), got $other")
+              }
+              val subj = subjTok match {
+                case VarT(sv) =>
+                  val sTerm =
+                    if (sawPattern) bgpVarTerm.getOrElse(sv, true)
+                    else binds.get(sv).exists(_.term)
+                  Right((sv, sTerm))
+                case StrT(t) => Left(t)
+                case TypedStrT(t, _) => Left(t)
+                case other => fail(
+                  s"json:unnest needs a variable or JSON-literal subject, got $other")
+              }
+              out += PropFnE(subj, ov, pos)
               propFnVars += ov
               if (sawPattern) bgpVarTerm(ov) = false
+              pos.foreach {
+                case Left(iv) =>
+                  propFnVars += iv
+                  if (sawPattern && !bgpVarTerm.contains(iv))
+                    bgpVarTerm(iv) = false
+                case _ => ()
+              }
+            case (_, _, ListT(_)) => fail(
+              "collection objects are only supported as " +
+                "property-function arguments (csv:parse, xml:unnest, " +
+                "json:unnest)")
             case (a, b, c) =>
               // a real triple pattern flips the statement into BGP mode
               if (!sawPattern) {
@@ -1779,7 +1805,9 @@ object ConstructParser {
           // SILENT: an unreachable endpoint binds nothing at all
           if (silent) maybe ++= b ++ m
           else { bound ++= b; maybe ++= m }
-        case PropFnE(_, _, ov) => bound += ov
+        case PropFnE(_, ov, pos) =>
+          bound += ov
+          pos.foreach { case Left(iv) => bound += iv; case _ => () }
         case CsvParseE(_, v, _) => bound += v
         case XmlUnnestE(_, _, v) => bound += v
       }
@@ -2128,18 +2156,29 @@ object ConstructParser {
                 .withColumn(v, RdfTerms.strLit(col("#xmlitem")))
                 .drop("#xmlarr", "#xmlitem")
           }
-        case PropFnE(sv, sTerm, ov) =>
-          require(acc != null && acc.columns.contains(sv),
-            s"json:unnest subject ?$sv is not bound")
+        case PropFnE(subj, ov, pos) =>
           // a pattern-bound literal term keeps N-Triples escapes in its
           // body — decode them or from_json silently nulls out
-          val js =
-            if (sTerm) RdfTerms.ntUnescape(raw(E(col(sv), sTerm)))
-            else col(sv)
+          val js = subj match {
+            case Right((sv, sTerm)) =>
+              require(acc != null && acc.columns.contains(sv),
+                s"json:unnest subject ?$sv is not bound")
+              if (sTerm) RdfTerms.ntUnescape(raw(E(col(sv), sTerm)))
+              else col(sv)
+            case Left(text) =>
+              // constant JSON-literal subject (json-by-index.sparql):
+              // a BIND-less source — seed the unit solution if first
+              if (acc == null)
+                acc = ConstructParser.unitFrame(quads.sparkSession)
+              lit(text)
+          }
+          val zipWith = pos.collect {
+            case Left(iv) if acc.columns.contains(iv) => iv
+          }
           // compute the array in its own column, explode_outer + filter
           // (a direct explode of the computed expression triples its
           // evaluation through InferFiltersFromGenerate)
-          acc = acc
+          var next = acc
             .withColumn("#jsonarr", from_json(js,
               org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.VariantType)))
@@ -2147,7 +2186,18 @@ object ConstructParser {
               posexplode_outer(col("#jsonarr")).as(Seq("#jsonpos", "#jsonel")))
             .where(col("#jsonel").isNotNull)
             .withColumn(ov, col("#jsonel").cast("string"))
-            .drop("#jsonarr", "#jsonpos", "#jsonel")
+          next = pos match {
+            case None => next
+            case Some(Right(k)) => next.where(col("#jsonpos") === k)
+            case Some(Left(iv)) if zipWith.contains(iv) =>
+              // SAME index var as an earlier unnest → positional ZIP
+              // (the reference's zip-arrays idiom: equal ?i joins the
+              // element streams pairwise)
+              next.where(col("#jsonpos").cast("long") === col(iv).cast("long"))
+            case Some(Left(iv)) =>
+              next.withColumn(iv, col("#jsonpos").cast("long"))
+          }
+          acc = next.drop("#jsonarr", "#jsonpos", "#jsonel")
       }
       require(acc != null, "empty group pattern")
       (conds.foldLeft(acc)(_ filter _), maybeNull.toSet)

@@ -135,6 +135,30 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(got.map(_.getString(0)).toSeq === Seq("\"Foobar\""))
   }
 
+  test("json-by-index.sparql verbatim: constant subject + index literal") {
+    val q = "SELECT * {\n  '[true, 1, \"hi\"]'^^xsd:json json:unnest (?item 2)\n}"
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+      .map(_.getString(0)).toSeq
+    assert(got === Seq("hi")) // element at 0-based position 2
+  }
+
+  test("zip-arrays idiom: two unnests sharing ?i join positionally") {
+    // docs/examples/test-zip-arrays.sparql's WHERE shape (its INSERT
+    // DATA payload carries a trailing comma — invalid JSON — so the
+    // equivalent well-formed literal binds via VALUES-free BIND here)
+    val q =
+      """SELECT ?stop ?l WHERE {
+        |  BIND('{"stopIds":["A","B"],"stopNames":["Alpha","Beta"]}' AS ?o)
+        |  BIND(json:path(?o, "$.stopIds") AS ?stops)
+        |  BIND(json:path(?o, "$.stopNames") AS ?stopNames)
+        |  ?stops json:unnest (?stop ?i) .
+        |  ?stopNames json:unnest (?l ?i) .
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("A", "Alpha"), ("B", "Beta")))
+  }
+
   test("loud rejects: non-file IRIs, unsupported dialects, property lists") {
     def bad(q: String, frag: String): Unit = {
       val e = intercept[Exception](
