@@ -1011,7 +1011,12 @@ object ConstructParser {
               }
               val ordCols = orders.indices.filter(early).map(k => col("#ord" + k))
               preOrd.select(items.toSeq.map {
-                case PlainVar(v) => col(v)
+                case PlainVar(v) =>
+                  // a projected var the group never binds is UNBOUND per
+                  // SPARQL (not an error) — e.g. the inner vars of a
+                  // SILENT-degraded SERVICE group
+                  if (preOrd.columns.contains(v)) col(v)
+                  else lit(null).cast("string").as(v)
                 case Derived(v, c, _) => c.as(v)
                 case Star => throw new IllegalArgumentException(
                   "* cannot mix with named projections")
@@ -1318,7 +1323,11 @@ object ConstructParser {
           // `[]` anonymous node = a fresh query-scoped variable
           // (SPARQL §19.6); bracketed property lists stay unsupported
           i += 1; skipWs()
-          if (peek == ']') { i += 1; anonCounter += 1; BnodeT("anon" + anonCounter) }
+          if (peek == ']') {
+            i += 1; anonCounter += 1
+            // '#' is not a user bnode-label char — no _:anonN collision
+            BnodeT("anon#" + anonCounter)
+          }
           else fail("[…] property lists are not supported — only bare []")
         case '_' if i + 1 < n && s.charAt(i + 1) == ':' =>
           i += 2
@@ -1432,10 +1441,15 @@ object ConstructParser {
           case None => RdfTerms.strLit(col(v).cast("string"))
         }
       case PathT(_) => fail("property path in template position")
+      case ListT(_) => fail(
+        "collection objects are not supported in templates")
       case BnodeT(l) =>
         // fresh node per solution: label + hidden per-row id (partition id
-        // is encoded in the id, so labels are globally unique)
-        concat(lit("_:" + l + "r"), col(ConstructParser.RowIdCol))
+        // is encoded in the id, so labels are globally unique). Generated
+        // anon labels carry a '#' (column-safe, user-collision-free) —
+        // emit it as '.' so the serialized label stays N-Triples-valid
+        concat(lit("_:" + l.replace("#", ".") + "r"),
+          col(ConstructParser.RowIdCol))
     }
 
     private def TrigEscape(v: String): String =
@@ -2068,7 +2082,12 @@ object ConstructParser {
           // SILENT + unreadable endpoint = the unit solution (join
           // identity, SPARQL-fed §18.2.2.2), i.e. acc is left unchanged.
           val spark = quads.sparkSession
-          val path = ConstructParser.serviceFilePath(url)
+          // same relative-IRI resolution as csv:parse (graft.sparql.base)
+          val path = {
+            val p0 = ConstructParser.serviceFilePath(url)
+            if (p0.startsWith("/")) p0
+            else ConstructParser.fileBase + "/" + p0
+          }
           val sub =
             try Some(graft.sources.RdfIO.readRdfAuto(spark, path))
             catch {
@@ -2077,9 +2096,16 @@ object ConstructParser {
                 s"SERVICE <$url> failed to read (add SILENT to tolerate): " +
                   e.getMessage, e)
             }
-          sub.foreach { sdf =>
-            val (res, mn) = compileGroupN(inner, sdf, NoDataset)
-            joinIn(res, mn)
+          sub match {
+            case Some(sdf) =>
+              val (res, mn) = compileGroupN(inner, sdf, NoDataset)
+              joinIn(res, mn)
+            case None =>
+              // SILENT failure = the unit solution; when the SERVICE is
+              // the ONLY element of its group the group must still
+              // produce { mu0 }, not an empty-group error
+              if (acc == null)
+                acc = ConstructParser.unitFrame(spark)
           }
         case CsvParseE(src, v, opts) =>
           // csv:parse: file form = a real distributed CSV scan (the

@@ -158,8 +158,7 @@ object Rml {
             obj1(node, "datatype").map(d => d.substring(1, d.length - 1)),
             obj1(node, "language").map(litBody))
         case (None, None, Some(c), None) =>
-          ConstGen(if (c.startsWith("<") || c.startsWith("_:")) c
-            else c) // IRI/bnode term or literal term, both already formatted
+          ConstGen(c) // IRI/bnode/literal term, already N-Triples-formatted
         case (None, None, None, Some(p)) =>
           require(pos == "object",
             s"rr:parentTriplesMap is only valid in an object map")
@@ -319,14 +318,18 @@ object Rml {
 
   private def graphCols(tm: TriplesMap, pom: Option[Pom],
       colFn: String => Column): Seq[Column] = {
-    val gs = pom.map(_.graphs).filter(_.nonEmpty).getOrElse(tm.graphs)
-    val named = gs.filterNot {
+    // R2RML §11.1: a POM's triples land in the UNION of the subject
+    // map's graph maps and the POM's own graph maps (not an override);
+    // an explicit rr:defaultGraph constant contributes the default graph
+    // ALONGSIDE any named graph maps; no graph maps at all = default
+    val gs = tm.graphs ++ pom.map(_.graphs).getOrElse(Nil)
+    val (defaults, named) = gs.partition {
       case ConstGen(t) => local(t) == "defaultGraph"
       case _ => false
     }
-    if (gs.isEmpty) Seq(lit(DefaultGraph))
-    else if (named.isEmpty) Seq(lit(DefaultGraph))
-    else named.map(genCol(_, colFn))
+    if (gs.isEmpty || named.isEmpty) Seq(lit(DefaultGraph))
+    else named.map(genCol(_, colFn)) ++
+      (if (defaults.nonEmpty) Seq(lit(DefaultGraph)) else Nil)
   }
 
   /** Fixed templates for one triples map over its (possibly shared) scan:

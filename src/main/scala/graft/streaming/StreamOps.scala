@@ -93,7 +93,9 @@ object StreamOps {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      // walk holds directory handles — close it or leak an fd per call
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       all.foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
         case _: java.io.IOException => () // best-effort cleanup
       })

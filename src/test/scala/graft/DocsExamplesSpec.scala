@@ -159,6 +159,20 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(got === Set(("A", "Alpha"), ("B", "Beta")))
   }
 
+  test("[] anonymous nodes never unify with user _:anonN labels") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<a>", "<http://ex.org/p>", "\"1\""),
+      ("<b>", "<http://ex.org/q>", "\"2\"")) // DIFFERENT subjects
+      .toDF("subj", "pred", "obj")
+    val q =
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?x ?y WHERE { _:anon1 ex:p ?x . [] ex:q ?y }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+    // a shared label would force subject equality and return 0 rows
+    assert(got.length === 1)
+  }
+
   test("loud rejects: non-file IRIs, unsupported dialects, property lists") {
     def bad(q: String, frag: String): Unit = {
       val e = intercept[Exception](

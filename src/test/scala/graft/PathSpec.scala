@@ -233,14 +233,15 @@ class PathSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got === Set((t("n1"), t("n2"), 1L), (t("n2"), t("n3"), 1L),
       (t("n3"), t("n4"), 1L)))
-    // inner-only variables must NOT leak: ?x is not in scope outside
-    intercept[Exception] {
-      ConstructParser.parseSelect(
-        s"""PREFIX ex: <$EX>
-           |SELECT ?x WHERE {
-           |  { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:next ?x . } GROUP BY ?s }
-           |}""".stripMargin).run(chain).collect()
-    }
+    // inner-only variables must NOT leak: outside the subquery ?x is
+    // simply UNBOUND (SPARQL §18.2.4.4 — projection of an out-of-scope
+    // var is NULL for every solution, not an error)
+    val leak = ConstructParser.parseSelect(
+      s"""PREFIX ex: <$EX>
+         |SELECT ?x WHERE {
+         |  { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:next ?x . } GROUP BY ?s }
+         |}""".stripMargin).run(chain).collect()
+    assert(leak.nonEmpty && leak.forall(_.isNullAt(0)))
   }
 
   test("DESCRIBE: constant and variable resources, outgoing star") {

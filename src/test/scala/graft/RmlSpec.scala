@@ -166,6 +166,26 @@ class RmlSpec extends AnyFunSuite {
       ("<http://ex.org/n/2>", "\"two\"")))
   }
 
+  test("graph maps UNION per R2RML §11.1: subject + POM graphs combine; " +
+      "rr:defaultGraph joins named graphs instead of vanishing") {
+    val mapping = prefixes +
+      """<#G> rml:logicalSource [ rml:source "graft_rml_teams.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/t/{team}" ;
+        |     rr:graphMap [ rr:constant ex:gs ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:motto ;
+        |    rr:objectMap [ rml:reference "motto" ] ;
+        |    rr:graphMap [ rr:constant ex:gp ] ;
+        |    rr:graphMap [ rr:constant rr:defaultGraph ] ] .
+        |""".stripMargin
+    val got = Rml.compile(spark, Rml.parseMapping(mapping), baseDir)
+      .collect().filter(_.getString(1) == "<http://ex.org/motto>")
+      .map(_.getString(3)).toSet
+    // each motto triple lands in subject graph ∪ POM graphs ∪ default
+    assert(got === Set("<http://ex.org/gs>", "<http://ex.org/gp>",
+      Rml.DefaultGraph))
+  }
+
   test("loud rejects: formulation, iterator, sources, cross-source no-join") {
     def reject(mapping: String, frag: String): Unit = {
       val e = intercept[Exception](

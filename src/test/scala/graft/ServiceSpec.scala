@@ -74,6 +74,19 @@ class ServiceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SILENT"))
   }
 
+  test("SERVICE SILENT as the SOLE element of a group still yields the " +
+      "unit solution (OPTIONAL/UNION-branch shape)") {
+    val q =
+      s"""PREFIX ex: <http://ex.org/>
+         |SELECT ?s ?lbl WHERE {
+         |  ?s ex:ref ?o .
+         |  OPTIONAL { SERVICE SILENT <file:/nonexistent/nope.nt> { ?o ex:lbl ?lbl . } }
+         |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(outer).collect()
+    // the optional group degrades to { mu0 }: outer rows pass, ?lbl unbound
+    assert(got.length === 3 && got.forall(_.isNullAt(1)))
+  }
+
   test("network schemes and variable endpoints reject loudly") {
     val e1 = intercept[Exception](ConstructParser.parseSelect(
       """PREFIX ex: <http://ex.org/>
