@@ -10,8 +10,9 @@ import graft.rules.ConstructParser
   * SPARQL query and result set post processor is created"; the serving
   * layer itself stays scoped out). Supported directives: `@prefix`,
   * `@pattern(of/from/to)`, `@bind(of/as)`, `@join(parent/this)`,
-  * `@one`/`@many(self/cascade)` (docs/graphql/reference/ pages).
-  * `@index` and mutations reject loudly.
+  * `@one`/`@many(self/cascade)`, and `@index(by/oneIf)` on child
+  * fields (docs/graphql/reference/ pages). Mutations, subscriptions,
+  * and root-level `@index` reject loudly.
   *
   * Spark-first shape: every `@pattern` field compiles through
   * [[ConstructParser.parseSelect]] onto the quad table; the parent-child
@@ -241,16 +242,15 @@ object GraphQl {
       bind: Option[String],
       joinParent: Seq[String], joinThis: Seq[String],
       one: Boolean, cascadeOne: Option[Boolean],
+      indexBy: Option[String], indexOne: Boolean,
       prefixes: Seq[(String, String)])
 
   private def cfg(f: Field, inheritedOne: Option[Boolean],
       outerPrefixes: Seq[(String, String)]): NodeCfg = {
     f.directives.foreach { d =>
       d.name match {
-        case "prefix" | "pattern" | "bind" | "join" | "one" | "many" => ()
-        case "index" => throw new IllegalArgumentException(
-          s"field ${f.name}: @index is not supported in this subset " +
-            "(use @pattern + client-side indexing)")
+        case "prefix" | "pattern" | "bind" | "join" | "one" | "many"
+           | "index" => ()
         case other => throw new IllegalArgumentException(
           s"field ${f.name}: unknown directive @$other")
       }
@@ -275,11 +275,31 @@ object GraphQl {
     val cascade = cardD.collect {
       case d if boolArg(d, "cascade", dflt = false) => d.name == "one"
     }
+    // @index(by: "?var"[, oneIf: "true"|"false"]): the field becomes a
+    // JSON OBJECT keyed by the ?var value (docs/graphql/reference/
+    // index-directive.md); the subset takes a plain var key and a
+    // constant oneIf
+    val idx = f.directives.find(_.name == "index")
+    val indexBy = idx.map { d =>
+      val by = strArg(d, "by").getOrElse(throw new IllegalArgumentException(
+        s"field ${f.name}: @index needs by:"))
+      require(by.trim.matches("^\\?[A-Za-z_][A-Za-z0-9_]*$"),
+        s"field ${f.name}: @index(by:) supports a plain ?var key, got $by")
+      by.trim.substring(1)
+    }
+    val indexOne = idx.exists(d => strArg(d, "oneIf") match {
+      case None | Some("false") => false
+      case Some("true") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"field ${f.name}: @index(oneIf:) supports \"true\"/\"false\" " +
+          s"constants, got $other")
+    })
     NodeCfg(f, pat.flatMap(strArg(_, "of")), from, to,
       bind.flatMap(strArg(_, "of")),
       join.toSeq.flatMap(varsArg(_, "parent")),
       join.toSeq.flatMap(varsArg(_, "this")),
-      one, cascade, outerPrefixes ++ prefixesOf(f.directives))
+      one, cascade, indexBy, indexOne,
+      outerPrefixes ++ prefixesOf(f.directives))
   }
 
   private def prefixHeader(ps: Seq[(String, String)]): String =
@@ -373,14 +393,38 @@ object GraphQl {
       inheritedCascade: Option[Boolean]): DataFrame = {
     val sols = solutions(c, quads, inheritedCascade)
     val arr = array_sort(collect_list(col("#js")))
-    val js =
-      if (c.one)
-        when(size(arr) > 1, raise_error(concat(
-          lit(s"field ${c.field.name} is @one but matched "),
-          size(arr).cast("string"), lit(" values"))))
-          .otherwise(element_at(arr, 1))
-      else concat(lit("["), array_join(arr, ","), lit("]"))
-    sols.groupBy(c.from.map(col): _*).agg(js.as("#js"))
+    c.indexBy match {
+      case Some(bv) =>
+        // @index: JSON object keyed by ?bv — two keyed aggregations
+        // (per from+key, then per from), entries sorted by key
+        require(sols.columns.contains(bv),
+          s"field ${c.field.name}: @index(by: ?$bv) is not bound by the pattern")
+        val inner =
+          if (c.indexOne)
+            when(size(arr) > 1, raise_error(concat(
+              lit(s"field ${c.field.name} @index(oneIf) matched "),
+              size(arr).cast("string"), lit(" values for one key"))))
+              .otherwise(element_at(arr, 1))
+          else concat(lit("["), array_join(arr, ","), lit("]"))
+        val perKey = sols
+          .groupBy((c.from :+ bv).distinct.map(col): _*)
+          .agg(inner.as("#v"))
+          .select(col("*"), concat(jsonEsc(rawTerm(col(bv))), lit(":"),
+            col("#v")).as("#entry"))
+        perKey.groupBy(c.from.map(col): _*)
+          .agg(concat(lit("{"),
+            array_join(array_sort(collect_list(col("#entry"))), ","),
+            lit("}")).as("#js"))
+      case None =>
+        val js =
+          if (c.one)
+            when(size(arr) > 1, raise_error(concat(
+              lit(s"field ${c.field.name} is @one but matched "),
+              size(arr).cast("string"), lit(" values"))))
+              .otherwise(element_at(arr, 1))
+          else concat(lit("["), array_join(arr, ","), lit("]"))
+        sols.groupBy(c.from.map(col): _*).agg(js.as("#js"))
+    }
   }
 
   /** Compile a GraphQL query over a quad/triple table: one row per ROOT
@@ -396,6 +440,8 @@ object GraphQl {
       val rc = cfg(root, None, qPrefixes)
       require(rc.pattern.nonEmpty,
         s"root field ${root.name}: needs @pattern")
+      require(rc.indexBy.isEmpty,
+        s"root field ${root.name}: @index is only supported on child fields")
       val sols = solutions(rc, quads, None)
       sols.select(lit(root.name).as("field"),
         rawTerm(col(rc.to.head)).as("id"), col("#js").as("js"))

@@ -344,6 +344,26 @@ object AlgebraSuite {
       graft.rules.ConstructParser.parseSelect(
         s"SELECT * { <file:$path> csv:parse (?rowJson \"excel -h\") }").run(unit)
     }),
+    "url_text" -> ((s, dir) => {
+      // url:text over a LOCAL file (docs/examples/url-local-file.sparql;
+      // the network forms stay scoped out): whole file body as one
+      // literal binding — fixture shared with csv_scan
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
+      val rows = customer(s, dir)
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey").collect()
+      val sb = new StringBuilder("k,name,seg\n")
+      rows.foreach(r =>
+        sb.append(r.getLong(0)).append(',').append(r.getString(1))
+          .append(',').append(r.getString(2)).append('\n'))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      val unit = s.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+        StructType(Nil))
+      graft.rules.ConstructParser.parseSelect(
+        s"SELECT * { <file:$path> url:text ?str }").run(unit)
+    }),
     "csv_inline_pf" -> ((s, dir) => {
       // csv.sparql statement 2 VERBATIM: inline CSV literal
       val unit = s.createDataFrame(
@@ -1008,6 +1028,14 @@ object AlgebraSuite {
         |      seg := c_mktsegment))::VARCHAR,
         |    chr(92), chr(92)||chr(92)), '"', chr(92)||'"') ||
         |  '"^^<http://www.w3.org/2001/XMLSchema#json>' AS rowJson
+        |FROM customer""".stripMargin,
+    "url_text" ->
+      """SELECT '"' ||
+        |  replace('k,name,seg' || chr(10) ||
+        |    string_agg(c_custkey || ',' || c_name || ',' || c_mktsegment,
+        |      chr(10) ORDER BY c_custkey) || chr(10),
+        |    chr(10), chr(92) || 'n') ||
+        |  '"' AS str
         |FROM customer""".stripMargin,
     "csv_inline_pf" ->
       """SELECT '"{\"fn\":\"Mary\",\"ln\":\"Major\"}"^^<http://www.w3.org/2001/XMLSchema#json>' AS rowJson

@@ -123,6 +123,7 @@ object ConstructParser {
   private[rules] val JsonUnnestIri = JsonNs + "unnest"
   private[rules] val CsvNs = "http://jsa.aksw.org/fn/csv/"
   private[rules] val XmlNs = "http://jsa.aksw.org/fn/xml/"
+  private[rules] val UrlNs = "http://jsa.aksw.org/fn/url/"
   // literal, NOT XsdNs-derived: object init order (XsdNs binds later)
   private[rules] val XsdJson = "http://www.w3.org/2001/XMLSchema#json"
 
@@ -320,6 +321,7 @@ object ConstructParser {
       "json" -> ConstructParser.JsonNs,
       "csv" -> ConstructParser.CsvNs,
       "xml" -> ConstructParser.XmlNs,
+      "url" -> ConstructParser.UrlNs,
       "norse" -> "https://w3id.org/aksw/norse#")
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
@@ -792,6 +794,11 @@ object ConstructParser {
             val v = varName()
             skipWs(); expect(')')
             items += Derived(v, c, isAgg)
+          } else if (peek.isDigit || peek == '-') {
+            // bare constant projection (`SELECT 1 { }`, the reference's
+            // hashbang smoke script) — column named after the literal
+            val lex = exprNumber()
+            items += Derived(lex, lit(lex).cast("double"), agg = false)
           } else more = false
         }
         items.toSeq
@@ -1486,6 +1493,11 @@ object ConstructParser {
       */
     private case class XmlUnnestE(src: Either[String, String],
         xpath: String, v: String) extends WhereEl
+    /** `<file> url:text ?str` — whole file content as one literal
+      * binding (docs/examples/README.md:87-99; LOCAL files only, the
+      * network forms stay scoped out).
+      */
+    private case class UrlTextE(iri: String, v: String) extends WhereEl
     /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
       * are visible, so the compiled frame joins like any pattern.
       * `nulls` = projected vars that may be UNBOUND (computed statically
@@ -1691,6 +1703,24 @@ object ConstructParser {
               propFnVars += v
               propFnTermVars += v
               if (sawPattern) bgpVarTerm(v) = true
+            case (srcTok, IriT(iri), objTok)
+                if iri == ConstructParser.UrlNs + "text" =>
+              val v = objTok match {
+                case VarT(x) => x
+                case other => fail(s"url:text needs a variable object, got $other")
+              }
+              val f = srcTok match {
+                case IriT(fi) => fi
+                case VarT(sv) => fail(
+                  s"url:text over a VARIABLE subject ?$sv is not supported " +
+                    "(per-row file fetches do not distribute); use a " +
+                    "constant file IRI")
+                case other => fail(s"url:text needs a file IRI subject, got $other")
+              }
+              out += UrlTextE(f, v)
+              propFnVars += v
+              propFnTermVars += v
+              if (sawPattern) bgpVarTerm(v) = true
             case (subjTok, IriT(ConstructParser.JsonUnnestIri), objTok) =>
               // property function — does not flip BGP mode by itself
               val (ov, pos) = objTok match {
@@ -1765,6 +1795,7 @@ object ConstructParser {
       case _: ServiceE => "SERVICE"
       case _: CsvParseE => "csv:parse"
       case _: XmlUnnestE => "xml:unnest"
+      case _: UrlTextE => "url:text"
     }
 
     /** Static (parse-time) binding analysis of a group: (bound vars,
@@ -1824,6 +1855,7 @@ object ConstructParser {
           pos.foreach { case Left(iv) => bound += iv; case _ => () }
         case CsvParseE(_, v, _) => bound += v
         case XmlUnnestE(_, _, v) => bound += v
+        case UrlTextE(_, v) => bound += v
       }
       (bound, maybe)
     }
@@ -1833,6 +1865,7 @@ object ConstructParser {
       case _: PropFnE => true
       case _: CsvParseE => true
       case _: XmlUnnestE => true
+      case _: UrlTextE => true
       case GroupE(in) => containsPropFn(in)
       case UnionE(gs) => gs.exists(containsPropFn)
       case OptionalE(in) => containsPropFn(in)
@@ -2182,6 +2215,15 @@ object ConstructParser {
                 .withColumn(v, RdfTerms.strLit(col("#xmlitem")))
                 .drop("#xmlarr", "#xmlitem")
           }
+        case UrlTextE(iri, v) =>
+          // wholetext read: ONE row holding the entire file body as a
+          // plain literal term (the reference streams bytes; a whole-file
+          // string binding is its documented query-level behavior)
+          val spark = quads.sparkSession
+          val path = ConstructParser.resolveFileIri(iri)
+          val df = spark.read.option("wholetext", "true").text(path)
+            .select(RdfTerms.strLit(col("value")).as(v))
+          joinIn(df)
         case PropFnE(subj, ov, pos) =>
           // a pattern-bound literal term keeps N-Triples escapes in its
           // body — decode them or from_json silently nulls out
@@ -2225,7 +2267,9 @@ object ConstructParser {
           }
           acc = next.drop("#jsonarr", "#jsonpos", "#jsonel")
       }
-      require(acc != null, "empty group pattern")
+      // SPARQL §18.2: the empty group pattern {} evaluates to the unit
+      // solution { mu0 } (one row, nothing bound) — not an error
+      if (acc == null) acc = ConstructParser.unitFrame(quads.sparkSession)
       (conds.foldLeft(acc)(_ filter _), maybeNull.toSet)
     }
 

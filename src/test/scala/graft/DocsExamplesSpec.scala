@@ -159,6 +159,53 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(got === Set(("A", "Alpha"), ("B", "Beta")))
   }
 
+  test("url-local-file.sparql verbatim: url:text binds the file body") {
+    val base = java.nio.file.Files.createTempDirectory("graft_url").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(base, "example-data"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "example-data", "data.csv"),
+      "\"a\",\"b\"\n\"c\",\"d\"\n") // = the reference's data.csv
+    val old = sys.props.get("graft.sparql.base")
+    sys.props("graft.sparql.base") = base
+    try {
+      val got = ConstructParser.parseSelect(
+        "SELECT * {\n  <example-data/data.csv> url:text ?str\n}")
+        .run(unit).collect().map(_.getString(0)).toSeq
+      assert(got === Seq("\"\\\"a\\\",\\\"b\\\"\\n\\\"c\\\",\\\"d\\\"\\n\""))
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.sparql.base") = v
+        case None => sys.props.remove("graft.sparql.base")
+      }
+    }
+    // variable subjects reject loudly (per-row fetch doesn't distribute)
+    val e = intercept[Exception](ConstructParser.parseSelect(
+      "SELECT * { ?f url:text ?str }"))
+    assert(e.getMessage.contains("VARIABLE subject"))
+  }
+
+  test("xml-attribute.sparql verbatim: xml:path over attributes and elements") {
+    val q =
+      """SELECT * {
+        |  BIND('<ul id="ul1"><li>item</li></ul>'^^xsd:xml AS ?xml)
+        |  BIND(xml:path(?xml, "//ul/@id") AS ?id)
+        |  BIND(xml:path(?xml, "//li") AS ?item)
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    // projection order: ?xml ?id ?item
+    assert(r.getString(1) === "ul1")
+    assert(r.getString(2) === "item")
+  }
+
+  test("hashbang.sparql verbatim: comment line + constant projection + {}") {
+    val q = "#!/usr/bin/sparql-integrate\n\n\nSELECT 1 { }"
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+    assert(got.length === 1 && got(0).getDouble(0) === 1.0)
+  }
+
   test("[] anonymous nodes never unify with user _:anonN labels") {
     import spark.implicits._
     val quads = Seq(

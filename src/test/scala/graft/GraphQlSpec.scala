@@ -105,13 +105,37 @@ class GraphQlSpec extends AnyFunSuite {
     assert(got("p1") === """{"name":"Ada"}""")
   }
 
-  test("loud rejects: @index, unknown directives, mutations, no pattern") {
+  test("@index turns a field into a JSON object keyed by the by-var " +
+      "(docs/graphql/reference/index-directive.md shape)") {
+    val text =
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s") {
+        |    props @pattern(of: "?s ?p ?o", from: "s", to: "o")
+        |          @index(by: "?p", oneIf: "false")
+        |  }
+        |}""".stripMargin
+    val got = GraphQl.compile(quads, text).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(got("p1") ===
+      """{"props":{"http://ex.org/knows":["p2"],"http://ex.org/name":["Ada"],""" +
+        """"http://ex.org/tag":["a","b"],"http://ex.org/type":["http://ex.org/Person"]}}""")
+    assert(got("p2") ===
+      """{"props":{"http://ex.org/name":["Alan"],"http://ex.org/tag":["c"],""" +
+        """"http://ex.org/type":["http://ex.org/Person"]}}""")
+    // oneIf: "true" errors when a key holds >1 value
+    val e = intercept[Exception](GraphQl.compile(quads,
+      text.replace("oneIf: \"false\"", "oneIf: \"true\"")).collect())
+    assert(e.getMessage.contains("matched") ||
+      Option(e.getCause).exists(_.getMessage.contains("matched")))
+  }
+
+  test("loud rejects: @index at root, unknown directives, mutations, no pattern") {
     def bad(t: String, frag: String): Unit = {
       val e = intercept[Exception](GraphQl.compile(quads, t).collect())
       assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
     }
     bad("""{ f @pattern(of: "?s ?p ?o", to: "o") @index(by: "?p") }""",
-      "@index is not supported")
+      "@index is only supported on child fields")
     bad("""{ f @pattern(of: "?s ?p ?o", to: "o") @frobnicate }""",
       "unknown directive")
     bad("""{ f }""", "needs @pattern or @bind")
