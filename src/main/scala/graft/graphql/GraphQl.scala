@@ -261,6 +261,9 @@ object GraphQl {
       s"field ${f.name}: @pattern and @bind are mutually exclusive")
     require(pat.nonEmpty || bind.nonEmpty,
       s"field ${f.name}: needs @pattern or @bind")
+    require(f.directives.forall(_.name != "index") || bind.isEmpty,
+      s"field ${f.name}: @index needs a @pattern field (a @bind value " +
+        "has no key stream to index)")
     val join = f.directives.find(_.name == "join")
     val to = pat.toSeq.flatMap(varsArg(_, "to"))
     val from0 = pat.toSeq.flatMap(varsArg(_, "from"))
@@ -407,9 +410,14 @@ object GraphQl {
               .otherwise(element_at(arr, 1))
           else concat(lit("["), array_join(arr, ","), lit("]"))
         val perKey = sols
-          .groupBy((c.from :+ bv).distinct.map(col): _*)
+          // a NULL key would silently vanish from collect_list — reject
+          // loudly instead of losing rows (use a bound key var)
+          .withColumn("#ik", when(col(bv).isNull, raise_error(lit(
+            s"field ${c.field.name}: @index key ?$bv is unbound for some " +
+              "solutions"))).otherwise(col(bv)))
+          .groupBy((c.from :+ "#ik").distinct.map(col): _*)
           .agg(inner.as("#v"))
-          .select(col("*"), concat(jsonEsc(rawTerm(col(bv))), lit(":"),
+          .select(col("*"), concat(jsonEsc(rawTerm(col("#ik"))), lit(":"),
             col("#v")).as("#entry"))
         perKey.groupBy(c.from.map(col): _*)
           .agg(concat(lit("{"),

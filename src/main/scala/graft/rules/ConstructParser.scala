@@ -621,7 +621,9 @@ object ConstructParser {
 
     private def constTerm(t: Tok): String = t match {
       case VarT(v) => fail(s"variable ?$v is not allowed in a DATA block")
-      case BnodeT(l) => "_:" + l // DATA blocks: label kept verbatim
+      // user labels kept verbatim; generated [] anon labels carry a '#'
+      // marker — emit as '.' so the stored term stays N-Triples-valid
+      case BnodeT(l) => "_:" + l.replace("#", ".")
       case other => specOf(other).swap.getOrElse(fail("constant term expected"))
     }
 
@@ -1013,7 +1015,11 @@ object ConstructParser {
               }
               val preOrd = orders.toSeq.zipWithIndex.foldLeft(bindings) {
                 case (df, ((c, _, _), k)) if early(k) =>
-                  df.withColumn("#ord" + k, c)
+                  // a key over a var the group never binds sorts as NULL
+                  // (same unbound-is-NULL rule as the projection below)
+                  df.withColumn("#ord" + k,
+                    if (refNames(c).forall(df.columns.contains)) c
+                    else lit(null).cast("string"))
                 case (df, _) => df
               }
               val ordCols = orders.indices.filter(early).map(k => col("#ord" + k))
@@ -1070,7 +1076,10 @@ object ConstructParser {
             }
             filtered.select(items.toSeq.map {
               case PlainVar(v) => col(v)
-              case Derived(v, _, _) => col(v)
+              // backtick-quote: a bare-constant projection can be named
+              // after a DECIMAL literal ("1.5") and col() would read the
+              // dot as struct-field access
+              case Derived(v, _, _) => filtered("`" + v + "`")
               case Star => throw new IllegalArgumentException(
                 "* cannot mix with aggregation")
             } ++ orders.zipWithIndex.collect {
@@ -2115,12 +2124,10 @@ object ConstructParser {
           // SILENT + unreadable endpoint = the unit solution (join
           // identity, SPARQL-fed §18.2.2.2), i.e. acc is left unchanged.
           val spark = quads.sparkSession
-          // same relative-IRI resolution as csv:parse (graft.sparql.base)
-          val path = {
-            val p0 = ConstructParser.serviceFilePath(url)
-            if (p0.startsWith("/")) p0
-            else ConstructParser.fileBase + "/" + p0
-          }
+          // scheme gate first (SERVICE-specific message), then the SAME
+          // relative-IRI resolution csv:parse/url:text use
+          ConstructParser.serviceFilePath(url)
+          val path = ConstructParser.resolveFileIri(url)
           val sub =
             try Some(graft.sources.RdfIO.readRdfAuto(spark, path))
             catch {

@@ -136,6 +136,13 @@ class GraphQlSpec extends AnyFunSuite {
     }
     bad("""{ f @pattern(of: "?s ?p ?o", to: "o") @index(by: "?p") }""",
       "@index is only supported on child fields")
+    bad(
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s") {
+        |    id @bind(of: "?s") @index(by: "?s")
+        |  }
+        |}""".stripMargin,
+      "@index needs a @pattern field")
     bad("""{ f @pattern(of: "?s ?p ?o", to: "o") @frobnicate }""",
       "unknown directive")
     bad("""{ f }""", "needs @pattern or @bind")
