@@ -43,6 +43,24 @@ object RdfTerms {
     replace(t, lit("\u0001"), lit("\\"))
   }
 
+  /** IRI-safe percent-encoding (R2RML §7.3 / RFC 3986 for the ASCII
+    * range): every ASCII char outside unreserved [A-Za-z0-9-._~] is
+    * %-encoded; non-ASCII stays as-is (iunreserved — these are IRIs,
+    * not URIs). Literal `replace` chain, no regex; `%` first so the
+    * encoding is injective.
+    */
+  val IriUnsafe: Seq[(String, String)] = Seq(
+    "%" -> "%25", " " -> "%20", "!" -> "%21", "\"" -> "%22", "#" -> "%23",
+    "$" -> "%24", "&" -> "%26", "'" -> "%27", "(" -> "%28", ")" -> "%29",
+    "*" -> "%2A", "+" -> "%2B", "," -> "%2C", "/" -> "%2F", ":" -> "%3A",
+    ";" -> "%3B", "<" -> "%3C", "=" -> "%3D", ">" -> "%3E", "?" -> "%3F",
+    "@" -> "%40", "[" -> "%5B", "\\" -> "%5C", "]" -> "%5D", "^" -> "%5E",
+    "`" -> "%60", "{" -> "%7B", "|" -> "%7C", "}" -> "%7D")
+
+  def iriSafe(c: Column): Column =
+    IriUnsafe.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to)) }
+
   /** `<iri>` */
   def iri(c: Column): Column = concat(lit("<"), c, lit(">"))
   def iri(s: String): Column = lit("<" + s + ">")

@@ -2554,6 +2554,11 @@ object ConstructParser {
           if (sawPattern)
             bgpVarTerm.get(v).map(t => E(col(v), t))
               .getOrElse(E(col(v), term = false))
+          // binding-stream mode: property-function outputs that carry
+          // TERMS (csv:parse rows, xml:unnest matches, url:text bodies)
+          // must resolve as terms or json:path would see the raw
+          // escaped term text
+          else if (propFnTermVars(v)) E(col(v), term = true)
           else binds.getOrElse(v, E(col(v), term = false))
         case '"' | '\'' =>
           val body = stringLit()
@@ -2674,7 +2679,11 @@ object ConstructParser {
           E(concat(lit("\""), RdfTerms.ntEscape(raw(l)), lit("\"@"), raw(g)),
             term = true)
         case _ if kw("ENCODE_FOR_URI") =>
-          E(url_encode(raw(arg1())), term = false)
+          // RFC 3986 percent-encoding of the ASCII range, non-ASCII kept
+          // (IRI flavor; NOT url_encode's form encoding with '+' spaces)
+          // — identical to the RML template encoder, so `rml to sparql`
+          // output is exactly equivalent to the direct compiler
+          E(RdfTerms.iriSafe(raw(arg1())), term = false)
         case _ if kw("ISIRI") || kw("ISURI") =>
           E(termCol(arg1()).startsWith("<"), term = false)
         case _ if kw("ISLITERAL") =>

@@ -218,21 +218,10 @@ object Rml {
 
   // ------------------------------------------------------------ compiling
 
-  /** IRI-safe percent-encoding of a template value (R2RML §7.3: encode
-    * every char outside iunreserved). Literal `replace` chain — no regex
-    * on the hot path; `%` first so the encoding is injective.
+  /** IRI-safe percent-encoding of a template value (R2RML §7.3) —
+    * shared with the SPARQL layer's ENCODE_FOR_URI.
     */
-  private val IriUnsafe: Seq[(String, String)] = Seq(
-    "%" -> "%25", " " -> "%20", "!" -> "%21", "\"" -> "%22", "#" -> "%23",
-    "$" -> "%24", "&" -> "%26", "'" -> "%27", "(" -> "%28", ")" -> "%29",
-    "*" -> "%2A", "+" -> "%2B", "," -> "%2C", "/" -> "%2F", ":" -> "%3A",
-    ";" -> "%3B", "<" -> "%3C", "=" -> "%3D", ">" -> "%3E", "?" -> "%3F",
-    "@" -> "%40", "[" -> "%5B", "\\" -> "%5C", "]" -> "%5D", "^" -> "%5E",
-    "`" -> "%60", "{" -> "%7B", "|" -> "%7C", "}" -> "%7D")
-
-  private def iriSafe(c: Column): Column =
-    IriUnsafe.foldLeft(c) { case (acc, (from, to)) =>
-      replace(acc, lit(from), lit(to)) }
+  private def iriSafe(c: Column): Column = RdfTerms.iriSafe(c)
 
   /** Split "a {x} b {y}" into Left(text) / Right(ref) parts. `\{`/`\}`
     * escape braces in literal text.
@@ -427,6 +416,127 @@ object Rml {
 
     (scanBranches ++ joinBranches).reduce(_ unionByName _)
       .dropDuplicates(Seq("subj", "pred", "obj", "graph"))
+  }
+
+  // ------------------------------------------------------- rml to sparql
+
+  /** The reference's `rmltk rml to sparql` step (docs/rml/index.md:17-21)
+    * re-expressed: ONE SPARQL CONSTRUCT statement per triples map,
+    * runnable by THIS engine's own text front door — `csv:parse` streams
+    * the logical source, `json:path` extracts row fields, and
+    * ENCODE_FOR_URI applies exactly the template encoding [[compile]]
+    * uses (both share [[RdfTerms.iriSafe]]), so the emitted text is
+    * value-equivalent to the direct compiler (asserted in RmlSpec).
+    * Subset: CSV sources; referencing object maps only in the
+    * same-source no-join form — cross-source joins need [[compile]].
+    */
+  def toSparql(maps: Seq[TriplesMap]): String =
+    maps.map(toSparqlOne(_, maps.map(m => m.id -> m).toMap))
+      .mkString("\n\n")
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""
+      case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c => c.toString
+    } + "\""
+
+  private def toSparqlOne(tm: TriplesMap,
+      byId: Map[String, TriplesMap]): String = {
+    require(tm.source.formulation == "CSV",
+      s"${tm.id}: rml to sparql emits csv:parse sources only " +
+        s"(got ${tm.source.formulation}) — use compile() for JSON")
+    val colVar = scala.collection.mutable.LinkedHashMap[String, String]()
+    def varFor(ref: String): String =
+      colVar.getOrElseUpdate(ref,
+        "c_" + ref.map(c => if (c.isLetterOrDigit || c == '_') c else '_'))
+    // extra BINDs for composed terms, in emission order
+    val binds = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var gen = 0
+    def bindOf(expr: String): String = {
+      gen += 1; val v = s"t$gen"; binds += (v -> expr); v
+    }
+    /** Template-position text for one term map (a var, a constant term,
+      * or a fresh BIND over the row fields).
+      */
+    def termText(g: TermGen): String = g match {
+      case ConstGen(term) => term
+      case RefGen(ref, "Literal", None, None) => "?" + varFor(ref)
+      case RefGen(ref, "Literal", Some(dt), _) =>
+        "?" + bindOf(s"STRDT(?${varFor(ref)}, <$dt>)")
+      case RefGen(ref, "Literal", None, Some(lang)) =>
+        "?" + bindOf(s"STRLANG(?${varFor(ref)}, ${q(lang)})")
+      case RefGen(ref, "IRI", _, _) =>
+        "?" + bindOf(s"IRI(?${varFor(ref)})")
+      case TemplateGen(tpl, tt) =>
+        val parts = templateParts(tpl).map {
+          case Left(text) => q(text)
+          case Right(ref) if tt == "IRI" =>
+            s"ENCODE_FOR_URI(?${varFor(ref)})"
+          case Right(ref) => "?" + varFor(ref)
+        }
+        val body =
+          if (parts.size == 1) parts.head
+          else "CONCAT(" + parts.mkString(", ") + ")"
+        if (tt == "IRI") "?" + bindOf(s"IRI($body)")
+        else "?" + bindOf(body)
+      case RefObjectGen(parent, joins) =>
+        val p = byId.getOrElse(parent, throw new IllegalArgumentException(
+          s"${tm.id}: unknown rr:parentTriplesMap $parent"))
+        require(joins.isEmpty && p.source == tm.source,
+          s"${tm.id}: rml to sparql supports referencing object maps " +
+            "only in the same-source no-join form — use compile() for joins")
+        termText(p.subject)
+      case other => throw new IllegalArgumentException(
+        s"${tm.id}: unsupported term map for rml to sparql: $other")
+    }
+    // (graphTermText or None=default, subject, predicate, object)
+    val triples = scala.collection.mutable.ArrayBuffer[(Option[String], String, String, String)]()
+    val subjT = termText(tm.subject)
+    def graphsText(pom: Option[Pom]): Seq[Option[String]] = {
+      val gs = tm.graphs ++ pom.map(_.graphs).getOrElse(Nil)
+      val (defaults, named) = gs.partition {
+        case ConstGen(t) => local(t) == "defaultGraph"
+        case _ => false
+      }
+      if (gs.isEmpty || named.isEmpty) Seq(None)
+      else named.map(g => Some(termText(g))) ++
+        (if (defaults.nonEmpty) Seq(None) else Nil)
+    }
+    for (c <- tm.classes; g <- graphsText(None))
+      triples += ((g, subjT, "a", c))
+    for {
+      pom <- tm.poms
+      o <- pom.objects
+      p <- pom.predicates
+    } {
+      // compute term texts ONCE per predicate-object combo (fresh BINDs
+      // are memoized by position, not re-minted per graph)
+      val oT = termText(o)
+      val pT = termText(p)
+      for (g <- graphsText(Some(pom))) triples += ((g, subjT, pT, oT))
+    }
+    val byGraph = triples.groupBy(_._1).toSeq.sortBy(_._1.getOrElse(""))
+    val tmpl = byGraph.map { case (g, ts) =>
+      val body = ts.map(t => s"  ${t._2} ${t._3} ${t._4} .").mkString("\n")
+      g match {
+        case None => body
+        case Some(gt) => s"  GRAPH $gt {\n$body\n  }"
+      }
+    }.mkString("\n")
+    val rowBinds = colVar.map { case (ref, v) =>
+      s"""  BIND(json:path(?__row, ${q("$['" + ref + "']")}) AS ?$v)"""
+    }.mkString("\n")
+    val extraBinds = binds.map { case (v, e) => s"  BIND($e AS ?$v)" }
+      .mkString("\n")
+    s"""CONSTRUCT {
+       |$tmpl
+       |}
+       |WHERE {
+       |  <${tm.source.source}> csv:parse (?__row "excel -h") .
+       |$rowBinds
+       |$extraBinds
+       |}""".stripMargin
   }
 
   /** Parse + compile a mapping file in one step. */

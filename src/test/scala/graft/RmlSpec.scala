@@ -186,6 +186,67 @@ class RmlSpec extends AnyFunSuite {
       Rml.DefaultGraph))
   }
 
+  test("rml to sparql: emitted CONSTRUCT text runs through the text " +
+      "front door and matches the direct compiler value-for-value") {
+    val mapping = prefixes +
+      """<#P> rml:logicalSource [ rml:source "graft_rml_people.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/p/{id}" ;
+        |                  rr:class ex:Person ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:name ;
+        |    rr:objectMap [ rml:reference "name" ; rr:language "en" ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:cityIri ;
+        |    rr:objectMap [ rr:template "http://ex.org/city/{city}" ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:self ;
+        |    rr:objectMap [ rr:parentTriplesMap <#P> ] ] .
+        |
+        |<#S> rml:logicalSource [ rml:source "graft_rml_people.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/seg/{team}" ;
+        |    rr:graphMap [ rr:template "http://ex.org/g/{team}" ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:label ;
+        |    rr:objectMap [ rml:reference "team" ; rr:datatype xsd:string ] ] .
+        |""".stripMargin
+    val maps = Rml.parseMapping(mapping)
+    val direct = Rml.compile(spark, maps, baseDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val unit = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+      org.apache.spark.sql.types.StructType(Nil))
+    val old = sys.props.get("graft.sparql.base")
+    sys.props("graft.sparql.base") = baseDir
+    try {
+      val viaText = maps.flatMap { m =>
+        val text = Rml.toSparql(Seq(m))
+        graft.rules.ConstructParser.parseConstruct(text).run(unit)
+          .collect()
+      }.map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+      assert(viaText === direct)
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.sparql.base") = v
+        case None => sys.props.remove("graft.sparql.base")
+      }
+    }
+    // joins cannot be expressed in the emitted subset — loud reject
+    val withJoin = Rml.parseMapping(prefixes +
+      """<#A> rml:logicalSource [ rml:source "graft_rml_people.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://e/{id}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:t ;
+        |    rr:objectMap [ rr:parentTriplesMap <#B> ;
+        |      rr:joinCondition [ rr:child "team" ; rr:parent "team" ] ] ] .
+        |<#B> rml:logicalSource [ rml:source "graft_rml_teams.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://e/t/{team}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:m ;
+        |    rr:objectMap [ rml:reference "motto" ] ] .""".stripMargin)
+    val e = intercept[Exception](Rml.toSparql(withJoin))
+    assert(e.getMessage.contains("no-join form"))
+  }
+
   test("loud rejects: formulation, iterator, sources, cross-source no-join") {
     def reject(mapping: String, frag: String): Unit = {
       val e = intercept[Exception](
