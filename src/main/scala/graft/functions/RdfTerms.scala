@@ -61,6 +61,18 @@ object RdfTerms {
     IriUnsafe.foldLeft(c) { case (acc, (from, to)) =>
       replace(acc, lit(from), lit(to)) }
 
+  /** Lexical form of an N-Triples term column: IRI body, literal body
+    * (datatype/lang suffix stripped), bnode label as-is — the SPARQL
+    * STR() shape, shared by the parser and the GraphQL compiler.
+    */
+  def termLexical(c0: Column): Column = {
+    val c = c0.cast("string")
+    when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
+      .when(c.startsWith("\""),
+        regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
+      .otherwise(c)
+  }
+
   /** `<iri>` */
   def iri(c: Column): Column = concat(lit("<"), c, lit(">"))
   def iri(s: String): Column = lit("<" + s + ">")

@@ -227,14 +227,8 @@ object GraphQl {
     concat(lit("\""), esc, lit("\""))
   }
 
-  /** Lexical form of an N-Triples term column: IRI body, literal body,
-    * bnode label as-is (the shape rawTermCol uses in the SPARQL layer).
-    */
   private def rawTerm(c: Column): Column =
-    when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
-      .when(c.startsWith("\""),
-        regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
-      .otherwise(c)
+    graft.functions.RdfTerms.termLexical(c)
 
   private final case class NodeCfg(
       field: Field,

@@ -20,6 +20,27 @@ object AlgebraSuite {
   private def customer(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/customer.parquet")
 
+  /** One row, zero columns — the source frame for PF-only statements. */
+  private def unit(s: SparkSession) =
+    graft.rules.ConstructParser.unitFrame(s)
+
+  /** Deterministic customers CSV on tmp (shared by csv_scan, csv_scan_pf
+    * and url_text — ONE writer, one layout).
+    */
+  private def csvFixture(s: SparkSession, dir: String): String = {
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
+    val rows = customer(s, dir)
+      .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey").collect()
+    val sb = new StringBuilder("k,name,seg\n")
+    rows.foreach(r =>
+      sb.append(r.getLong(0)).append(',').append(r.getString(1))
+        .append(',').append(r.getString(2)).append('\n'))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bgp_star_join" -> ((s, dir) => {
       val t = trip(s, dir)
@@ -328,60 +349,29 @@ object AlgebraSuite {
       // csv:parse FILE form via the text front door — the reference's
       // streaming CSV scan (docs/examples/README.md:390-413, csv.sparql
       // statement 1); fixture shared with csv_scan
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
-      val rows = customer(s, dir)
-        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
-        .orderBy("c_custkey").collect()
-      val sb = new StringBuilder("k,name,seg\n")
-      rows.foreach(r =>
-        sb.append(r.getLong(0)).append(',').append(r.getString(1))
-          .append(',').append(r.getString(2)).append('\n'))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
-      val unit = s.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
-        StructType(Nil))
+      val path = csvFixture(s, dir)
       graft.rules.ConstructParser.parseSelect(
-        s"SELECT * { <file:$path> csv:parse (?rowJson \"excel -h\") }").run(unit)
+        s"SELECT * { <file:$path> csv:parse (?rowJson \"excel -h\") }")
+        .run(unit(s))
     }),
     "url_text" -> ((s, dir) => {
       // url:text over a LOCAL file (docs/examples/url-local-file.sparql;
       // the network forms stay scoped out): whole file body as one
       // literal binding — fixture shared with csv_scan
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
-      val rows = customer(s, dir)
-        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
-        .orderBy("c_custkey").collect()
-      val sb = new StringBuilder("k,name,seg\n")
-      rows.foreach(r =>
-        sb.append(r.getLong(0)).append(',').append(r.getString(1))
-          .append(',').append(r.getString(2)).append('\n'))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
-      val unit = s.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
-        StructType(Nil))
       graft.rules.ConstructParser.parseSelect(
-        s"SELECT * { <file:$path> url:text ?str }").run(unit)
+        s"SELECT * { <file:${csvFixture(s, dir)}> url:text ?str }")
+        .run(unit(s))
     }),
-    "csv_inline_pf" -> ((s, dir) => {
+    "csv_inline_pf" -> ((s, dir) =>
       // csv.sparql statement 2 VERBATIM: inline CSV literal
-      val unit = s.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
-        StructType(Nil))
       graft.rules.ConstructParser.parseSelect(
         "SELECT * {\n\"\"\"fn,ln\nMary,Major\nJohn,Doe\"\"\" csv:parse (?rowJson \"excel -h\")\n}")
-        .run(unit)
-    }),
-    "xml_unnest_text" -> ((s, dir) => {
+        .run(unit(s))),
+    "xml_unnest_text" -> ((s, dir) =>
       // xml-unnest.sparql VERBATIM: xsd:xml literal + xml:unnest PF
-      val unit = s.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row()),
-        StructType(Nil))
       graft.rules.ConstructParser.parseSelect(
         "SELECT * {\n  \"\"\"<ul id=\"ul1\"><li>item</li></ul>\"\"\"^^xsd:xml xml:unnest (\"//li\" ?item)\n}")
-        .run(unit)
-    }),
+        .run(unit(s))),
     "example_io" -> ((s, dir) => {
       // io.sparql statement 1 VERBATIM (eg: prelude, BIND-only UNION
       // branch = unit solution, [] anonymous subject), seeded with
@@ -465,18 +455,8 @@ object AlgebraSuite {
       // csv:parse as a real FILE source (docs/examples/README.md:390-413
       // streams CSV rows into bindings): deterministic fixture written
       // from customer, read back through the csv reader with a header
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.csv"
-      val rows = customer(s, dir)
-        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
-        .orderBy("c_custkey").collect()
-      val sb = new StringBuilder("k,name,seg\n")
-      rows.foreach(r =>
-        sb.append(r.getLong(0)).append(',').append(r.getString(1))
-          .append(',').append(r.getString(2)).append('\n'))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
       s.read.option("header", "true")
-        .schema("k BIGINT, name STRING, seg STRING").csv(path)
+        .schema("k BIGINT, name STRING, seg STRING").csv(csvFixture(s, dir))
     }),
     "xml_path" -> ((s, dir) =>
       // xml:path port (docs/examples/README.md:456-500): XML literal +

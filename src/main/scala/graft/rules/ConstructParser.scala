@@ -90,7 +90,7 @@ object ConstructParser {
   private[rules] val RowIdCol = "#construct_rowid"
 
   /** The unit solution: one row, zero columns (SPARQL's Z = { mu0 }). */
-  private[rules] def unitFrame(spark: SparkSession): DataFrame =
+  private[graft] def unitFrame(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row()),
       org.apache.spark.sql.types.StructType(Nil))
@@ -345,6 +345,17 @@ object ConstructParser {
     private val propFnTermVars = scala.collection.mutable.HashSet[String]()
     // fresh labels for `[]` anonymous pattern nodes
     private var anonCounter = 0
+
+    /** Register a property-function output var (csv:parse/xml:unnest/
+      * url:text/json:unnest): tracked for the BGP-mode flip, term-ness
+      * recorded for expression resolution and projections.
+      */
+    private def registerPfVar(v: String, isTerm: Boolean): Unit = {
+      propFnVars += v
+      if (isTerm) propFnTermVars += v
+      if (sawPattern && (isTerm || !bgpVarTerm.contains(v)))
+        bgpVarTerm(v) = isTerm
+    }
     // the enclosing query's dataset clause: subqueries inherit it when
     // they declare no FROM of their own (SPARQL subqueries share the
     // outer dataset)
@@ -1687,9 +1698,7 @@ object ConstructParser {
                   s"string literal or a file IRI, got $other")
               }
               out += CsvParseE(s0, v, opts)
-              propFnVars += v
-              propFnTermVars += v
-              if (sawPattern) bgpVarTerm(v) = true
+              registerPfVar(v, isTerm = true)
             case (src, IriT(iri), ListT(args))
                 if iri == ConstructParser.XmlNs + "unnest" =>
               // xml:unnest property function (docs/examples/
@@ -1709,9 +1718,7 @@ object ConstructParser {
                   s"literal or a bound variable, got $other")
               }
               out += XmlUnnestE(s0, xp, v)
-              propFnVars += v
-              propFnTermVars += v
-              if (sawPattern) bgpVarTerm(v) = true
+              registerPfVar(v, isTerm = true)
             case (srcTok, IriT(iri), objTok)
                 if iri == ConstructParser.UrlNs + "text" =>
               val v = objTok match {
@@ -1727,9 +1734,7 @@ object ConstructParser {
                 case other => fail(s"url:text needs a file IRI subject, got $other")
               }
               out += UrlTextE(f, v)
-              propFnVars += v
-              propFnTermVars += v
-              if (sawPattern) bgpVarTerm(v) = true
+              registerPfVar(v, isTerm = true)
             case (subjTok, IriT(ConstructParser.JsonUnnestIri), objTok) =>
               // property function — does not flip BGP mode by itself
               val (ov, pos) = objTok match {
@@ -1752,13 +1757,9 @@ object ConstructParser {
                   s"json:unnest needs a variable or JSON-literal subject, got $other")
               }
               out += PropFnE(subj, ov, pos)
-              propFnVars += ov
-              if (sawPattern) bgpVarTerm(ov) = false
+              registerPfVar(ov, isTerm = false)
               pos.foreach {
-                case Left(iv) =>
-                  propFnVars += iv
-                  if (sawPattern && !bgpVarTerm.contains(iv))
-                    bgpVarTerm(iv) = false
+                case Left(iv) => registerPfVar(iv, isTerm = false)
                 case _ => ()
               }
             case (_, _, ListT(_)) => fail(
@@ -2832,13 +2833,7 @@ object ConstructParser {
       if (!e.term) e.c.cast("string") else rawTermCol(e.c)
 
     /** STR() of a term-valued column (usable inside array lambdas too). */
-    private def rawTermCol(c0: Column): Column = {
-      val c = c0.cast("string")
-      when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
-        .when(c.startsWith("\""),
-          regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
-        .otherwise(c)
-    }
+    private def rawTermCol(c0: Column): Column = RdfTerms.termLexical(c0)
 
     private def argList(): Seq[E] = {
       skipWs(); expect('(')

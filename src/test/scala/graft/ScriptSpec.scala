@@ -142,4 +142,36 @@ class ScriptSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Materializer.writeSplit(Map("../evil" -> a), out))
   }
+
+  test("test-zip-arrays.sparql shape: INSERT DATA xsd:json payload + " +
+      "positional json:unnest zip, as one script") {
+    // the reference script verbatim except its trailing comma (invalid
+    // JSON; docs/examples/test-zip-arrays.sparql:235-257)
+    val script =
+      "INSERT DATA {\n" +
+        "  eg:workload1 eg:workload \"\"\"{\n" +
+        "    \"stopIds\": [ \"TRENTO_STATION_FTM\", \"TRENTO_NORD\"],\n" +
+        "    \"stopNames\": [ \"Trento Staz.Ftm\", \"Trento Nord\" ]\n" +
+        "  }\"\"\"^^xsd:json\n" +
+        "}\n\n" +
+        """SELECT ?s ?l
+          |WHERE {
+          |  ?x eg:workload ?o  .
+          |  BIND(json:path(?o, "$.stopIds") AS ?stops)
+          |  BIND(json:path(?o, "$.stopNames") AS ?stopNames)
+          |
+          |  ?stops json:unnest (?stop ?i) .
+          |  ?stopNames json:unnest (?l ?i) .
+          |
+          |  BIND("http://qrowd-project.eu/resource/" AS ?ns)
+          |  BIND(URI(CONCAT(?ns, 'stop-', ENCODE_FOR_URI(?stop))) AS ?s)
+          |}""".stripMargin
+    val got = graft.pipeline.Script.runSparql(spark, script).lastQuery.get
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("<http://qrowd-project.eu/resource/stop-TRENTO_STATION_FTM>",
+        "Trento Staz.Ftm"),
+      ("<http://qrowd-project.eu/resource/stop-TRENTO_NORD>",
+        "Trento Nord")))
+  }
 }
