@@ -1257,6 +1257,8 @@ object ConstructParser {
     private case class StrT(v: String) extends Tok
     /** Typed literal constant in a pattern position ("…"^^dt). */
     private case class TypedStrT(v: String, dt: String) extends Tok
+    /** Language-tagged literal constant ("…"@lang). */
+    private case class LangStrT(v: String, lang: String) extends Tok
     /** Collection object — only valid as property-function arguments. */
     private case class ListT(items: Seq[Tok]) extends Tok
     private case class NumT(lex: String) extends Tok
@@ -1331,13 +1333,18 @@ object ConstructParser {
         case '<' => IriT(iriRef())
         case '"' | '\'' =>
           val body = stringLit()
-          // optional ^^datatype suffix (langtags on pattern constants
-          // stay unsupported-loud via the '@' fallthrough below)
           if (peek == '^' && i + 1 < n && s.charAt(i + 1) == '^') {
             i += 2
             skipWs()
             val dt = if (peek == '<') iriRef() else prefixedIri()
             TypedStrT(body, dt)
+          } else if (peek == '@') {
+            i += 1
+            val st = i
+            while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-'))
+              i += 1
+            if (i == st) fail("empty language tag")
+            LangStrT(body, s.substring(st, i))
           } else StrT(body)
         case '(' =>
           i += 1
@@ -1454,6 +1461,7 @@ object ConstructParser {
       case IriT(iri) => lit("<" + iri + ">")
       case StrT(v) => lit("\"" + TrigEscape(v) + "\"")
       case TypedStrT(v, dt) => lit("\"" + TrigEscape(v) + "\"^^<" + dt + ">")
+      case LangStrT(v, lang) => lit("\"" + TrigEscape(v) + "\"@" + lang)
       case NumT(lex) =>
         lit("\"" + lex + "\"^^<http://www.w3.org/2001/XMLSchema#integer>")
       case VarT(v) =>
@@ -2293,6 +2301,7 @@ object ConstructParser {
       case IriT(iri) => Left("<" + iri + ">")
       case StrT(v) => Left("\"" + TrigEscape(v) + "\"")
       case TypedStrT(v, dt) => Left("\"" + TrigEscape(v) + "\"^^<" + dt + ">")
+      case LangStrT(v, lang) => Left("\"" + TrigEscape(v) + "\"@" + lang)
       case ListT(_) => fail(
         "collection objects are only supported as property-function " +
           "arguments (csv:parse, xml:unnest)")
@@ -2569,6 +2578,14 @@ object ConstructParser {
             i += 2; skipWs()
             val dt = if (peek == '<') iriRef() else prefixedIri()
             E(lit("\"" + TrigEscape(body) + "\"^^<" + dt + ">"), term = true)
+          } else if (peek == '@') {
+            i += 1
+            val st = i
+            while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-'))
+              i += 1
+            if (i == st) fail("empty language tag")
+            E(lit("\"" + TrigEscape(body) + "\"@" + s.substring(st, i)),
+              term = true)
           } else E(lit(body), term = false)
         case '<' => E(lit("<" + iriRef() + ">"), term = true)
         case '(' => i += 1; val e = expr(); skipWs(); expect(')'); e

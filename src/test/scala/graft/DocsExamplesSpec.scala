@@ -200,6 +200,30 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(r.getString(2) === "item")
   }
 
+  test("language-tagged literal constants in patterns, expressions, DATA") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<a>", "<http://ex.org/label>", "\"Haus\"@de"),
+      ("<b>", "<http://ex.org/label>", "\"house\"@en"))
+      .toDF("subj", "pred", "obj")
+    // pattern-position constant
+    val got = ConstructParser.parseSelect(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s WHERE { ?s ex:label "Haus"@de }""".stripMargin)
+      .run(quads).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("<a>"))
+    // expression-position constant
+    val e = ConstructParser.parseSelect(
+      """SELECT ?l ?t WHERE { BIND('hi'@en AS ?l) BIND(LANG(?l) AS ?t) }""")
+      .run(unit).collect()(0)
+    assert(e.getString(0) === "\"hi\"@en" && e.getString(1) === "en")
+    // DATA-block constant
+    val ds = graft.pipeline.Script.runSparql(spark,
+      """INSERT DATA { eg:s rdfs:label "Foobar"@en }""").dataset
+    assert(ds.select("obj").collect().map(_.getString(0)).toSeq ===
+      Seq("\"Foobar\"@en"))
+  }
+
   test("hashbang.sparql verbatim: comment line + constant projection + {}") {
     val q = "#!/usr/bin/sparql-integrate\n\n\nSELECT 1 { }"
     val got = ConstructParser.parseSelect(q).run(unit).collect()
