@@ -43,14 +43,17 @@ object RdfTerms {
     replace(t, lit("\u0001"), lit("\\"))
   }
 
-  /** IRI-safe percent-encoding (R2RML §7.3 / RFC 3986 for the ASCII
-    * range): every ASCII char outside unreserved [A-Za-z0-9-._~] is
-    * %-encoded; non-ASCII stays as-is (iunreserved — these are IRIs,
-    * not URIs). Literal `replace` chain, no regex; `%` first so the
-    * encoding is injective.
+  /** IRI-safe percent-encoding (R2RML §7.3 / RFC 3986 for the printable
+    * ASCII range + the common C0 controls \n \r \t): chars outside
+    * unreserved [A-Za-z0-9-._~] are %-encoded; non-ASCII stays as-is
+    * (iunreserved — these are IRIs, not URIs; fn:encode-for-uri over
+    * URIs would also encode the UTF-8 octets of non-ASCII — documented
+    * IRI-flavored deviation). Literal `replace` chain, no regex; `%`
+    * first so the encoding is injective.
     */
   val IriUnsafe: Seq[(String, String)] = Seq(
-    "%" -> "%25", " " -> "%20", "!" -> "%21", "\"" -> "%22", "#" -> "%23",
+    "%" -> "%25", "\n" -> "%0A", "\r" -> "%0D", "\t" -> "%09",
+    " " -> "%20", "!" -> "%21", "\"" -> "%22", "#" -> "%23",
     "$" -> "%24", "&" -> "%26", "'" -> "%27", "(" -> "%28", ")" -> "%29",
     "*" -> "%2A", "+" -> "%2B", "," -> "%2C", "/" -> "%2F", ":" -> "%3A",
     ";" -> "%3B", "<" -> "%3C", "=" -> "%3D", ">" -> "%3E", "?" -> "%3F",

@@ -346,14 +346,31 @@ object ConstructParser {
     // fresh labels for `[]` anonymous pattern nodes
     private var anonCounter = 0
 
+    /** SPARQL LANGTAG (ASCII-only: [a-zA-Z]+('-'[a-zA-Z0-9]+)*) — the
+      * downstream LANG/DATATYPE/termLexical regexes are ASCII, so a
+      * laxer lexer here would store tags they cannot read back.
+      */
+    private def langTag(): String = {
+      val st = i
+      while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-'))
+        i += 1
+      val tag = s.substring(st, i)
+      if (!tag.matches("[A-Za-z]+(-[A-Za-z0-9]+)*"))
+        fail(s"invalid language tag '@$tag'")
+      tag
+    }
+
     /** Register a property-function output var (csv:parse/xml:unnest/
       * url:text/json:unnest): tracked for the BGP-mode flip, term-ness
       * recorded for expression resolution and projections.
       */
-    private def registerPfVar(v: String, isTerm: Boolean): Unit = {
+    private def registerPfVar(v: String, isTerm: Boolean,
+        rebind: Boolean = true): Unit = {
       propFnVars += v
       if (isTerm) propFnTermVars += v
-      if (sawPattern && (isTerm || !bgpVarTerm.contains(v)))
+      // rebind = the PF OVERWRITES the var's value (its term-ness must
+      // follow); zip-capable index vars join instead, keeping theirs
+      if (sawPattern && (rebind || !bgpVarTerm.contains(v)))
         bgpVarTerm(v) = isTerm
     }
     // the enclosing query's dataset clause: subqueries inherit it when
@@ -1340,11 +1357,7 @@ object ConstructParser {
             TypedStrT(body, dt)
           } else if (peek == '@') {
             i += 1
-            val st = i
-            while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-'))
-              i += 1
-            if (i == st) fail("empty language tag")
-            LangStrT(body, s.substring(st, i))
+            LangStrT(body, langTag())
           } else StrT(body)
         case '(' =>
           i += 1
@@ -1767,7 +1780,8 @@ object ConstructParser {
               out += PropFnE(subj, ov, pos)
               registerPfVar(ov, isTerm = false)
               pos.foreach {
-                case Left(iv) => registerPfVar(iv, isTerm = false)
+                case Left(iv) =>
+                  registerPfVar(iv, isTerm = false, rebind = false)
                 case _ => ()
               }
             case (_, _, ListT(_)) => fail(
@@ -2580,12 +2594,7 @@ object ConstructParser {
             E(lit("\"" + TrigEscape(body) + "\"^^<" + dt + ">"), term = true)
           } else if (peek == '@') {
             i += 1
-            val st = i
-            while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-'))
-              i += 1
-            if (i == st) fail("empty language tag")
-            E(lit("\"" + TrigEscape(body) + "\"@" + s.substring(st, i)),
-              term = true)
+            E(lit("\"" + TrigEscape(body) + "\"@" + langTag()), term = true)
           } else E(lit(body), term = false)
         case '<' => E(lit("<" + iriRef() + ">"), term = true)
         case '(' => i += 1; val e = expr(); skipWs(); expect(')'); e

@@ -429,6 +429,11 @@ object Rml {
     * value-equivalent to the direct compiler (asserted in RmlSpec).
     * Subset: CSV sources; referencing object maps only in the
     * same-source no-join form — cross-source joins need [[compile]].
+    * The emitted text is SET-equivalent to [[compile]]: compile ends
+    * with a dropDuplicates (RDF graphs are sets, the upstream builder's
+    * setDistinct) while a CONSTRUCT statement emits one row per
+    * solution — apply `.dropDuplicates` / the materializer's dedup
+    * stage to the text path's output before counting.
     */
   def toSparql(maps: Seq[TriplesMap]): String =
     maps.map(toSparqlOne(_, maps.map(m => m.id -> m).toMap))
@@ -447,9 +452,18 @@ object Rml {
       s"${tm.id}: rml to sparql emits csv:parse sources only " +
         s"(got ${tm.source.formulation}) — use compile() for JSON")
     val colVar = scala.collection.mutable.LinkedHashMap[String, String]()
-    def varFor(ref: String): String =
-      colVar.getOrElseUpdate(ref,
-        "c_" + ref.map(c => if (c.isLetterOrDigit || c == '_') c else '_'))
+    def varFor(ref: String): String = colVar.getOrElseUpdate(ref, {
+      // loud gate: a quote/bracket/backslash would corrupt the emitted
+      // json:path string (the direct compiler has no such limit)
+      require(ref.matches("[A-Za-z0-9_ .\\-]+"),
+        s"${tm.id}: column reference '$ref' contains characters the " +
+          "rml-to-sparql json:path emitter cannot quote — use compile()")
+      val base = "c_" + ref.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+      // distinct refs must stay distinct vars even when sanitization
+      // collides ("a b" vs "a.b")
+      if (colVar.valuesIterator.contains(base)) base + "_" + colVar.size
+      else base
+    })
     // extra BINDs for composed terms, in emission order
     val binds = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var gen = 0
@@ -469,6 +483,9 @@ object Rml {
       case RefGen(ref, "IRI", _, _) =>
         "?" + bindOf(s"IRI(?${varFor(ref)})")
       case TemplateGen(tpl, tt) =>
+        require(tt == "IRI" || tt == "Literal",
+          s"${tm.id}: rr:termType $tt templates are not expressible in " +
+            "the emitted SPARQL subset (no BNODE(expr)) — use compile()")
         val parts = templateParts(tpl).map {
           case Left(text) => q(text)
           case Right(ref) if tt == "IRI" =>
@@ -503,18 +520,18 @@ object Rml {
       else named.map(g => Some(termText(g))) ++
         (if (defaults.nonEmpty) Seq(None) else Nil)
     }
-    for (c <- tm.classes; g <- graphsText(None))
+    val subjGraphs = graphsText(None)
+    for (c <- tm.classes; g <- subjGraphs)
       triples += ((g, subjT, "a", c))
-    for {
-      pom <- tm.poms
-      o <- pom.objects
-      p <- pom.predicates
-    } {
-      // compute term texts ONCE per predicate-object combo (fresh BINDs
-      // are memoized by position, not re-minted per graph)
-      val oT = termText(o)
-      val pT = termText(p)
-      for (g <- graphsText(Some(pom))) triples += ((g, subjT, pT, oT))
+    for (pom <- tm.poms) {
+      // hoist graph/term texts so fresh BINDs mint once per POM, not per
+      // graph x predicate x object combination
+      val pomGraphs = graphsText(Some(pom))
+      for (o <- pom.objects; p <- pom.predicates) {
+        val oT = termText(o)
+        val pT = termText(p)
+        for (g <- pomGraphs) triples += ((g, subjT, pT, oT))
+      }
     }
     val byGraph = triples.groupBy(_._1).toSeq.sortBy(_._1.getOrElse(""))
     val tmpl = byGraph.map { case (g, ts) =>
