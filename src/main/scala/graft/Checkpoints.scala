@@ -32,7 +32,17 @@ object Checkpoints {
       */
     def truncateLineage(eager: Boolean = true): Dataset[T] =
       reliableDir match {
-        case Some(d) => ensureDir(ds, d); ds.checkpoint(eager)
+        case Some(d) =>
+          ensureDir(ds, d)
+          if (eager) {
+            // cache before checkpointing: the reliable checkpoint writes
+            // its files in a second job that would otherwise recompute the
+            // full lineage (see truncateRdd); lazy checkpoints skip this —
+            // there is no job yet to share the cache with
+            ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try ds.checkpoint(eager = true)
+            finally ds.unpersist(blocking = false)
+          } else ds.checkpoint(eager = false)
         case None => ds.localCheckpoint(eager)
       }
   }
@@ -44,15 +54,23 @@ object Checkpoints {
     */
   def truncateRdd(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val rdd = reliableDir match {
+    reliableDir match {
       case Some(d) =>
         ensureDir(df, d)
+        // persist first: ReliableRDDCheckpointData writes checkpoint files
+        // in a SECOND job after the count — without a cached copy that job
+        // recomputes the whole lineage, doubling every closure round
         val r = df.rdd
-        r.checkpoint() // reliable: materialized by the count below
-        r
-      case None => df.rdd.localCheckpoint()
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.checkpoint()
+        r.count() // materializes the cache AND triggers the checkpoint write
+        val out = spark.createDataFrame(r, df.schema)
+        r.unpersist(blocking = false) // checkpoint files now back the RDD
+        out
+      case None =>
+        val r = df.rdd.localCheckpoint()
+        r.count()
+        spark.createDataFrame(r, df.schema)
     }
-    rdd.count()
-    spark.createDataFrame(rdd, df.schema)
   }
 }

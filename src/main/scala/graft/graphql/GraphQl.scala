@@ -388,7 +388,13 @@ object GraphQl {
     */
   private def aggregated(c: NodeCfg, quads: DataFrame,
       inheritedCascade: Option[Boolean]): DataFrame = {
+    // A leaf whose target var is unbound (OPTIONAL in the @pattern) has a
+    // NULL #js; collect_list would silently drop it — for @many that loses
+    // array elements, and an all-unbound @one group would collapse to an
+    // empty array and element_at(arr, 1) throws under ANSI. Keep the
+    // solution as an explicit JSON null instead.
     val sols = solutions(c, quads, inheritedCascade)
+      .withColumn("#js", coalesce(col("#js"), lit("null")))
     val arr = array_sort(collect_list(col("#js")))
     c.indexBy match {
       case Some(bv) =>

@@ -47,7 +47,8 @@ object Rml {
   /** rr:template — `{ref}` parts interpolate column values (IRI-safe
     * percent-encoded in IRI context, R2RML §7.3).
     */
-  final case class TemplateGen(template: String, termType: String) extends TermGen
+  final case class TemplateGen(template: String, termType: String,
+      datatype: Option[String], language: Option[String]) extends TermGen
   /** rml:reference / rr:column — the column's value as-is. */
   final case class RefGen(ref: String, termType: String,
       datatype: Option[String], language: Option[String]) extends TermGen
@@ -152,7 +153,18 @@ object Rml {
           .orElse(obj1(node, "column")), obj1(node, "constant"),
           obj1(node, "parentTriplesMap")) match {
         case (Some(t), None, None, None) =>
-          TemplateGen(litBody(t), termType(node, "IRI"))
+          val dt = obj1(node, "datatype").map(d => d.substring(1, d.length - 1))
+          val lang = obj1(node, "language").map(litBody)
+          // R2RML §7.4.1: rr:language / rr:datatype make an object map a
+          // literal by default (otherwise templates default to IRI)
+          val deflt =
+            if (pos == "object" && (dt.nonEmpty || lang.nonEmpty)) "Literal"
+            else "IRI"
+          val tt = termType(node, deflt)
+          require(tt == "Literal" || (dt.isEmpty && lang.isEmpty),
+            s"rr:language / rr:datatype are only valid on Literal term " +
+              s"maps (at $node in $pos, termType $tt)")
+          TemplateGen(litBody(t), tt, dt, lang)
         case (None, Some(r), None, None) =>
           RefGen(litBody(r), termType(node, defaultType),
             obj1(node, "datatype").map(d => d.substring(1, d.length - 1)),
@@ -255,7 +267,7 @@ object Rml {
     */
   private def genCol(g: TermGen, colFn: String => Column): Column = g match {
     case ConstGen(t) => lit(t)
-    case TemplateGen(tpl, tt) =>
+    case TemplateGen(tpl, tt, dt, lang) =>
       val parts = templateParts(tpl)
       def joined(enc: Column => Column): Column =
         concat(parts.map {
@@ -264,7 +276,12 @@ object Rml {
         }: _*)
       tt match {
         case "IRI" => concat(lit("<"), joined(iriSafe), lit(">"))
-        case "Literal" => RdfTerms.strLit(joined(identity))
+        case "Literal" => (dt, lang) match {
+          case (Some(d), _) => RdfTerms.typedLit(joined(identity), d)
+          case (None, Some(l)) =>
+            concat(RdfTerms.strLit(joined(identity)), lit("@" + l))
+          case (None, None) => RdfTerms.strLit(joined(identity))
+        }
         case "BlankNode" => concat(lit("_:"), joined(iriSafe))
       }
     case RefGen(ref, tt, dt, lang) =>
@@ -435,8 +452,8 @@ object Rml {
     * solution — apply `.dropDuplicates` / the materializer's dedup
     * stage to the text path's output before counting.
     */
-  def toSparql(maps: Seq[TriplesMap]): String =
-    maps.map(toSparqlOne(_, maps.map(m => m.id -> m).toMap))
+  def toSparql(maps: Seq[TriplesMap], baseDir: Option[String] = None): String =
+    maps.map(toSparqlOne(_, maps.map(m => m.id -> m).toMap, baseDir))
       .mkString("\n\n")
 
   private def q(s: String): String =
@@ -447,7 +464,7 @@ object Rml {
     } + "\""
 
   private def toSparqlOne(tm: TriplesMap,
-      byId: Map[String, TriplesMap]): String = {
+      byId: Map[String, TriplesMap], baseDir: Option[String]): String = {
     require(tm.source.formulation == "CSV",
       s"${tm.id}: rml to sparql emits csv:parse sources only " +
         s"(got ${tm.source.formulation}) — use compile() for JSON")
@@ -482,7 +499,7 @@ object Rml {
         "?" + bindOf(s"STRLANG(?${varFor(ref)}, ${q(lang)})")
       case RefGen(ref, "IRI", _, _) =>
         "?" + bindOf(s"IRI(?${varFor(ref)})")
-      case TemplateGen(tpl, tt) =>
+      case TemplateGen(tpl, tt, dt, lang) =>
         require(tt == "IRI" || tt == "Literal",
           s"${tm.id}: rr:termType $tt templates are not expressible in " +
             "the emitted SPARQL subset (no BNODE(expr)) — use compile()")
@@ -496,7 +513,11 @@ object Rml {
           if (parts.size == 1) parts.head
           else "CONCAT(" + parts.mkString(", ") + ")"
         if (tt == "IRI") "?" + bindOf(s"IRI($body)")
-        else "?" + bindOf(body)
+        else (dt, lang) match {
+          case (Some(d), _) => "?" + bindOf(s"STRDT($body, <$d>)")
+          case (None, Some(l)) => "?" + bindOf(s"STRLANG($body, ${q(l)})")
+          case (None, None) => "?" + bindOf(body)
+        }
       case RefObjectGen(parent, joins) =>
         val p = byId.getOrElse(parent, throw new IllegalArgumentException(
           s"${tm.id}: unknown rr:parentTriplesMap $parent"))
@@ -546,11 +567,19 @@ object Rml {
     }.mkString("\n")
     val extraBinds = binds.map { case (v, e) => s"  BIND($e AS ?$v)" }
       .mkString("\n")
+    // compile() resolves a relative rml:source against the mapping file's
+    // directory, while the emitted text is resolved by the engine against
+    // graft.sparql.base / cwd — anchor it here so the documented
+    // compile/toSparql value-equivalence holds wherever the text runs
+    val srcPath = tm.source.source match {
+      case abs if abs.matches("^(/|[a-zA-Z]+:).*") => abs
+      case rel => baseDir.map(_ + "/" + rel).getOrElse(rel)
+    }
     s"""CONSTRUCT {
        |$tmpl
        |}
        |WHERE {
-       |  <${tm.source.source}> csv:parse (?__row "excel -h") .
+       |  <$srcPath> csv:parse (?__row "excel -h") .
        |$rowBinds
        |$extraBinds
        |}""".stripMargin

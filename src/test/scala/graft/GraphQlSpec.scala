@@ -76,6 +76,27 @@ class GraphQlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("matched")))
   }
 
+  test("unbound leaf values (OPTIONAL in the @pattern) become JSON null " +
+      "instead of vanishing from arrays or crashing @one") {
+    val text =
+      """query Q @prefix(name: "ex", iri: "http://ex.org/") {
+        |  people @pattern(of: "?s ex:type ex:Person", from: "s", to: "s") {
+        |    id @bind(of: "?s")
+        |    nick @pattern(of: "?s ex:name ?n OPTIONAL { ?n ex:alias ?a }",
+        |                  from: "s", to: "a") @one
+        |    aliases @pattern(of: "?s ex:name ?n OPTIONAL { ?n ex:alias ?a }",
+        |                     from: "s", to: "a")
+        |  }
+        |}""".stripMargin
+    val rows = GraphQl.compile(quads, text).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    // ?a is unbound for every person: @one yields null (collect_list used
+    // to drop the NULL and element_at(arr,1) threw under ANSI), @many
+    // keeps one explicit null entry per solution
+    assert(rows("p1") === """{"id":"p1","nick":null,"aliases":[null]}""")
+    assert(rows("p2") === """{"id":"p2","nick":null,"aliases":[null]}""")
+  }
+
   test("@join overrides the implicit parent-target join") {
     // root targets BOTH ?s and ?n; the child joins on ?s only via @join
     val text =

@@ -288,4 +288,60 @@ class RmlSpec extends AnyFunSuite {
         |    rr:objectMap [ rml:reference "motto" ] ] .""".stripMargin,
       "same logical source")
   }
+
+  test("template literals carry rr:language / rr:datatype; R2RML §7.4.1 " +
+      "default term type flips to Literal when they are present") {
+    val mapping = prefixes +
+      """<#T> rml:logicalSource [ rml:source "graft_rml_teams.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/t/{team}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:slogan ;
+        |    rr:objectMap [ rr:template "go {team} go" ; rr:language "en" ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:code ;
+        |    rr:objectMap [ rr:template "T-{team}" ; rr:datatype xsd:string ] ] .
+        |""".stripMargin
+    val maps = Rml.parseMapping(mapping)
+    val got = Rml.compile(spark, maps, baseDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got.contains(("<http://ex.org/slogan>", "\"go blue go\"@en")))
+    assert(got.contains(("<http://ex.org/code>",
+      "\"T-red\"^^<http://www.w3.org/2001/XMLSchema#string>")))
+    // the emitted SPARQL text carries the same tags (STRLANG/STRDT)
+    val text = Rml.toSparql(maps, Some(baseDir))
+    val unit = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+      org.apache.spark.sql.types.StructType(Nil))
+    val viaText = graft.rules.ConstructParser.parseConstruct(text).run(unit)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(viaText === got)
+    // rr:language on a non-Literal term type rejects loudly
+    val e = intercept[Exception](Rml.parseMapping(prefixes +
+      """<#X> rml:logicalSource [ rml:source "graft_rml_teams.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://e/{team}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:p ;
+        |    rr:objectMap [ rr:template "x{team}" ; rr:language "en" ;
+        |      rr:termType rr:IRI ] ] .""".stripMargin))
+    assert(e.getMessage.contains("only valid on Literal"))
+  }
+
+  test("toSparql with baseDir anchors relative rml:source to the mapping " +
+      "directory, matching compile()'s resolution") {
+    val maps = Rml.parseMapping(prefixes +
+      """<#T> rml:logicalSource [ rml:source "graft_rml_teams.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/t/{team}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:motto ;
+        |    rr:objectMap [ rml:reference "motto" ] ] .""".stripMargin)
+    val text = Rml.toSparql(maps, Some(baseDir))
+    assert(text.contains(s"<$baseDir/graft_rml_teams.csv>"))
+    // absolute path regardless of where the text later runs: no
+    // graft.sparql.base needed for the equivalence to hold
+    val unit = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row()),
+      org.apache.spark.sql.types.StructType(Nil))
+    val viaText = graft.rules.ConstructParser.parseConstruct(text).run(unit)
+      .collect().map(_.getString(0)).toSet
+    assert(viaText === Set("<http://ex.org/t/blue>", "<http://ex.org/t/red>"))
+  }
 }
