@@ -70,9 +70,12 @@ object RdfTerms {
     */
   def termLexical(c0: Column): Column = {
     val c = c0.cast("string")
+    // literal bodies carry N-Triples escapes — STR() must yield the RAW
+    // lexical form or a later re-escape (STRDT of a json body with
+    // quotes) doubles the backslashes
     when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
-      .when(c.startsWith("\""),
-        regexp_extract(c, "^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1))
+      .when(c.startsWith("\""), ntUnescape(
+        regexp_extract(c, "(?s)^\"(.*)\"(?:@[A-Za-z0-9-]*|\\^\\^<[^>]*>)?$", 1)))
       .otherwise(c)
   }
 

@@ -41,6 +41,36 @@ object AlgebraSuite {
     path
   }
 
+  /** Deterministic fixture TREE for fs:find / SERVICE ?file / FROM
+    * <file>: one `.nt` per nation row at the top level, region `.nt`
+    * files in a NESTED dir (recursion evidence), plus a non-RDF csv the
+    * probe must exclude. Shared by fs_find, service_var and from_file —
+    * ONE writer, one layout.
+    */
+  private def fsTreeFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_fstree_$tag")
+    java.nio.file.Files.createDirectories(root.resolve("nested"))
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .orderBy("n_nationkey").collect()
+      .foreach { r =>
+        java.nio.file.Files.writeString(root.resolve(s"n_${r.getLong(0)}.nt"),
+          s"""<http://ex.org/n/${r.getLong(0)}> <http://ex.org/lbl> "${r.getString(1)}" .\n""")
+      }
+    s.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .orderBy("r_regionkey").collect()
+      .foreach { r =>
+        java.nio.file.Files.writeString(
+          root.resolve("nested").resolve(s"r_${r.getLong(0)}.nt"),
+          s"""<http://ex.org/r/${r.getLong(0)}> <http://ex.org/lbl> "${r.getString(1)}" .\n""")
+      }
+    java.nio.file.Files.writeString(root.resolve("notes.csv"), "a,b\n1,2\n")
+    root.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bgp_star_join" -> ((s, dir) => {
       val t = trip(s, dir)
@@ -438,6 +468,46 @@ object AlgebraSuite {
            |  SERVICE <file:$path> { ?nat ex:lbl ?lbl . }
            |}""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(outer)
+    }),
+    "fs_find" -> ((s, dir) => {
+      // fs:find + fs:probeRdf + afn:localname (docs/examples/
+      // fs-list-rdf-files.sparql): recursive listing of the fixture
+      // tree, non-RDF files probed out, names projected so the result
+      // is tmpdir-independent
+      val root = fsTreeFixture(s, dir)
+      graft.rules.ConstructParser.parseSelect(
+        s"""SELECT ?name {
+           |  <file:$root> fs:find ?file
+           |  FILTER(fs:probeRdf(?file))
+           |  BIND(afn:localname(?file) AS ?name)
+           |}""".stripMargin).run(unit(s))
+    }),
+    "service_var" -> ((s, dir) => {
+      // SERVICE ?file over fs:find output (docs/examples/
+      // fs-query-rdf-files.sparql): the inner group evaluates once per
+      // DISTINCT probed file, results unioned and joined back
+      val root = fsTreeFixture(s, dir)
+      graft.rules.ConstructParser.parseSelect(
+        s"""PREFIX ex: <http://ex.org/>
+           |SELECT ?s ?o {
+           |  <file:$root> fs:find ?file
+           |  FILTER(fs:probeRdf(?file))
+           |  SERVICE ?file { ?s ex:lbl ?o }
+           |}""".stripMargin).run(unit(s))
+    }),
+    "from_file" -> ((s, dir) => {
+      // FROM <local file> (docs/examples/test.sparql:2): each file loads
+      // as a document merged into the DEFAULT graph, hiding the session
+      // dataset
+      import s.implicits._
+      val root = fsTreeFixture(s, dir)
+      val session = Seq(("<http://g/1>", "<http://hidden/s>",
+        "<http://hidden/p>", "\"hidden\"")).toDF("graph", "subj", "pred", "obj")
+      graft.rules.ConstructParser.parseSelect(
+        s"""SELECT ?s ?o
+           |FROM <file:$root/nested/r_0.nt>
+           |FROM <file:$root/nested/r_1.nt>
+           |{ ?s ?p ?o }""".stripMargin).run(session)
     }),
     "csv_parse" -> ((s, dir) =>
       // csv:parse port: rows serialized as CSV lines, parsed back to typed
@@ -1055,6 +1125,20 @@ object AlgebraSuite {
         |       '<http://ex.org/n/'||c_nationkey||'>' AS nat,
         |       '"'||n_name||'"' AS lbl
         |FROM customer JOIN nation ON n_nationkey = c_nationkey""".stripMargin,
+    "fs_find" ->
+      """SELECT 'n_'||n_nationkey||'.nt' AS name FROM nation
+        |UNION ALL
+        |SELECT 'r_'||r_regionkey||'.nt' FROM region""".stripMargin,
+    "service_var" ->
+      """SELECT '<http://ex.org/n/'||n_nationkey||'>' AS s,
+        |       '"'||n_name||'"' AS o FROM nation
+        |UNION ALL
+        |SELECT '<http://ex.org/r/'||r_regionkey||'>', '"'||r_name||'"'
+        |FROM region""".stripMargin,
+    "from_file" ->
+      """SELECT '<http://ex.org/r/'||r_regionkey||'>' AS s,
+        |       '"'||r_name||'"' AS o
+        |FROM region WHERE r_regionkey <= 1""".stripMargin,
     "csv_parse" ->
       "SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg FROM customer",
     "csv_scan" ->

@@ -113,6 +113,30 @@ object ConstructParser {
     else rest
   }
 
+  private[rules] def stripAngles(term: String): String =
+    if (term.startsWith("<") && term.endsWith(">"))
+      term.substring(1, term.length - 1)
+    else term
+
+  /** Distinct non-null values of an endpoint/file column, collected to
+    * the driver SORTED. These columns hold FILE LISTINGS (fs:find
+    * output) — metadata-scale by construction; the loud cap turns a
+    * data-scale column accidentally used as an endpoint into an error
+    * instead of a silent driver-side loop.
+    */
+  private[rules] val MaxEndpoints = 10000
+  private[rules] def collectEndpoints(df: org.apache.spark.sql.DataFrame,
+      v: String, what: String): Seq[String] = {
+    val rows = df.select(org.apache.spark.sql.functions.col(v))
+      .where(org.apache.spark.sql.functions.col(v).isNotNull)
+      .distinct().limit(MaxEndpoints + 1).collect()
+    require(rows.length <= MaxEndpoints,
+      s"$what: more than $MaxEndpoints distinct endpoint files — this " +
+        "operator dispatches per FILE and is meant for fs:find-scale " +
+        "listings, not data-scale columns")
+    rows.map(_.getString(0)).toSeq.sorted
+  }
+
   /** JVM-global BNODE() call-site counter: labels stay distinct across
     * separately parsed queries operating on one dataset.
     */
@@ -124,6 +148,17 @@ object ConstructParser {
   private[rules] val CsvNs = "http://jsa.aksw.org/fn/csv/"
   private[rules] val XmlNs = "http://jsa.aksw.org/fn/xml/"
   private[rules] val UrlNs = "http://jsa.aksw.org/fn/url/"
+  /** Filesystem property/filter functions (fs:find, fs:probeRdf —
+    * docs/examples/README.md:585-650). The reference's fs: prefix comes
+    * from an external dependency; the IRI follows the sibling
+    * jsa.aksw.org/fn/<family>/ convention its json/csv/xml/url
+    * namespaces use.
+    */
+  private[rules] val FsNs = "http://jsa.aksw.org/fn/fs/"
+  /** Jena ARQ's function namespace (docs/examples/workloads.sparql:1
+    * declares it explicitly; only afn:localname is implemented).
+    */
+  private[rules] val AfnNs = "http://jena.apache.org/ARQ/function#"
   // literal, NOT XsdNs-derived: object init order (XsdNs binds later)
   private[rules] val XsdJson = "http://www.w3.org/2001/XMLSchema#json"
 
@@ -134,12 +169,43 @@ object ConstructParser {
   private[graft] def fileBase: String =
     sys.props.getOrElse("graft.sparql.base", sys.props("user.dir"))
 
-  private[graft] def resolveFileIri(iri: String): String = {
+  private[graft] def resolveFileIri(iri: String): String =
+    resolveFileIriAgainst(iri, fileBase)
+
+  /** [[resolveFileIri]] with an EXPLICIT base directory — callers that
+    * evaluate on executors (fs:probeRdf) capture the base at plan time
+    * instead of reading the driver-side system property per row.
+    */
+  private[graft] def resolveFileIriAgainst(iri: String, base: String): String = {
     val p = if (iri.startsWith("file:")) serviceFilePath(iri) else iri
     require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
       s"<$iri> is not a resolvable local file IRI (network schemes are " +
         "scoped out)")
-    if (p.startsWith("/")) p else fileBase + "/" + p
+    if (p.startsWith("/")) p else base + "/" + p
+  }
+
+  /** `fs:probeRdf(?file)` (docs/examples/README.md:608-618): true iff
+    * the argument is a local file whose content parses as RDF. Per-row
+    * file I/O has no Catalyst expression — a Scala UDF is the honest
+    * shape here, and the arguments are FILE LISTINGS (fs:find output),
+    * metadata-scale by construction, so the non-codegen row cost never
+    * multiplies against data volume. Non-file schemes and missing files
+    * probe false (it is a filter predicate, not a reader).
+    */
+  private[rules] def probeRdfCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = fileBase // capture driver-side; executors never read sys.props
+    val f = org.apache.spark.sql.functions.udf { (term: String) =>
+      if (term == null) false
+      else {
+        val iri =
+          if (term.startsWith("<") && term.endsWith(">"))
+            term.substring(1, term.length - 1)
+          else term
+        try graft.sources.RdfIO.probeRdfLocal(resolveFileIriAgainst(iri, base))
+        catch { case _: IllegalArgumentException => false }
+      }
+    }
+    f(c)
   }
   private[rules] val XsdNs = "http://www.w3.org/2001/XMLSchema#"
 
@@ -322,6 +388,8 @@ object ConstructParser {
       "csv" -> ConstructParser.CsvNs,
       "xml" -> ConstructParser.XmlNs,
       "url" -> ConstructParser.UrlNs,
+      "fs" -> ConstructParser.FsNs,
+      "afn" -> ConstructParser.AfnNs,
       "norse" -> "https://w3id.org/aksw/norse#")
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
@@ -1483,6 +1551,7 @@ object ConstructParser {
           case Some(false) => RdfTerms.strLit(col(v).cast("string"))
           case None => fail(s"template variable ?$v is bound by no pattern or BIND")
         }
+        else if (propFnTermVars(v)) col(v) // pf output: already a term
         else binds.get(v) match {
           case Some(E(c, true, _)) => c
           case Some(E(c, false, _)) => RdfTerms.strLit(c.cast("string"))
@@ -1524,6 +1593,18 @@ object ConstructParser {
     private case class ValuesE(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends WhereEl
     private case class ServiceE(url: String, els: Seq[WhereEl],
         silent: Boolean) extends WhereEl
+    /** `SERVICE ?v { … }` — VARIABLE endpoint over file IRIs
+      * (docs/examples/fs-query-rdf-files.sparql:4-8): the endpoint var
+      * must be bound by an earlier pattern (typically fs:find); the
+      * inner group evaluates once per DISTINCT endpoint file.
+      */
+    private case class ServiceVarE(v: String, els: Seq[WhereEl],
+        silent: Boolean) extends WhereEl
+    /** `<dir> fs:find ?file` — recursive file listing
+      * (docs/examples/fs-list-all-files.sparql): one solution per
+      * regular file under the directory, bound as an absolute file IRI.
+      */
+    private case class FsFindE(base: String, v: String) extends WhereEl
     /** `src csv:parse (?row "excel -h")` — Left = file IRI (streaming
       * scan), Right = inline CSV text.
       */
@@ -1536,9 +1617,13 @@ object ConstructParser {
         xpath: String, v: String) extends WhereEl
     /** `<file> url:text ?str` — whole file content as one literal
       * binding (docs/examples/README.md:87-99; LOCAL files only, the
-      * network forms stay scoped out).
+      * network forms stay scoped out). `src`: Left = constant file IRI,
+      * Right = a bound subject VARIABLE holding file IRIs (the
+      * workloads.sparql `?file url:text ?str` shape — one wholetext
+      * read per distinct file).
       */
-    private case class UrlTextE(iri: String, v: String) extends WhereEl
+    private case class UrlTextE(src: Either[String, String], v: String)
+        extends WhereEl
     /** `{ SELECT … }` — subquery (SPARQL 1.1 §12): only projected vars
       * are visible, so the compiled frame joins like any pattern.
       * `nulls` = projected vars that may be UNBOUND (computed statically
@@ -1566,6 +1651,9 @@ object ConstructParser {
     private def groupBlock(graphCtx: Option[Tok]): Seq[WhereEl] = {
       expect('{')
       val out = scala.collection.mutable.ArrayBuffer[WhereEl]()
+      // (element index, source offset) of each plain FILTER — re-parsed
+      // once the whole group is read (see the group tail)
+      val deferredFilters = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       skipWs()
       while (peek != '}') {
         if (kw("BIND")) {
@@ -1590,6 +1678,7 @@ object ConstructParser {
             out += ExistsE(groupBlock(graphCtx), negated = false)
           } else {
             expect('(')
+            deferredFilters += ((out.length, i))
             out += FilterE(expr().c)
             skipWs(); expect(')')
           }
@@ -1652,14 +1741,16 @@ object ConstructParser {
           val silent = kw("SILENT")
           if (silent) skipWs()
           val ep = tok() match {
-            case IriT(iri) => iri
-            case VarT(v) => fail(
-              s"SERVICE ?$v: variable endpoints are not supported " +
-                "(solutions would need per-row dataset dispatch)")
-            case other => fail(s"SERVICE needs an IRI endpoint, got $other")
+            case IriT(iri) => Left(iri)
+            case VarT(v) => Right(v) // per-distinct-value file dispatch
+            case other => fail(s"SERVICE needs an IRI endpoint or a " +
+              s"variable bound to file IRIs, got $other")
           }
           skipWs()
-          out += ServiceE(ep, groupBlock(None), silent)
+          out += (ep match {
+            case Left(iri) => ServiceE(iri, groupBlock(None), silent)
+            case Right(v) => ServiceVarE(v, groupBlock(None), silent)
+          })
         } else if (peek == '{' && subselectAhead) {
           i += 1
           // selectQuery resets parser state — save and restore around it
@@ -1741,17 +1832,30 @@ object ConstructParser {
               out += XmlUnnestE(s0, xp, v)
               registerPfVar(v, isTerm = true)
             case (srcTok, IriT(iri), objTok)
+                if iri == ConstructParser.FsNs + "find" =>
+              // fs:find property function (docs/examples/
+              // README.md:585-600): recursive listing of regular files
+              // under the subject directory, bound as absolute file IRIs
+              val v = objTok match {
+                case VarT(x) => x
+                case other => fail(s"fs:find needs a variable object, got $other")
+              }
+              val base = srcTok match {
+                case IriT(b) => b
+                case other => fail("fs:find subject must be a constant " +
+                  s"directory IRI (relative to the script base), got $other")
+              }
+              out += FsFindE(base, v)
+              registerPfVar(v, isTerm = true)
+            case (srcTok, IriT(iri), objTok)
                 if iri == ConstructParser.UrlNs + "text" =>
               val v = objTok match {
                 case VarT(x) => x
                 case other => fail(s"url:text needs a variable object, got $other")
               }
-              val f = srcTok match {
-                case IriT(fi) => fi
-                case VarT(sv) => fail(
-                  s"url:text over a VARIABLE subject ?$sv is not supported " +
-                    "(per-row file fetches do not distribute); use a " +
-                    "constant file IRI")
+              val f: Either[String, String] = srcTok match {
+                case IriT(fi) => Left(fi)
+                case VarT(sv) => Right(sv) // one read per distinct file
                 case other => fail(s"url:text needs a file IRI subject, got $other")
               }
               out += UrlTextE(f, v)
@@ -1808,6 +1912,20 @@ object ConstructParser {
         if (peek == '.') { i += 1; skipWs() }
       }
       expect('}')
+      // SPARQL §17.2: a FILTER applies to the WHOLE group, wherever it is
+      // written — workloads.sparql puts `FILTER(STRENDS(STR(?file), …))`
+      // BEFORE the fs:find that binds ?file. Expressions compile var
+      // term-ness from parser state as of the parse position, so re-parse
+      // each plain filter now that every pattern / property-function /
+      // BIND var of the group (and its subgroups) is registered.
+      if (deferredFilters.nonEmpty) {
+        val endPos = i
+        deferredFilters.foreach { case (idx, start) =>
+          i = start
+          out(idx) = FilterE(expr().c)
+        }
+        i = endPos
+      }
       out.toSeq
     }
 
@@ -1825,6 +1943,8 @@ object ConstructParser {
       case _: BindE => "BIND"
       case _: FilterE => "FILTER"
       case _: ServiceE => "SERVICE"
+      case _: ServiceVarE => "SERVICE ?var"
+      case _: FsFindE => "fs:find"
       case _: CsvParseE => "csv:parse"
       case _: XmlUnnestE => "xml:unnest"
       case _: UrlTextE => "url:text"
@@ -1882,6 +2002,11 @@ object ConstructParser {
           // SILENT: an unreachable endpoint binds nothing at all
           if (silent) maybe ++= b ++ m
           else { bound ++= b; maybe ++= m }
+        case ServiceVarE(_, inner, silent) =>
+          val (b, m) = staticNulls(inner)
+          if (silent) maybe ++= b ++ m
+          else { bound ++= b; maybe ++= m }
+        case FsFindE(_, v) => bound += v
         case PropFnE(_, ov, pos) =>
           bound += ov
           pos.foreach { case Left(iv) => bound += iv; case _ => () }
@@ -1898,6 +2023,7 @@ object ConstructParser {
       case _: CsvParseE => true
       case _: XmlUnnestE => true
       case _: UrlTextE => true
+      case _: FsFindE => true
       case GroupE(in) => containsPropFn(in)
       case UnionE(gs) => gs.exists(containsPropFn)
       case OptionalE(in) => containsPropFn(in)
@@ -1914,16 +2040,54 @@ object ConstructParser {
       */
     private case class DatasetClause(from: Seq[String], fromNamed: Seq[String]) {
       private val hasClause = from.nonEmpty || fromNamed.nonEmpty
-      private def scope(quads: DataFrame, graphs: Seq[String]): DataFrame =
+      /** A FROM IRI names a LOCAL FILE (loaded as a document, the
+        * reference's Jena dataset-description behavior —
+        * docs/examples/test.sparql:2 `FROM <dcat.ttl>`) iff it is a
+        * `file:` IRI or a relative IRI that resolves to an existing
+        * regular file under the script base; every other IRI keeps the
+        * session-graph-scoping semantics. The split is decided per entry
+        * so the two styles mix.
+        */
+      private def isFileBacked(bracketed: String): Boolean = {
+        val iri = ConstructParser.stripAngles(bracketed)
+        if (iri.startsWith("file:")) true
+        else if (iri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) false
+        else java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(ConstructParser.resolveFileIri(iri)))
+      }
+      private def scope(quads: DataFrame, graphs: Seq[String],
+          fileGraph: String => Column): DataFrame =
         if (!hasClause) quads
         else {
-          require(quads.columns.contains("graph"),
-            "FROM/FROM NAMED need a quad table with a graph column")
-          if (graphs.isEmpty) quads.where(lit(false))
-          else quads.where(col("graph").isin(graphs: _*))
+          val (files, names) = graphs.partition(isFileBacked)
+          val base =
+            if (names.nonEmpty) {
+              require(quads.columns.contains("graph"),
+                "FROM/FROM NAMED need a quad table with a graph column")
+              quads.where(col("graph").isin(names: _*))
+            } else null
+          val loaded = files.map { f =>
+            graft.sources.RdfIO.readRdfAuto(quads.sparkSession,
+              ConstructParser.resolveFileIri(ConstructParser.stripAngles(f)))
+              .withColumn("graph", fileGraph(f))
+          }
+          val parts = Option(base).toSeq ++ loaded
+          if (parts.isEmpty) {
+            // graphs empty for this view: zero rows, but keep the quad
+            // schema so patterns still compile
+            if (quads.columns.contains("graph")) quads.where(lit(false))
+            else quads.where(lit(false))
+              .withColumn("graph", lit("<urn:x-arq:DefaultGraph>"))
+          } else parts.reduce(_.unionByName(_))
         }
-      def default(quads: DataFrame): DataFrame = scope(quads, from)
-      def named(quads: DataFrame): DataFrame = scope(quads, fromNamed)
+      // FROM files merge into the DEFAULT graph; FROM NAMED files become
+      // a named graph whose name is the IRI as WRITTEN (deterministic
+      // regardless of cwd — Jena resolves to an absolute IRI instead,
+      // a documented divergence)
+      def default(quads: DataFrame): DataFrame =
+        scope(quads, from, _ => lit("<urn:x-arq:DefaultGraph>"))
+      def named(quads: DataFrame): DataFrame =
+        scope(quads, fromNamed, f => lit(f))
     }
     private val NoDataset = DatasetClause(Nil, Nil)
 
@@ -1990,6 +2154,15 @@ object ConstructParser {
         maybeNull ++= dfNulls
       }
       val conds = scala.collection.mutable.ArrayBuffer[Column]()
+      // File-dispatch gate: group filters whose vars are all bound in acc,
+      // applied BEFORE collecting SERVICE ?v / url:text ?v endpoints.
+      // Deterministic filters over already-bound vars commute with the
+      // joins that follow, and fs-list-rdf-files.sparql depends on it:
+      // `FILTER(fs:probeRdf(?file))` must gate WHICH files are opened as
+      // RDF, not just which rows survive at group end.
+      def filterGated(df: DataFrame): DataFrame =
+        conds.filter(c => refNames(c).forall(df.columns.contains))
+          .foldLeft(df)(_ filter _)
       els.foreach {
         case TpE(g, a, PathT(path), c) =>
           // a property-path pattern: solutions are (s, o) pairs. A
@@ -2245,7 +2418,7 @@ object ConstructParser {
                 .withColumn(v, RdfTerms.strLit(col("#xmlitem")))
                 .drop("#xmlarr", "#xmlitem")
           }
-        case UrlTextE(iri, v) =>
+        case UrlTextE(Left(iri), v) =>
           // wholetext read: ONE row holding the entire file body as a
           // plain literal term (the reference streams bytes; a whole-file
           // string binding is its documented query-level behavior)
@@ -2254,6 +2427,91 @@ object ConstructParser {
           val df = spark.read.option("wholetext", "true").text(path)
             .select(RdfTerms.strLit(col("value")).as(v))
           joinIn(df)
+        case UrlTextE(Right(sv), v) =>
+          // variable subject (workloads.sparql:11 `?file url:text ?str`):
+          // one wholetext read per DISTINCT subject file, joined back on
+          // the subject var. The subjects are file LISTINGS (fs:find
+          // output) — metadata-scale by construction; the loud cap keeps
+          // a data-scale column from silently becoming a driver loop.
+          require(acc != null && acc.columns.contains(sv),
+            s"url:text subject ?$sv must be bound by an earlier pattern " +
+              "(e.g. fs:find)")
+          val spark = quads.sparkSession
+          val terms = ConstructParser.collectEndpoints(filterGated(acc), sv,
+            "url:text")
+          if (terms.isEmpty) acc = acc.withColumn(v, lit(null).cast("string"))
+          else {
+            val frames = terms.map { term =>
+              val path = ConstructParser.resolveFileIri(
+                ConstructParser.stripAngles(term))
+              spark.read.option("wholetext", "true").text(path)
+                .select(lit(term).as(sv), RdfTerms.strLit(col("value")).as(v))
+            }
+            joinIn(frames.reduce(_ unionByName _))
+          }
+        case FsFindE(base, v) =>
+          // driver-side recursive walk (the reference walks the FS on one
+          // box too — a directory listing is metadata-scale); absolute
+          // file IRIs, sorted for a deterministic frame
+          val spark = quads.sparkSession
+          val dirPath = java.nio.file.Paths.get(
+            ConstructParser.resolveFileIri(base)).normalize()
+          require(java.nio.file.Files.isDirectory(dirPath),
+            s"fs:find <$base>: $dirPath is not a directory")
+          val walk = java.nio.file.Files.walk(dirPath)
+          val files =
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(p => "<" + p.toUri.toString + ">").toVector.sorted
+            } finally walk.close()
+          import spark.implicits._
+          joinIn(files.toDF(v))
+        case ServiceVarE(v, inner, silent) =>
+          // variable endpoint (docs/examples/fs-query-rdf-files.sparql):
+          // evaluate the inner group once per DISTINCT endpoint FILE,
+          // tag each result frame with the endpoint, union, and join
+          // back on the endpoint var + shared inner vars. A SILENT
+          // endpoint that fails to read contributes the unit solution
+          // (inner vars unbound), per SPARQL-fed §18.2.2.2.
+          require(acc != null && acc.columns.contains(v),
+            s"SERVICE ?$v: the endpoint variable must be bound by an " +
+              "earlier pattern (e.g. fs:find)")
+          val spark = quads.sparkSession
+          val eps = ConstructParser.collectEndpoints(filterGated(acc), v,
+            s"SERVICE ?$v")
+          val (innerBound, innerMaybe) = staticNulls(inner)
+          if (eps.isEmpty) {
+            // no endpoints ⇒ acc is already empty; still materialize the
+            // inner-var columns so downstream references resolve
+            (innerBound ++ innerMaybe -- acc.columns).toSeq.sorted.foreach {
+              iv => acc = acc.withColumn(iv, lit(null).cast("string")) }
+          } else {
+            var sawFailure = false
+            val frames = eps.flatMap { term =>
+              try {
+                val path = ConstructParser.resolveFileIri(
+                  ConstructParser.stripAngles(term))
+                val sdf = graft.sources.RdfIO.readRdfAuto(spark, path)
+                val (res, mn) = compileGroupN(inner, sdf, NoDataset)
+                Some((res.withColumn(v, lit(term)), mn))
+              } catch {
+                case e: Exception if silent =>
+                  sawFailure = true
+                  Some((ConstructParser.unitFrame(spark)
+                    .withColumn(v, lit(term)), Set.empty[String]))
+                case e: Exception => throw new IllegalArgumentException(
+                  s"SERVICE ?$v = $term failed to read (add SILENT to " +
+                    s"tolerate): ${e.getMessage}", e)
+              }
+            }
+            val union = frames.map(_._1)
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+            val nulls = frames.flatMap(_._2).toSet ++
+              (if (sawFailure) innerBound ++ innerMaybe else innerMaybe)
+            joinIn(union, nulls)
+          }
         case PropFnE(subj, ov, pos) =>
           // a pattern-bound literal term keeps N-Triples escapes in its
           // body — decode them or from_json silently nulls out
@@ -2797,6 +3055,16 @@ object ConstructParser {
             val pathStr = stringLit()
             skipWs(); expect(')')
             E(xpath_string(jsonRaw(src), lit(pathStr)), term = false)
+          } else if (iri == ConstructParser.FsNs + "probeRdf") {
+            // FILTER(fs:probeRdf(?file)) — docs/examples/README.md:608;
+            // see [[ConstructParser.probeRdfCol]] for the UDF rationale
+            E(ConstructParser.probeRdfCol(arg1().c), term = false)
+          } else if (iri == ConstructParser.AfnNs + "localname") {
+            // afn:localname (workloads.sparql:14): the IRI's local part —
+            // approximated as everything after the last '/', '#' or ':'
+            // (Jena splits at the last non-NCName char; for the
+            // machine-generated IRIs this engine handles the two agree)
+            E(regexp_extract(raw(arg1()), "([^/#:]*)$", 1), term = false)
           } else fail(s"unknown function <$iri>")
         case _ => fail("unsupported expression")
       }

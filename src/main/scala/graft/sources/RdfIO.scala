@@ -139,6 +139,45 @@ object RdfIO {
     Seq((probeSyntax(spark, path), compression)).toDF("syntax", "compression")
   }
 
+  /** Spark-free probe behind `fs:probeRdf` (docs/examples/
+    * README.md:608-618): does this LOCAL file's content parse as RDF?
+    * Line-parseable N-Quads/N-Triples probe first; otherwise a full
+    * TriG/Turtle parse attempt. Files over 8 MiB probe on their first
+    * 1 MiB of COMPLETE lines as N-Quads only — a fs:find listing is
+    * metadata-scale, but one stray huge non-line-oriented file must not
+    * stall the filter (documented reduction: a >8 MiB pure-TriG file
+    * probes false).
+    */
+  def probeRdfLocal(path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return false
+    val full = f.length <= 8L * 1024 * 1024
+    val content =
+      if (full) new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      else {
+        val in = new java.io.FileInputStream(f)
+        try {
+          val buf = new Array[Byte](1024 * 1024)
+          val n0 = in.read(buf)
+          val s = new String(buf, 0, math.max(n0, 0),
+            java.nio.charset.StandardCharsets.UTF_8)
+          s.substring(0, math.max(s.lastIndexOf('\n'), 0)) // complete lines
+        } finally in.close()
+      }
+    val lines = content.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    if (lines.isEmpty) false
+    else if (lines.forall(parseLine(_) != null)) true
+    else if (!full) false
+    else
+      try {
+        val it = TrigParser.parse(content, "<urn:x-arq:DefaultGraph>")
+        while (it.hasNext) it.next() // force: parse errors surface lazily
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   /** Read TriG / Turtle documents into (graph, subj, pred, obj), terms in
     * canonical N-Quads lexical form (prefix expansion, multi-line
     * statements, `;`/`,` lists, graph blocks, typed/lang literals — see

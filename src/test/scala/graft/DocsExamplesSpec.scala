@@ -179,10 +179,11 @@ class DocsExamplesSpec extends AnyFunSuite {
         case None => sys.props.remove("graft.sparql.base")
       }
     }
-    // variable subjects reject loudly (per-row fetch doesn't distribute)
+    // an UNBOUND variable subject rejects loudly (bind it first, e.g.
+    // via fs:find — the bound form is covered in FsSpec)
     val e = intercept[Exception](ConstructParser.parseSelect(
-      "SELECT * { ?f url:text ?str }"))
-    assert(e.getMessage.contains("VARIABLE subject"))
+      "SELECT * { ?f url:text ?str }").run(unit).collect())
+    assert(e.getMessage.contains("must be bound"))
   }
 
   test("xml-attribute.sparql verbatim: xml:path over attributes and elements") {

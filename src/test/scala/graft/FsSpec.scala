@@ -1,0 +1,233 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rules.ConstructParser
+
+/** fs:find / fs:probeRdf / SERVICE ?var / url:text-over-variable — the
+  * reference's filesystem-querying scripts run VERBATIM
+  * (docs/examples/fs-list-all-files.sparql, fs-list-rdf-files.sparql,
+  * fs-query-rdf-files.sparql, test4.sparql, workloads.sparql,
+  * test.sparql; semantics documented in docs/examples/README.md:585-650).
+  */
+class FsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+
+  private def unit = spark.createDataFrame(
+    java.util.Collections.singletonList(Row()), StructType(Nil))
+
+  /** A base dir mirroring the reference's docs/examples tree:
+    * example-data/{data.ttl,data.csv,people.csv} plus a nested dir (the
+    * reference walk is recursive) and top-level {dcat.ttl, w1.json}.
+    */
+  private def withBase[A](f: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    def w(rel: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(base, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, body)
+    }
+    w("example-data/data.ttl",
+      "@prefix eg: <http://www.example.org/> .\neg:s eg:p eg:o .\n")
+    w("example-data/data.csv", "\"a\",\"b\"\n\"c\",\"d\"\n")
+    w("example-data/people.csv", "fn,ln\nMary,Major\nJohn,Doe\n")
+    w("example-data/nested/more.nt",
+      "<http://www.example.org/s2> <http://www.example.org/p> \"two\" .\n")
+    w("dcat.ttl",
+      "@prefix eg: <http://www.example.org/> .\neg:d1 eg:title \"Dataset one\" .\neg:d2 eg:title \"Dataset two\" .\n")
+    w("w1.json", """{"kind":"workload","n":1}""")
+    val old = sys.props.get("graft.sparql.base")
+    sys.props("graft.sparql.base") = base
+    try f(base)
+    finally old match {
+      case Some(v) => sys.props("graft.sparql.base") = v
+      case None => sys.props.remove("graft.sparql.base")
+    }
+  }
+
+  test("fs-list-all-files.sparql verbatim: recursive listing, absolute file IRIs") {
+    withBase { base =>
+      val q = "SELECT * {\n  <example-data> fs:find ?file\n}"
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+        .map(_.getString(0)).toSeq
+      assert(got.size === 4) // recursive: nested/more.nt included
+      assert(got.forall(t => t.startsWith("<file:///") && t.endsWith(">")))
+      assert(got.exists(_.endsWith("/example-data/data.ttl>")))
+      assert(got.exists(_.endsWith("/example-data/nested/more.nt>")))
+    }
+  }
+
+  test("fs-list-rdf-files.sparql verbatim: fs:probeRdf keeps only RDF files") {
+    withBase { base =>
+      val q = "SELECT * {\n  <example-data> fs:find ?file\n  FILTER(fs:probeRdf(?file))\n}"
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+        .map(_.getString(0)).toSeq
+      assert(got.size === 2)
+      assert(got.exists(_.endsWith("data.ttl>")))
+      assert(got.exists(_.endsWith("more.nt>")))
+    }
+  }
+
+  test("fs-query-rdf-files.sparql verbatim: SERVICE over the probed files") {
+    withBase { base =>
+      val q =
+        """SELECT * {
+          |  <example-data> fs:find ?file
+          |  FILTER(fs:probeRdf(?file))
+          |  SERVICE ?file {
+          |    ?s ?p ?o
+          |  }
+          |}""".stripMargin
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got === Set(
+        ("<http://www.example.org/s>", "<http://www.example.org/p>",
+          "<http://www.example.org/o>"),
+        ("<http://www.example.org/s2>", "<http://www.example.org/p>",
+          "\"two\"")))
+    }
+  }
+
+  test("test4.sparql verbatim: <> base dir + REGEX filter + SERVICE ?file") {
+    withBase { base =>
+      val q =
+        """SELECT * {
+          |  <> fs:find ?file
+          |  FILTER(REGEX(STR(?file), '\\.ttl$', 'i'))
+          |  SERVICE ?file {
+          |    ?s ?p ?o
+          |  }
+          |}""".stripMargin
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+      // two .ttl files: example-data/data.ttl (1 triple) + dcat.ttl (2)
+      assert(got.length === 3)
+      val bySrc = got.groupBy(_.getString(0).split("/").last.stripSuffix(">"))
+      assert(bySrc("data.ttl").length === 1 && bySrc("dcat.ttl").length === 2)
+    }
+  }
+
+  test("workloads.sparql verbatim: fs:find + url:text + STRDT + afn:localname") {
+    withBase { base =>
+      val q =
+        """PREFIX afn: <http://jena.apache.org/ARQ/function#>
+          |CONSTRUCT {
+          |  [] a eg:Workload ;
+          |     rdfs:label ?label ;
+          |eg:file ?file ;
+          |     eg:payload ?json .
+          |}
+          |WHERE {
+          |  FILTER(STRENDS(STR(?file), "json"))
+          |<> fs:find ?file .
+          |  ?file url:text ?str
+          |
+          |  BIND(STRDT(?str, xsd:json) AS ?json)
+          |
+          |  BIND(afn:localname(?file) AS ?label)
+          |}""".stripMargin
+      val quads = ConstructParser.parseConstruct(q).run(unit).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      // one workload file ⇒ 4 triples from one bnode subject
+      assert(quads.exists(_ == ("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        "<http://www.example.org/Workload>")))
+      assert(quads.exists(t =>
+        t._1 == "<http://www.w3.org/2000/01/rdf-schema#label>" &&
+          t._2 == "\"w1.json\""))
+      assert(quads.exists(t => t._1 == "<http://www.example.org/payload>" &&
+        t._2.contains("workload") &&
+        t._2.endsWith("^^<http://www.w3.org/2001/XMLSchema#json>")))
+      assert(quads.exists(t => t._1 == "<http://www.example.org/file>" &&
+        t._2.endsWith("/w1.json>")))
+    }
+  }
+
+  test("test.sparql verbatim: FROM <dcat.ttl> loads the file as the default graph") {
+    withBase { base =>
+      import spark.implicits._
+      // the session dataset holds UNRELATED quads — FROM must hide them
+      val session = Seq(("<g>", "<s>", "<p>", "\"x\""))
+        .toDF("graph", "subj", "pred", "obj")
+      val q = "SELECT *\nFROM <dcat.ttl>\n{\n?s ?p ?o\n}"
+      val got = ConstructParser.parseSelect(q).run(session).collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+      assert(got === Set(
+        ("<http://www.example.org/d1>", "\"Dataset one\""),
+        ("<http://www.example.org/d2>", "\"Dataset two\"")))
+    }
+  }
+
+  test("FROM NAMED <file> makes the file a named graph (IRI as written)") {
+    withBase { base =>
+      import spark.implicits._
+      val session = Seq(("<g>", "<s>", "<p>", "\"x\""))
+        .toDF("graph", "subj", "pred", "obj")
+      val q =
+        """SELECT ?g ?s FROM NAMED <dcat.ttl> {
+          |  GRAPH ?g { ?s ?p ?o }
+          |}""".stripMargin
+      val got = ConstructParser.parseSelect(q).run(session).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(
+        ("<dcat.ttl>", "<http://www.example.org/d1>"),
+        ("<dcat.ttl>", "<http://www.example.org/d2>")))
+    }
+  }
+
+  test("FROM mixes file entries with session graph names") {
+    withBase { base =>
+      import spark.implicits._
+      val session = Seq(
+        ("<http://g/1>", "<sA>", "<p>", "\"in\""),
+        ("<http://g/2>", "<sB>", "<p>", "\"out\""))
+        .toDF("graph", "subj", "pred", "obj")
+      val q = "SELECT ?s FROM <dcat.ttl> FROM <http://g/1> { ?s ?p ?o }"
+      val got = ConstructParser.parseSelect(q).run(session).collect()
+        .map(_.getString(0)).toSet
+      assert(got === Set("<http://www.example.org/d1>",
+        "<http://www.example.org/d2>", "<sA>"))
+    }
+  }
+
+  test("SERVICE SILENT ?file keeps the solution when a file is unreadable") {
+    withBase { base =>
+      import spark.implicits._
+      val files = Seq(
+        "<file://" + base + "/example-data/data.ttl>",
+        "<file://" + base + "/does-not-exist.ttl>").toDF("file")
+      // seed ?file through a pattern over the input frame
+      val got = ConstructParser.parseSelect(
+        """SELECT * {
+          |  ?d <urn:file> ?file .
+          |  SERVICE SILENT ?file { ?s ?p ?o }
+          |}""".stripMargin)
+        .run(files.select(org.apache.spark.sql.functions.lit("<d>").as("subj"),
+          org.apache.spark.sql.functions.lit("<urn:file>").as("pred"),
+          org.apache.spark.sql.functions.col("file").as("obj")))
+        .collect()
+      // readable file: 1 solution with ?s bound; unreadable: unit solution
+      assert(got.length === 2)
+      val byNull = got.partition(_.isNullAt(2))
+      assert(byNull._1.length === 1 && byNull._2.length === 1)
+    }
+  }
+
+  test("loud rejects: unbound endpoint var, non-directory fs:find, variable fs:find subject") {
+    withBase { base =>
+      def bad(q: String, frag: String): Unit = {
+        val e = intercept[Exception](
+          ConstructParser.parseSelect(q).run(unit).collect())
+        assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+      }
+      bad("SELECT * { SERVICE ?x { ?s ?p ?o } }", "must be bound")
+      bad("SELECT * { <no-such-dir> fs:find ?f }", "not a directory")
+      bad("SELECT * { ?d fs:find ?f }", "constant directory IRI")
+      // fs:probeRdf on a non-file value is FALSE, not an error
+      val ok = ConstructParser.parseSelect(
+        "SELECT * { <example-data> fs:find ?f FILTER(fs:probeRdf(IRI(\"http://x/\"))) }")
+        .run(unit).collect()
+      assert(ok.isEmpty)
+    }
+  }
+}

@@ -95,12 +95,18 @@ class ServiceSpec extends AnyFunSuite {
         |  SERVICE <http://dbpedia.org/sparql> { ?o ex:lbl ?lbl . }
         |}""".stripMargin).run(outer).collect())
     assert(e1.getMessage.contains("only local file: IRIs"))
+    // variable endpoints PARSE now (fs:find dispatch), but a value that
+    // is a network IRI still rejects loudly at run time
+    import spark.implicits._
+    val netRef = Seq(("<a>", "<http://ex.org/ref>",
+      "<http://dbpedia.org/sparql>")).toDF("subj", "pred", "obj")
     val e2 = intercept[Exception](ConstructParser.parseSelect(
       """PREFIX ex: <http://ex.org/>
         |SELECT ?s WHERE {
         |  ?s ex:ref ?ep .
         |  SERVICE ?ep { ?o ex:lbl ?lbl . }
-        |}""".stripMargin))
-    assert(e2.getMessage.contains("variable endpoints"))
+        |}""".stripMargin).run(netRef).collect())
+    assert(e2.getMessage.contains("not a resolvable local file IRI"),
+      s"got: ${e2.getMessage}")
   }
 }
