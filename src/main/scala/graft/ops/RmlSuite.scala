@@ -107,9 +107,43 @@ object RmlSuite {
          |""".stripMargin)
   }
 
+  /** nations.xml: attribute subject ref (`@id`), element ref (`name`),
+    * and a `comment` element PRESENT ONLY for even keys — the absent-node
+    * → NULL → suppressed-triple path (RML spec §5, ql:XPath).
+    */
+  private def writeXmlFixtures(s: SparkSession, dir: String): String = {
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .orderBy("n_nationkey").collect()
+    val xb = new StringBuilder("<nations>\n")
+    nat.foreach { r =>
+      xb.append(s"""  <nation id="${r.getLong(0)}"><name>${r.getString(1)}</name>""")
+      if (r.getLong(0) % 2 == 0) xb.append(s"<comment>c${r.getLong(0)}</comment>")
+      xb.append("</nation>\n")
+    }
+    xb.append("</nations>\n")
+    fixture(dir, "nations.xml", xb.toString)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    fixture(dir, "mapping_xml.rml.ttl",
+      s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+         |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+         |@prefix ex: <http://ex.org/> .
+         |<#NatX> rml:logicalSource [ rml:source "graft_rml_${tag}_nations.xml" ;
+         |    rml:referenceFormulation ql:XPath ;
+         |    rml:iterator "/nations/nation" ] ;
+         |  rr:subjectMap [ rr:template "http://ex.org/n/{@id}" ] ;
+         |  rr:predicateObjectMap [ rr:predicate ex:label ;
+         |    rr:objectMap [ rml:reference "name" ] ] ;
+         |  rr:predicateObjectMap [ rr:predicate ex:comment ;
+         |    rr:objectMap [ rml:reference "comment" ] ] .
+         |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rml_exec" -> ((s, dir) => Rml.execute(s, writeCsvFixtures(s, dir))),
-    "rml_json" -> ((s, dir) => Rml.execute(s, writeJsonFixtures(s, dir)))
+    "rml_json" -> ((s, dir) => Rml.execute(s, writeJsonFixtures(s, dir))),
+    "rml_xml" -> ((s, dir) => Rml.execute(s, writeXmlFixtures(s, dir)))
   )
 
   private val DG = "'<urn:x-arq:DefaultGraph>'"
@@ -142,6 +176,14 @@ object RmlSuite {
     "rml_json" ->
       s"""SELECT DISTINCT '<http://ex.org/n/'||n_nationkey||'>' AS subj,
          |  '<http://ex.org/label>' AS pred, '"'||n_name||'"' AS obj,
-         |  $DG AS graph FROM nation""".stripMargin
+         |  $DG AS graph FROM nation""".stripMargin,
+    "rml_xml" ->
+      s"""SELECT DISTINCT '<http://ex.org/n/'||n_nationkey||'>' AS subj,
+         |  '<http://ex.org/label>' AS pred, '"'||n_name||'"' AS obj,
+         |  $DG AS graph FROM nation
+         |UNION
+         |SELECT DISTINCT '<http://ex.org/n/'||n_nationkey||'>',
+         |  '<http://ex.org/comment>', '"c'||n_nationkey||'"', $DG
+         |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin
   )
 }

@@ -26,10 +26,12 @@ import graft.sources.TrigParser
   * R2RML §8.4, no join at all).
   *
   * Supported subset (everything else fails LOUDLY, never silently):
-  * logical sources over CSV files (header row) and JSON files (top-level
+  * logical sources over CSV files (header row), JSON files (top-level
   * array iterator `$[*]`, all primitives read as strings — mirroring the
   * reference's deliberate choice to register JSON *without* natural
-  * mappings, CmdRml2Exec.java:62-63); subject/predicate/object/graph
+  * mappings, CmdRml2Exec.java:62-63) and XML files (`ql:XPath`: the
+  * rml:iterator selects row nodes, references are relative XPaths, see
+  * [[readXml]]); subject/predicate/object/graph
   * maps via rr:template / rml:reference / rr:column / rr:constant with
   * rr:termType, rr:datatype, rr:language, rr:class and the
   * rr:subject/rr:predicate/rr:object/rr:graph constant shortcuts; both
@@ -300,7 +302,7 @@ object Rml {
   }
 
   private def readSource(spark: SparkSession, ls: LogicalSource,
-      baseDir: String): DataFrame = {
+      baseDir: String, refs: Seq[String]): DataFrame = {
     val path =
       if (ls.source.matches("^(/|[a-zA-Z]+:).*")) ls.source
       else baseDir + "/" + ls.source
@@ -316,9 +318,102 @@ object Rml {
         // non-natural JSON mapping choice (CmdRml2Exec.java:62-63)
         spark.read.option("multiLine", "true")
           .option("primitivesAsString", "true").json(path)
+      case "XPath" =>
+        val it = ls.iterator.getOrElse(throw new IllegalArgumentException(
+          "an XML logical source needs an rml:iterator (the row XPath)"))
+        readXml(spark, path, it, refs)
       case other => throw new IllegalArgumentException(
         s"unsupported referenceFormulation $other — supported: ql:CSV, " +
-          "ql:JSONPath with iterator \"$[*]\"")
+          "ql:JSONPath with iterator \"$[*]\", ql:XPath")
+    }
+  }
+
+  /** XML logical source (RML spec §5, `ql:XPath`): the iterator XPath
+    * selects row nodes; each rml:reference is a RELATIVE XPath evaluated
+    * against the row node (absent node = NULL, so the triple is
+    * suppressed — distinct from an empty string value). One column per
+    * referenced expression, named by the expression verbatim.
+    *
+    * Scale shape: document-parallel — `wholetext` gives one task per
+    * FILE (a directory/glob source fans out), and the DOM+XPath work
+    * runs inside `mapPartitions` on executors, exactly the per-partition
+    * imperative slot the TriG parser uses. Intra-document parallelism is
+    * out of scope (XML has no safe split points without a schema).
+    */
+  private def readXml(spark: SparkSession, path: String, iterator: String,
+      refs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    refs.foreach(r => require(!r.contains("."),
+      s"""XPath reference "$r": references containing '.' are not """ +
+        "supported (they collide with Spark column resolution)"))
+    val rows = spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .mapPartitions { docs =>
+        val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        // no DTDs / external entities: mapping sources are data, and an
+        // executor must never do network or file fetches behind a parse
+        dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
+          true)
+        dbf.setXIncludeAware(false)
+        dbf.setExpandEntityReferences(false)
+        val xpf = javax.xml.xpath.XPathFactory.newInstance()
+        docs.flatMap { docText =>
+          val dom = dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
+            new java.io.StringReader(docText)))
+          val xp = xpf.newXPath()
+          val nodes = xp.evaluate(iterator, dom,
+              javax.xml.xpath.XPathConstants.NODESET)
+            .asInstanceOf[org.w3c.dom.NodeList]
+          (0 until nodes.getLength).iterator.map { i =>
+            val node = nodes.item(i)
+            refs.map { r =>
+              val hits = xp.evaluate(r, node,
+                  javax.xml.xpath.XPathConstants.NODESET)
+                .asInstanceOf[org.w3c.dom.NodeList]
+              if (hits.getLength == 0) null else hits.item(0).getTextContent
+            }
+          }
+        }
+      }
+    refs.zipWithIndex.foldLeft(rows.toDF("vals")) { case (df, (r, k)) =>
+      df.withColumn(r, col("vals")(k))
+    }.drop("vals")
+  }
+
+  /** Which rml:reference / template `{ref}` expressions each logical
+    * source must expose as columns — needed up front by [[readXml]]
+    * (CSV/JSON sources carry their own column structure and ignore it).
+    * Join-condition child refs charge the child's source, parent refs the
+    * parent's.
+    */
+  private def refsBySource(
+      maps: Seq[TriplesMap]): Map[LogicalSource, Seq[String]] = {
+    val mapById = maps.map(m => m.id -> m).toMap
+    def refsOfGen(g: TermGen): Seq[String] = g match {
+      case TemplateGen(t, _, _, _) =>
+        templateParts(t).collect { case Right(r) => r }
+      case RefGen(r, _, _, _) => Seq(r)
+      case _ => Nil
+    }
+    val pairs = scala.collection.mutable.ArrayBuffer[(LogicalSource, String)]()
+    maps.foreach { tm =>
+      def add(g: TermGen): Unit =
+        refsOfGen(g).foreach(r => pairs += ((tm.source, r)))
+      add(tm.subject); tm.graphs.foreach(add)
+      tm.poms.foreach { pom =>
+        pom.predicates.foreach(add); pom.graphs.foreach(add)
+        pom.objects.foreach {
+          case RefObjectGen(pm, joins) =>
+            joins.foreach { case (c, p) =>
+              pairs += ((tm.source, c))
+              mapById.get(pm).foreach(par => pairs += ((par.source, p)))
+            }
+          case o => add(o)
+        }
+      }
+    }
+    pairs.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).distinct.sorted.toSeq
     }
   }
 
@@ -372,8 +467,11 @@ object Rml {
     val mapById = maps.map(m => m.id -> m).toMap
     val bySource: Seq[(LogicalSource, Seq[TriplesMap])] =
       maps.groupBy(_.source).toSeq.sortBy(_._1.source)
+    val allRefs = refsBySource(maps)
     val scans: Map[LogicalSource, DataFrame] =
-      bySource.map { case (ls, _) => ls -> readSource(spark, ls, baseDir) }.toMap
+      bySource.map { case (ls, _) =>
+        ls -> readSource(spark, ls, baseDir, allRefs.getOrElse(ls, Nil))
+      }.toMap
 
     // shared-scan branches: all fixed templates of all maps per source.
     // A no-join referencing object map over the SAME source is same-row

@@ -166,6 +166,66 @@ class RmlSpec extends AnyFunSuite {
       ("<http://ex.org/n/2>", "\"two\"")))
   }
 
+  test("XML logical source (ql:XPath): iterator rows, attribute + element " +
+      "refs, absent node suppresses the triple, cross-row XPath join") {
+    tmp("books.xml",
+      """<lib>
+        |  <book isbn="111"><t>Dune</t><shelf>A</shelf></book>
+        |  <book isbn="222"><t>Ubik</t><shelf>B</shelf><note>signed</note></book>
+        |  <book isbn="333"><t>Solaris</t><shelf>A</shelf></book>
+        |</lib>""".stripMargin)
+    tmp("shelves.csv", "shelf,room\nA,east\nB,west\n")
+    val mapping = prefixes +
+      """<#B> rml:logicalSource [ rml:source "graft_rml_books.xml" ;
+        |       rml:referenceFormulation ql:XPath ;
+        |       rml:iterator "/lib/book" ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/b/{@isbn}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:title ;
+        |    rr:objectMap [ rml:reference "t" ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:note ;
+        |    rr:objectMap [ rml:reference "note" ] ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:room ;
+        |    rr:objectMap [ rr:parentTriplesMap <#S> ;
+        |      rr:joinCondition [ rr:child "shelf" ; rr:parent "shelf" ] ] ] .
+        |<#S> rml:logicalSource [ rml:source "graft_rml_shelves.csv" ;
+        |       rml:referenceFormulation ql:CSV ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/room/{room}" ] .
+        |""".stripMargin
+    val got = Rml.compile(spark, Rml.parseMapping(mapping), baseDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("<http://ex.org/b/111>", "<http://ex.org/title>", "\"Dune\""),
+      ("<http://ex.org/b/222>", "<http://ex.org/title>", "\"Ubik\""),
+      ("<http://ex.org/b/333>", "<http://ex.org/title>", "\"Solaris\""),
+      // note absent for 111/333: those triples are SUPPRESSED, not ""
+      ("<http://ex.org/b/222>", "<http://ex.org/note>", "\"signed\""),
+      // XML child joined to a CSV parent across sources
+      ("<http://ex.org/b/111>", "<http://ex.org/room>", "<http://ex.org/room/east>"),
+      ("<http://ex.org/b/222>", "<http://ex.org/room>", "<http://ex.org/room/west>"),
+      ("<http://ex.org/b/333>", "<http://ex.org/room>", "<http://ex.org/room/east>")))
+  }
+
+  test("XML logical source rejects: missing iterator, '.' in a reference") {
+    tmp("one.xml", "<r><x a=\"1\"/></r>")
+    val noIter = prefixes +
+      """<#N> rml:logicalSource [ rml:source "graft_rml_one.xml" ;
+        |       rml:referenceFormulation ql:XPath ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/{@a}" ] .
+        |""".stripMargin
+    val e1 = intercept[Exception](
+      Rml.compile(spark, Rml.parseMapping(noIter), baseDir).collect())
+    assert(e1.getMessage.contains("rml:iterator"))
+    val dotRef = prefixes +
+      """<#D> rml:logicalSource [ rml:source "graft_rml_one.xml" ;
+        |       rml:referenceFormulation ql:XPath ; rml:iterator "/r/x" ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/{./@a}" ] .
+        |""".stripMargin
+    val e2 = intercept[Exception](
+      Rml.compile(spark, Rml.parseMapping(dotRef), baseDir).collect())
+    assert(e2.getMessage.contains("'.'"))
+  }
+
   test("graph maps UNION per R2RML §11.1: subject + POM graphs combine; " +
       "rr:defaultGraph joins named graphs instead of vanishing") {
     val mapping = prefixes +
@@ -256,7 +316,7 @@ class RmlSpec extends AnyFunSuite {
     }
     reject(
       """<#X> rml:logicalSource [ rml:source "graft_rml_people.csv" ;
-        |  rml:referenceFormulation <http://semweb.mmlab.be/ns/ql#XPath> ] ;
+        |  rml:referenceFormulation <http://semweb.mmlab.be/ns/ql#CSS3> ] ;
         |  rr:subjectMap [ rr:template "http://e/{id}" ] ;
         |  rr:predicateObjectMap [ rr:predicate ex:p ;
         |    rr:objectMap [ rml:reference "id" ] ] .""".stripMargin,
