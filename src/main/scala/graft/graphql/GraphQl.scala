@@ -150,6 +150,15 @@ object GraphQl {
     }
     private def field(): Field = {
       val fn = name()
+      ws()
+      // GraphQL-language features the reference's directive dialect does
+      // not document (docs/graphql/reference/ has no aliases, arguments,
+      // fragments or operation variables) reject LOUDLY, never silently
+      if (peek == ':')
+        fail(s"field $fn: aliases are not supported — rename the field")
+      if (peek == '(')
+        fail(s"field $fn: field arguments are not supported — the " +
+          "directive dialect (@pattern/@bind/...) carries all parameters")
       val ds = directives()
       ws()
       val kids = if (peek == '{') selectionSet() else Nil
@@ -159,6 +168,8 @@ object GraphQl {
       ws(); expect('{'); ws()
       val out = scala.collection.mutable.ArrayBuffer[Field]()
       while (peek != '}') {
+        if (peek == '.')
+          fail("fragment spreads are not supported — inline the selection")
         if (!nameAhead) fail("expected a field name")
         out += field(); ws()
       }
@@ -172,9 +183,15 @@ object GraphQl {
         val kw = name()
         if (kw == "mutation" || kw == "subscription")
           fail(s"$kw operations are not supported (queries only)")
+        if (kw == "fragment")
+          fail("fragment definitions are not supported — inline the selection")
         if (kw != "query") fail(s"expected 'query' or a selection set")
         ws()
         if (nameAhead) name() // operation name, ignored
+        ws()
+        if (peek == '(')
+          fail("operation variables are not supported — interpolate " +
+            "values into the query text")
         dirs = directives()
       }
       val roots = selectionSet()

@@ -170,4 +170,25 @@ class GraphQlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GraphQl.parse("mutation { f }"))
   }
+
+  test("loud rejects: GraphQL-language features outside the documented " +
+      "directive dialect (aliases, arguments, fragments, variables)") {
+    def badParse(t: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](GraphQl.parse(t))
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    badParse("""{ nick: f @pattern(of: "?s ?p ?o", to: "o") }""",
+      "aliases are not supported")
+    badParse("""{ f(first: 10) @pattern(of: "?s ?p ?o", to: "o") }""",
+      "field arguments are not supported")
+    badParse(
+      """{ f @pattern(of: "?s ?p ?o", to: "o") { ...Parts } }""",
+      "fragment spreads are not supported")
+    badParse("""fragment Parts on Thing { id @bind(of: "?s") }""",
+      "fragment definitions are not supported")
+    badParse("""query Q($n: Int) { f @pattern(of: "?s ?p ?o", to: "o") }""",
+      "operation variables are not supported")
+    badParse("""{ ... on Thing { id @bind(of: "?s") } }""",
+      "fragment spreads are not supported")
+  }
 }
