@@ -12,11 +12,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline queries: the KG pipeline + one representative per family. */
+  /** Headline queries: the KG pipeline + one representative per family.
+    * `rml_exec` joined in round 6 so the front-end surface (mapping
+    * parse → shared-scan fusion → ref-object join) has a regression
+    * canary — the r3–r5 battery had gone flat because every addition was
+    * off the headline path.
+    */
   val headline: Seq[String] = Seq(
     "kg_canonical_triples", "kg_triples", "kg_mentions", "kg_graph_stats",
     "ngs_hash", "ngs_filter_even", "sbs_groupby",
-    "dedup_exact", "dedup_minhash", "text_quality", "embed_topk")
+    "dedup_exact", "dedup_minhash", "text_quality", "embed_topk",
+    "rml_exec")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -67,6 +67,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Hashed word n-gram shingles — the MinHash-path twin of [[shingles]]:
+    * each n-token window hashes DIRECTLY to one 64-bit key via the
+    * codegen [[graft.functions.ShingleHashes]] expression, skipping the
+    * per-shingle string concatenation that made the string path
+    * allocation-bound (round-5 measured the 2→8 dedup scaling at 0.73,
+    * attributed to the shingle-build stage hitting the memory-bus
+    * ceiling). Same (doc, window)-set semantics modulo 2^-64 hash
+    * collisions — TrainingSpec asserts pair-set AND jaccard-value parity
+    * against the string-shingle baseline — and the downstream
+    * signature/verify joins ride 8-byte keys instead of strings.
+    */
+  def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.ShingleHashes(tokens(col("text")), n).as("__sh"))
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      .distinct()
+
   /** Exact n-gram Jaccard near-dup pairs (a < b), similarity ≥ threshold.
     * Self-join on shared shingles. `maxShingleFreq` (default: no cap) is
     * the explicit skew guard for template-heavy corpora — a shingle shared
@@ -149,7 +166,7 @@ object Dedup {
     val ex = exact(docs) // (doc_id, rep_id, group_size)
     val reps = docs.join(
       ex.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
-    val sh = shingles(reps, n).truncateLineage(false)
+    val sh = hashedShingles(reps, n).truncateLineage(false)
     val sig = minhashSignatures(sh, numHashes)
     val buckets0 = lshBuckets(sig, numHashes, rowsPerBand)
     val buckets = if (maxBucketSize == Long.MaxValue) buckets0

@@ -101,6 +101,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${mh.size}/${exact.size})")
   }
 
+  test("hashed shingles: pair set AND jaccard values match the " +
+      "string-shingle baseline exactly") {
+    // minhashPairs rides hashedShingles (xxhash64 windows); the verified
+    // jaccard of every emitted pair must equal the string-shingle
+    // jaccardPairs value bit-for-bit (2^-64 collisions notwithstanding)
+    val exact = Dedup.jaccardPairs(corpus, 3, 0.6)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val mh = Dedup.minhashPairs(corpus, 3, 0.6)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(mh.nonEmpty)
+    mh.foreach { case (a, b, j) =>
+      assert(exact.get((a, b)).contains(j),
+        s"pair ($a,$b): hashed-shingle jaccard $j vs string ${exact.get((a, b))}")
+    }
+  }
+
   test("minhash on a duplicate-heavy corpus: exact groups collapse before LSH") {
     // 1000 identical docs + 5 distinct: naive LSH would generate ~500k
     // candidate pairs and verify each with a shingle join; the exact
