@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * (`transform`+`xxhash64`) avoids the allocation but drops out of
   * whole-stage codegen into per-element interpreted eval — measured 40×
   * SLOWER than the string path on the same corpus. This expression does
-  * the only sensible thing: hash each token's bytes once, combine n
+  * the only sensible thing: FNV-1a each token's bytes once, combine n
   * token hashes per window with an odd-multiplier polynomial, and
   * murmur-finalize (fmix64) — all inside the codegen span, zero
   * allocation beyond the output array.
@@ -50,12 +50,17 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     val th = new Array[Long](len)
     var i = 0
     while (i < len) {
-      var h = 0L
+      // FNV-1a: xor-then-multiply mixes every byte through the full 64
+      // bits (a 31-polynomial collides trivially — "Aa"/"BB" — which
+      // would MERGE distinct shingles and inflate verified jaccard)
+      var h = 0xcbf29ce484222325L
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
         val nb = s.numBytes()
         var j = 0
-        while (j < nb) { h = h * 31L + (s.getByte(j) & 0xffL); j += 1 }
+        while (j < nb) {
+          h = (h ^ (s.getByte(j) & 0xffL)) * 0x100000001b3L; j += 1
+        }
       }
       th(i) = h
       i += 1
@@ -94,12 +99,12 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
          |if ($m < 0) $m = 0;
          |long[] $th = new long[$len];
          |for (int $i = 0; $i < $len; $i++) {
-         |  long $h = 0L;
+         |  long $h = 0xcbf29ce484222325L;
          |  if (!$c.isNullAt($i)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
          |    int $nb = $s.numBytes();
          |    for (int $j = 0; $j < $nb; $j++) {
-         |      $h = $h * 31L + ($s.getByte($j) & 0xffL);
+         |      $h = ($h ^ ($s.getByte($j) & 0xffL)) * 0x100000001b3L;
          |    }
          |  }
          |  $th[$i] = $h;

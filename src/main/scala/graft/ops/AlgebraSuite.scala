@@ -51,6 +51,14 @@ object AlgebraSuite {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_fstree_$tag")
+    // clear first: stale files from an older layout would surface in
+    // fs:find listings and break (or worse, silently satisfy) the oracle
+    if (java.nio.file.Files.isDirectory(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     java.nio.file.Files.createDirectories(root.resolve("nested"))
     s.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("long"), col("n_name"))

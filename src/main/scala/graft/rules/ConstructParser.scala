@@ -196,14 +196,10 @@ object ConstructParser {
     val base = fileBase // capture driver-side; executors never read sys.props
     val f = org.apache.spark.sql.functions.udf { (term: String) =>
       if (term == null) false
-      else {
-        val iri =
-          if (term.startsWith("<") && term.endsWith(">"))
-            term.substring(1, term.length - 1)
-          else term
-        try graft.sources.RdfIO.probeRdfLocal(resolveFileIriAgainst(iri, base))
+      else
+        try graft.sources.RdfIO.probeRdfLocal(
+          resolveFileIriAgainst(ConstructParser.stripAngles(term), base))
         catch { case _: IllegalArgumentException => false }
-      }
     }
     f(c)
   }
@@ -2052,8 +2048,19 @@ object ConstructParser {
         val iri = ConstructParser.stripAngles(bracketed)
         if (iri.startsWith("file:")) true
         else if (iri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) false
-        else java.nio.file.Files.isRegularFile(
-          java.nio.file.Paths.get(ConstructParser.resolveFileIri(iri)))
+        else {
+          val exists = java.nio.file.Files.isRegularFile(
+            java.nio.file.Paths.get(ConstructParser.resolveFileIri(iri)))
+          // a relative IRI that NAMES an RDF file (by extension) but does
+          // not resolve to one is almost certainly a typo'd path — fail
+          // loudly instead of silently matching no session graph; bare
+          // names (`FROM <g1>`) keep graph-name semantics
+          require(exists || !iri.matches(
+            "(?i).*\\.(ttl|nt|nq|trig|rdf|jsonld)(\\.(gz|bz2))?$"),
+            s"FROM <$iri>: looks like a file reference but no such file " +
+              s"exists under ${ConstructParser.fileBase}")
+          exists
+        }
       }
       private def scope(quads: DataFrame, graphs: Seq[String],
           fileGraph: String => Column): DataFrame =
@@ -2159,9 +2166,12 @@ object ConstructParser {
       // Deterministic filters over already-bound vars commute with the
       // joins that follow, and fs-list-rdf-files.sparql depends on it:
       // `FILTER(fs:probeRdf(?file))` must gate WHICH files are opened as
-      // RDF, not just which rows survive at group end.
+      // RDF, not just which rows survive at group end. Gating draws on
+      // ALL of the group's filters (§17.2 — placement is irrelevant), not
+      // just those textually before the dispatching element.
+      val allGroupConds = els.collect { case FilterE(c) => c }
       def filterGated(df: DataFrame): DataFrame =
-        conds.filter(c => refNames(c).forall(df.columns.contains))
+        allGroupConds.filter(c => refNames(c).forall(df.columns.contains))
           .foldLeft(df)(_ filter _)
       els.foreach {
         case TpE(g, a, PathT(path), c) =>
@@ -2325,8 +2335,17 @@ object ConstructParser {
           ConstructParser.serviceFilePath(url)
           val path = ConstructParser.resolveFileIri(url)
           val sub =
-            try Some(graft.sources.RdfIO.readRdfAuto(spark, path))
-            catch {
+            try {
+              val df = graft.sources.RdfIO.readRdfAuto(spark, path)
+              // SILENT must observe PARSE failures too, and the scan is
+              // lazy (mapPartitions parsers throw at collect, outside
+              // this try) — an eager localCheckpoint forces the parse
+              // HERE and the materialized blocks feed the join, so the
+              // file is still read once
+              Some(if (silent)
+                graft.Checkpoints.TruncateOps(df).truncateLineage(true)
+              else df)
+            } catch {
               case e: Exception if silent => None
               case e: Exception => throw new IllegalArgumentException(
                 s"SERVICE <$url> failed to read (add SILENT to tolerate): " +
@@ -2493,7 +2512,14 @@ object ConstructParser {
               try {
                 val path = ConstructParser.resolveFileIri(
                   ConstructParser.stripAngles(term))
-                val sdf = graft.sources.RdfIO.readRdfAuto(spark, path)
+                val sdf0 = graft.sources.RdfIO.readRdfAuto(spark, path)
+                // SILENT must observe PARSE failures, which the lazy scan
+                // would raise at collect outside this try — eagerly
+                // materialize per endpoint (blocks feed the join, file
+                // still read once; endpoints are fs:find-scale)
+                val sdf = if (silent)
+                  graft.Checkpoints.TruncateOps(sdf0).truncateLineage(true)
+                else sdf0
                 val (res, mn) = compileGroupN(inner, sdf, NoDataset)
                 Some((res.withColumn(v, lit(term)), mn))
               } catch {
@@ -2513,13 +2539,14 @@ object ConstructParser {
             joinIn(union, nulls)
           }
         case PropFnE(subj, ov, pos) =>
-          // a pattern-bound literal term keeps N-Triples escapes in its
-          // body — decode them or from_json silently nulls out
+          // a pattern-bound literal term sheds its N-Triples escapes via
+          // raw()/termLexical (r6: the unescape lives THERE — a second
+          // one here would corrupt backslashes inside JSON values)
           val js = subj match {
             case Right((sv, sTerm)) =>
               require(acc != null && acc.columns.contains(sv),
                 s"json:unnest subject ?$sv is not bound")
-              if (sTerm) RdfTerms.ntUnescape(raw(E(col(sv), sTerm)))
+              if (sTerm) raw(E(col(sv), sTerm))
               else col(sv)
             case Left(text) =>
               // constant JSON-literal subject (json-by-index.sparql):
@@ -2706,12 +2733,12 @@ object ConstructParser {
     private def termCol(e: E): Column =
       if (e.term) e.c else RdfTerms.strLit(e.c.cast("string"))
 
-    /** JSON text of an expression: literal TERMS also shed their
-      * N-Triples escapes (a pattern-bound JSON document must reach
-      * from_json/get_json_object as valid JSON, not as escaped text).
+    /** JSON text of an expression. `raw()`/termLexical already sheds the
+      * N-Triples escapes of literal terms (r6), so this is now a plain
+      * alias — kept for call-site intent (a second ntUnescape here would
+      * corrupt JSON whose VALUES contain backslashes).
       */
-    private def jsonRaw(e: E): Column =
-      if (e.term) RdfTerms.ntUnescape(raw(e)) else raw(e)
+    private def jsonRaw(e: E): Column = raw(e)
 
     /** Numeric value of an expression (term literals via their lexical form). */
     private def numC(e: E): Column =

@@ -370,6 +370,15 @@ object Rml {
               val hits = xp.evaluate(r, node,
                   javax.xml.xpath.XPathConstants.NODESET)
                 .asInstanceOf[org.w3c.dom.NodeList]
+              // RML would emit one triple per value; this engine's row
+              // model carries one value per (row, ref) — rather than
+              // silently dropping values, fail LOUDLY (make the
+              // iterator finer-grained, or the reference unique)
+              require(hits.getLength <= 1,
+                s"""XPath reference "$r" matched ${hits.getLength} nodes """ +
+                  "in one iterator row — multi-valued references are not " +
+                  "supported; refine rml:iterator so each row has at most " +
+                  "one match")
               if (hits.getLength == 0) null else hits.item(0).getTextContent
             }
           }

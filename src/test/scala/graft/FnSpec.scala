@@ -142,6 +142,27 @@ class FnSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("1"))
   }
 
+  test("JSON values containing backslashes survive term decoding exactly " +
+      "once (no double-unescape)") {
+    import spark.implicits._
+    // raw JSON {"re":"\\d+"} — as an N-Triples literal body the quotes
+    // AND the backslash are escaped; a second unescape would turn \\d
+    // into the invalid escape \d and null the whole extraction
+    val body = """{\"re\":\"\\\\d+\"}"""
+    val quads = Seq(("<s>", "<http://ex.org/doc>", "\"" + body + "\""))
+      .toDF("subj", "pred", "obj")
+    val q =
+      """PREFIX ex: <http://ex.org/>
+        |PREFIX json: <http://jsa.aksw.org/fn/json/>
+        |SELECT ?re WHERE {
+        |  ?s ex:doc ?doc .
+        |  BIND(json:path(?doc, "$.re") AS ?re)
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+    assert(got.length === 1 && got.head.getString(0) === "\\d+",
+      s"got: ${got.map(_.getString(0)).mkString(",")}")
+  }
+
   test("pipeline groups and UNION fork the stream, never self-join it") {
     import spark.implicits._
     val src = Seq("""[{"a":1},{"a":2}]""", """[{"a":3}]""").toDF("src")

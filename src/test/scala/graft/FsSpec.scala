@@ -190,11 +190,18 @@ class FsSpec extends AnyFunSuite {
     }
   }
 
-  test("SERVICE SILENT ?file keeps the solution when a file is unreadable") {
+  test("SERVICE SILENT ?file keeps the solution when a file is unreadable " +
+      "OR exists but fails to parse (lazy parse errors are observed)") {
     withBase { base =>
       import spark.implicits._
+      // an existing file with MALFORMED content: the scan is lazy, so
+      // SILENT must force the parse eagerly to catch this case
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "broken.ttl"),
+        "@prefix eg: <http://e/> .\neg:s eg:p {{{ not rdf\n")
       val files = Seq(
         "<file://" + base + "/example-data/data.ttl>",
+        "<file://" + base + "/broken.ttl>",
         "<file://" + base + "/does-not-exist.ttl>").toDF("file")
       // seed ?file through a pattern over the input frame
       val got = ConstructParser.parseSelect(
@@ -206,10 +213,63 @@ class FsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit("<urn:file>").as("pred"),
           org.apache.spark.sql.functions.col("file").as("obj")))
         .collect()
-      // readable file: 1 solution with ?s bound; unreadable: unit solution
-      assert(got.length === 2)
+      // readable file: 1 solution with ?s bound; broken + missing files:
+      // unit solutions (?s unbound)
+      assert(got.length === 3)
       val byNull = got.partition(_.isNullAt(2))
-      assert(byNull._1.length === 1 && byNull._2.length === 1)
+      assert(byNull._1.length === 2 && byNull._2.length === 1)
+    }
+  }
+
+  test("non-SILENT SERVICE ?file on a malformed file fails (loudly, at " +
+      "latest when collected)") {
+    withBase { base =>
+      import spark.implicits._
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "broken.ttl"),
+        "@prefix eg: <http://e/> .\neg:s eg:p {{{ not rdf\n")
+      val files = Seq("<file://" + base + "/broken.ttl>").toDF("file")
+      intercept[Exception](ConstructParser.parseSelect(
+        """SELECT * {
+          |  ?d <urn:file> ?file .
+          |  SERVICE ?file { ?s ?p ?o }
+          |}""".stripMargin)
+        .run(files.select(org.apache.spark.sql.functions.lit("<d>").as("subj"),
+          org.apache.spark.sql.functions.lit("<urn:file>").as("pred"),
+          org.apache.spark.sql.functions.col("file").as("obj")))
+        .collect())
+    }
+  }
+
+  test("FROM with a typo'd RDF-file name fails loudly instead of silently " +
+      "matching no session graph") {
+    withBase { base =>
+      import spark.implicits._
+      val session = Seq(("<g>", "<s>", "<p>", "\"x\""))
+        .toDF("graph", "subj", "pred", "obj")
+      val e = intercept[Exception](ConstructParser.parseSelect(
+        "SELECT * FROM <dcat2.ttl> { ?s ?p ?o }").run(session).collect())
+      assert(e.getMessage.contains("no such file"), s"got: ${e.getMessage}")
+      // bare names keep plain graph-name semantics (no file look)
+      val ok = ConstructParser.parseSelect(
+        "SELECT * FROM <g> { ?s ?p ?o }").run(session).collect()
+      assert(ok.length === 1)
+    }
+  }
+
+  test("filter gating is position-independent: FILTER written AFTER the " +
+      "SERVICE still gates which files are dispatched") {
+    withBase { base =>
+      val q =
+        """SELECT * {
+          |  <example-data> fs:find ?file
+          |  SERVICE ?file { ?s ?p ?o }
+          |  FILTER(fs:probeRdf(?file))
+          |}""".stripMargin
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+      // same result as the filter-before-SERVICE form: 2 triples from the
+      // 2 RDF files; the CSVs must never have been opened as RDF
+      assert(got.length === 2)
     }
   }
 

@@ -206,6 +206,22 @@ class RmlSpec extends AnyFunSuite {
       ("<http://ex.org/b/333>", "<http://ex.org/room>", "<http://ex.org/room/east>")))
   }
 
+  test("XML reference matching MULTIPLE nodes in one row fails loudly " +
+      "(no silent value drop)") {
+    tmp("multi.xml",
+      "<lib><book isbn=\"1\"><a>A</a><a>B</a></book></lib>")
+    val mapping = prefixes +
+      """<#M> rml:logicalSource [ rml:source "graft_rml_multi.xml" ;
+        |       rml:referenceFormulation ql:XPath ; rml:iterator "/lib/book" ] ;
+        |  rr:subjectMap [ rr:template "http://ex.org/b/{@isbn}" ] ;
+        |  rr:predicateObjectMap [ rr:predicate ex:author ;
+        |    rr:objectMap [ rml:reference "a" ] ] .
+        |""".stripMargin
+    val e = intercept[Exception](
+      Rml.compile(spark, Rml.parseMapping(mapping), baseDir).collect())
+    assert(e.getMessage.contains("matched 2 nodes"), s"got: ${e.getMessage}")
+  }
+
   test("XML logical source rejects: missing iterator, '.' in a reference") {
     tmp("one.xml", "<r><x a=\"1\"/></r>")
     val noIter = prefixes +

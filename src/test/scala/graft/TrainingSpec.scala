@@ -118,6 +118,22 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle hashes: java-hashCode-style token collisions do not merge " +
+      "distinct shingles (FNV-1a, not 31-polynomial)") {
+    // "Aa"/"BB" collide under h=h*31+b; if the token hash collided, these
+    // two docs would share all shingles and surface as a 1.0-jaccard pair
+    val docs = Seq(
+      (1L, "x Aa y z w"),
+      (2L, "x BB y z w")).toDF("doc_id", "text")
+    val sh1 = Dedup.hashedShingles(docs.filter($"doc_id" === 1), 3)
+      .select("shingle").as[Long].collect().toSet
+    val sh2 = Dedup.hashedShingles(docs.filter($"doc_id" === 2), 3)
+      .select("shingle").as[Long].collect().toSet
+    assert(sh1.size === 3 && sh2.size === 3)
+    // windows containing the differing token must hash differently
+    assert((sh1 intersect sh2).size === 1) // only ("y","z","w") is shared
+  }
+
   test("minhash on a duplicate-heavy corpus: exact groups collapse before LSH") {
     // 1000 identical docs + 5 distinct: naive LSH would generate ~500k
     // candidate pairs and verify each with a shingle join; the exact
