@@ -197,9 +197,12 @@ object ConstructParser {
     val f = org.apache.spark.sql.functions.udf { (term: String) =>
       if (term == null) false
       else
+        // a filter PREDICATE, not a reader: anything that keeps the file
+        // from being read as RDF — non-file scheme, permissions, I/O —
+        // probes false rather than aborting the query
         try graft.sources.RdfIO.probeRdfLocal(
           resolveFileIriAgainst(ConstructParser.stripAngles(term), base))
-        catch { case _: IllegalArgumentException => false }
+        catch { case scala.util.control.NonFatal(_) => false }
     }
     f(c)
   }
@@ -2044,7 +2047,17 @@ object ConstructParser {
         * session-graph-scoping semantics. The split is decided per entry
         * so the two styles mix.
         */
-      private def isFileBacked(bracketed: String): Boolean = {
+      // per-query memos: default()/named() run once per PATTERN in the
+      // WHERE clause, and without these every call would re-check the
+      // filesystem and re-build a file scan (readRdfAuto's probe runs an
+      // eager take(200) Spark job each time)
+      private val backedMemo =
+        scala.collection.mutable.HashMap[String, Boolean]()
+      private val loadMemo =
+        scala.collection.mutable.HashMap[String, DataFrame]()
+      private def isFileBacked(bracketed: String): Boolean =
+        backedMemo.getOrElseUpdate(bracketed, isFileBacked0(bracketed))
+      private def isFileBacked0(bracketed: String): Boolean = {
         val iri = ConstructParser.stripAngles(bracketed)
         if (iri.startsWith("file:")) true
         else if (iri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) false
@@ -2074,8 +2087,9 @@ object ConstructParser {
               quads.where(col("graph").isin(names: _*))
             } else null
           val loaded = files.map { f =>
-            graft.sources.RdfIO.readRdfAuto(quads.sparkSession,
-              ConstructParser.resolveFileIri(ConstructParser.stripAngles(f)))
+            loadMemo.getOrElseUpdate(f,
+              graft.sources.RdfIO.readRdfAuto(quads.sparkSession,
+                ConstructParser.resolveFileIri(ConstructParser.stripAngles(f))))
               .withColumn("graph", fileGraph(f))
           }
           val parts = Option(base).toSeq ++ loaded
@@ -2458,7 +2472,10 @@ object ConstructParser {
           val spark = quads.sparkSession
           val terms = ConstructParser.collectEndpoints(filterGated(acc), sv,
             "url:text")
-          if (terms.isEmpty) acc = acc.withColumn(v, lit(null).cast("string"))
+          if (terms.isEmpty) {
+            acc = acc.withColumn(v, lit(null).cast("string"))
+            maybeNull += v // NULL column: later joins must stay compatible
+          }
           else {
             val frames = terms.map { term =>
               val path = ConstructParser.resolveFileIri(
@@ -2503,9 +2520,12 @@ object ConstructParser {
           val (innerBound, innerMaybe) = staticNulls(inner)
           if (eps.isEmpty) {
             // no endpoints ⇒ acc is already empty; still materialize the
-            // inner-var columns so downstream references resolve
-            (innerBound ++ innerMaybe -- acc.columns).toSeq.sorted.foreach {
-              iv => acc = acc.withColumn(iv, lit(null).cast("string")) }
+            // inner-var columns so downstream references resolve — and
+            // register them maybe-unbound so later joins stay compatible
+            val missing = (innerBound ++ innerMaybe -- acc.columns).toSeq.sorted
+            missing.foreach { iv =>
+              acc = acc.withColumn(iv, lit(null).cast("string")) }
+            maybeNull ++= missing
           } else {
             var sawFailure = false
             val frames = eps.flatMap { term =>
@@ -2532,9 +2552,16 @@ object ConstructParser {
                     s"tolerate): ${e.getMessage}", e)
               }
             }
-            val union = frames.map(_._1)
+            var union = frames.map(_._1)
               .reduce(_.unionByName(_, allowMissingColumns = true))
-            val nulls = frames.flatMap(_._2).toSet ++
+            // every endpoint SILENT-failed ⇒ only unit frames unioned:
+            // the inner vars have no columns at all — materialize them
+            // as NULL so projections/filters on them still resolve
+            val missing = (innerBound ++ innerMaybe -- union.columns)
+              .toSeq.sorted
+            missing.foreach { iv =>
+              union = union.withColumn(iv, lit(null).cast("string")) }
+            val nulls = frames.flatMap(_._2).toSet ++ missing ++
               (if (sawFailure) innerBound ++ innerMaybe else innerMaybe)
             joinIn(union, nulls)
           }

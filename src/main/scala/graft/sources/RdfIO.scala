@@ -183,7 +183,11 @@ object RdfIO {
       }
     val lines = content.linesIterator
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-    if (lines.isEmpty) false
+    // an empty / comments-only document IS valid RDF (the empty graph) —
+    // Jena's probe accepts it, and a SERVICE over it succeeds with zero
+    // solutions. (Only when the FULL content was read: a truncated probe
+    // of an oversized file with no newlines must not read as empty.)
+    if (lines.isEmpty) full
     else if (lines.forall(parseLine(_) != null)) true
     else if (!full) false
     else
