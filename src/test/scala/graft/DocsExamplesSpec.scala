@@ -142,6 +142,36 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(got === Seq("hi")) // element at 0-based position 2
   }
 
+  test("json-hello-world / json-path-inline / json-path1 / json-unnest / " +
+      "json-unnest-by-index .sparql verbatim") {
+    // docs/examples/json-hello-world.sparql
+    val hw = ConstructParser.parseSelect(
+      "SELECT * {\n  BIND('{\"hello\": \"world\"}'^^xsd:json AS ?s)\n}")
+      .run(unit).collect()
+    assert(hw.length === 1 && hw.head.getString(0).contains("hello"))
+    // docs/examples/json-path-inline.sparql
+    val inl = ConstructParser.parseSelect(
+      "SELECT ?s {\n  BIND(json:path('{\"hello\": \"world\"}'^^xsd:json, \"$.hello\") AS ?s)\n}")
+      .run(unit).collect()
+    assert(inl.map(_.getString(0)).toSeq === Seq("world"))
+    // docs/examples/json-path1.sparql (path over a BOUND json literal)
+    val p1 = ConstructParser.parseSelect(
+      "SELECT ?s {\n  BIND('{\"hello\": \"world\"}'^^xsd:json AS ?str)\n  BIND(json:path(?str, \"$.hello\") AS ?s)\n}")
+      .run(unit).collect()
+    assert(p1.map(_.getString(0)).toSeq === Seq("world"))
+    // docs/examples/json-unnest.sparql: (?item ?index) two-var form over
+    // a heterogeneous array
+    val un = ConstructParser.parseSelect(
+      "SELECT * {\n  '[true, 1, \"hi\", {}, []]'^^xsd:json json:unnest (?item ?index)\n}")
+      .run(unit).collect()
+    assert(un.length === 5)
+    // docs/examples/json-unnest-by-index.sparql
+    val byIdx = ConstructParser.parseSelect(
+      "SELECT * {\n  '[true, 1, \"hi\", {}, []]'^^xsd:json json:unnest (?item 2)\n}")
+      .run(unit).collect()
+    assert(byIdx.map(_.getString(0)).toSeq === Seq("hi"))
+  }
+
   test("zip-arrays idiom: two unnests sharing ?i join positionally") {
     // docs/examples/test-zip-arrays.sparql's WHERE shape (its INSERT
     // DATA payload carries a trailing comma — invalid JSON — so the
