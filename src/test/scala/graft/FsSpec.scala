@@ -108,6 +108,28 @@ class FsSpec extends AnyFunSuite {
     }
   }
 
+  test("fs-test.sparql verbatim: <folder> base + probe + SERVICE") {
+    withBase { base =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(base, "folder"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "folder", "f.nt"),
+        "<http://e/s> <http://e/p> <http://e/o> .\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "folder", "junk.txt"), "not rdf {{{\n")
+      val q =
+        """SELECT * {
+          |  <folder> fs:find ?file
+          |  FILTER(fs:probeRdf(?file))
+          |  SERVICE ?file {
+          |    ?s ?p ?o
+          |  }
+          |}""".stripMargin
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+      assert(got.length === 1 && got.head.getString(1) === "<http://e/s>")
+    }
+  }
+
   test("workloads.sparql verbatim: fs:find + url:text + STRDT + afn:localname") {
     withBase { base =>
       val q =
