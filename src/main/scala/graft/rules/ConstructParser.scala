@@ -106,12 +106,38 @@ object ConstructParser {
       s"SERVICE endpoint <$url> is not supported: only local file: IRIs " +
         "are resolvable here (network federation is scoped out)")
     val rest = url.stripPrefix("file:")
-    if (rest.startsWith("///")) rest.substring(2)
-    else if (rest.startsWith("//")) throw new IllegalArgumentException(
-      s"SERVICE <$url>: file IRIs with an authority (file://host/…) are " +
-        "not supported — use file:///absolute/path")
-    else rest
+    val path =
+      if (rest.startsWith("///")) rest.substring(2)
+      else if (rest.startsWith("//")) throw new IllegalArgumentException(
+        s"SERVICE <$url>: file IRIs with an authority (file://host/…) are " +
+          "not supported — use file:///absolute/path")
+      else rest
+    percentDecode(path)
   }
+
+  /** Percent-decode a file-IRI path (UTF-8). `Path.toUri` encodes spaces
+    * and non-ASCII names, so fs:find output round-trips through here —
+    * without it, `my data.nt` would probe as the nonexistent
+    * `my%20data.nt` and silently vanish from listings.
+    */
+  private[graft] def percentDecode(p: String): String =
+    if (p.indexOf('%') < 0) p
+    else {
+      val out = new java.io.ByteArrayOutputStream(p.length)
+      var k = 0
+      while (k < p.length) {
+        val c = p.charAt(k)
+        if (c == '%' && k + 2 < p.length) {
+          out.write(Integer.parseInt(p.substring(k + 1, k + 3), 16)); k += 3
+        } else {
+          val n = Character.charCount(p.codePointAt(k)) // surrogate-safe
+          val bs = p.substring(k, k + n)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(bs, 0, bs.length); k += n
+        }
+      }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
 
   private[rules] def stripAngles(term: String): String =
     if (term.startsWith("<") && term.endsWith(">"))
@@ -392,6 +418,11 @@ object ConstructParser {
       "norse" -> "https://w3id.org/aksw/norse#")
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
+    // group-nesting depth + the (slot, source-offset) of every plain
+    // FILTER awaiting its §17.2 re-parse at the outermost group close
+    private var groupDepth = 0
+    private val pendingFilters =
+      scala.collection.mutable.ArrayBuffer[(Array[Column], Int)]()
     // BGP mode state: flips when the first triple pattern is parsed;
     // bgpVarTerm maps every WHERE-bound variable to "holds a term?"
     private var sawPattern = false
@@ -529,7 +560,7 @@ object ConstructParser {
         // binding-stream mode: WHERE may only hold BIND/FILTER
         els.foreach {
           case _: BindE => ()
-          case FilterE(c) => filters += c
+          case f: FilterE => filters += f.c
           case other => fail(s"${elName(other)} requires triple patterns " +
             "in WHERE (binding-stream mode allows only BIND and FILTER)")
         }
@@ -755,7 +786,7 @@ object ConstructParser {
           else if (pipeline) compileGroup(els, input, ds, seedWithInput = true)
           else els.foldLeft(input) {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
-            case (df, FilterE(c)) => df.filter(c)
+            case (df, f: FilterE) => df.filter(f.c)
             case (_, other) => throw new IllegalArgumentException(
               s"${elName(other)} requires triple patterns in WHERE")
           }
@@ -1068,7 +1099,7 @@ object ConstructParser {
           else if (pipeline) compileGroup(els, input, ds, seedWithInput = true)
           else els.foldLeft(input) {
             case (df, BindE(v, e)) => df.withColumn(v, e.c)
-            case (df, FilterE(c)) => df.filter(c)
+            case (df, f: FilterE) => df.filter(f.c)
             case (_, other) => throw new IllegalArgumentException(
               s"${elName(other)} requires triple patterns in WHERE")
           }
@@ -1585,7 +1616,17 @@ object ConstructParser {
     private case class MinusE(els: Seq[WhereEl]) extends WhereEl
     private case class ExistsE(els: Seq[WhereEl], negated: Boolean) extends WhereEl
     private case class BindE(v: String, e: E) extends WhereEl
-    private case class FilterE(c: Column) extends WhereEl
+    /** Plain FILTER. The condition lives in a MUTABLE one-slot array so
+      * the OUTERMOST group close can re-parse it in place once every var
+      * of the whole WHERE clause is registered (SPARQL §17.2: a filter
+      * is group-scoped regardless of position — including filters inside
+      * nested OPTIONAL/EXISTS/UNION groups referencing enclosing vars
+      * bound by LATER patterns). Consumers read `.c` at compile time,
+      * strictly after the parse completes.
+      */
+    private case class FilterE(slot: Array[Column]) extends WhereEl {
+      def c: Column = slot(0)
+    }
     /** Inline data: `rows` hold canonical term strings per var; `None` =
       * UNDEF (the var stays unbound in that row — SPARQL §10.2).
       */
@@ -1649,10 +1690,8 @@ object ConstructParser {
       */
     private def groupBlock(graphCtx: Option[Tok]): Seq[WhereEl] = {
       expect('{')
+      groupDepth += 1
       val out = scala.collection.mutable.ArrayBuffer[WhereEl]()
-      // (element index, source offset) of each plain FILTER — re-parsed
-      // once the whole group is read (see the group tail)
-      val deferredFilters = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       skipWs()
       while (peek != '}') {
         if (kw("BIND")) {
@@ -1677,9 +1716,11 @@ object ConstructParser {
             out += ExistsE(groupBlock(graphCtx), negated = false)
           } else {
             expect('(')
-            deferredFilters += ((out.length, i))
-            out += FilterE(expr().c)
+            val slot = new Array[Column](1)
+            pendingFilters += ((slot, i))
+            slot(0) = expr().c
             skipWs(); expect(')')
+            out += FilterE(slot)
           }
         } else if (kw("VALUES")) {
           // inline data (SPARQL 1.1 §10.2): `VALUES ?v { t… }` or
@@ -1752,13 +1793,23 @@ object ConstructParser {
           })
         } else if (peek == '{' && subselectAhead) {
           i += 1
-          // selectQuery resets parser state — save and restore around it
+          // selectQuery resets parser state — save and restore around it.
+          // The pending-filter pass is scoped per (sub)query: the
+          // subselect's own WHERE close (depth 0) re-parses ITS filters
+          // with ITS registrations, then the outer list resumes.
           val savedBinds = binds
           val savedFilters = filters
           val savedSaw = sawPattern
           val savedTerm = bgpVarTerm.toMap
           val savedDs = dsCtx
+          val savedPending = pendingFilters.toList
+          pendingFilters.clear()
+          val savedDepth = groupDepth
+          groupDepth = 0
           val sub = selectQuery(expectEnd = false)
+          groupDepth = savedDepth
+          pendingFilters.clear()
+          pendingFilters ++= savedPending
           val proj = lastProjection
           val projNulls = lastProjectionNulls
           skipWs(); expect('}')
@@ -1911,18 +1962,23 @@ object ConstructParser {
         if (peek == '.') { i += 1; skipWs() }
       }
       expect('}')
-      // SPARQL §17.2: a FILTER applies to the WHOLE group, wherever it is
+      groupDepth -= 1
+      // SPARQL §17.2: a FILTER applies to its group wherever it is
       // written — workloads.sparql puts `FILTER(STRENDS(STR(?file), …))`
-      // BEFORE the fs:find that binds ?file. Expressions compile var
-      // term-ness from parser state as of the parse position, so re-parse
-      // each plain filter now that every pattern / property-function /
-      // BIND var of the group (and its subgroups) is registered.
-      if (deferredFilters.nonEmpty) {
+      // BEFORE the fs:find that binds ?file, and a filter inside an
+      // OPTIONAL may reference an enclosing var bound by a LATER
+      // pattern. Expressions compile var term-ness from parser state as
+      // of the parse position, so when the OUTERMOST group closes (every
+      // var of the whole WHERE clause registered), re-parse each plain
+      // filter into its mutable slot. Subselects scope their own pass
+      // (state is saved/reset around them).
+      if (groupDepth == 0 && pendingFilters.nonEmpty) {
         val endPos = i
-        deferredFilters.foreach { case (idx, start) =>
+        pendingFilters.foreach { case (slot, start) =>
           i = start
-          out(idx) = FilterE(expr().c)
+          slot(0) = expr().c
         }
+        pendingFilters.clear()
         i = endPos
       }
       out.toSeq
@@ -2002,16 +2058,23 @@ object ConstructParser {
           if (silent) maybe ++= b ++ m
           else { bound ++= b; maybe ++= m }
         case ServiceVarE(_, inner, silent) =>
+          // even non-SILENT dispatch can bind the inner vars NULL (the
+          // endpoint var may itself be all-NULL ⇒ zero endpoints, inner
+          // columns materialized as NULL on surviving rows)
           val (b, m) = staticNulls(inner)
-          if (silent) maybe ++= b ++ m
-          else { bound ++= b; maybe ++= m }
+          maybe ++= b ++ m
+          if (!silent) bound ++= b
         case FsFindE(_, v) => bound += v
         case PropFnE(_, ov, pos) =>
           bound += ov
           pos.foreach { case Left(iv) => bound += iv; case _ => () }
         case CsvParseE(_, v, _) => bound += v
         case XmlUnnestE(_, _, v) => bound += v
-        case UrlTextE(_, v) => bound += v
+        case UrlTextE(Left(_), v) => bound += v
+        case UrlTextE(Right(_), v) =>
+          // variable subject: zero distinct endpoints (all-NULL subject)
+          // binds ?v as a NULL column on surviving rows
+          bound += v; maybe += v
       }
       (bound, maybe)
     }
@@ -2086,13 +2149,20 @@ object ConstructParser {
                 "FROM/FROM NAMED need a quad table with a graph column")
               quads.where(col("graph").isin(names: _*))
             } else null
-          val loaded = files.map { f =>
+          // SPARQL datasets are built from graphs = triple SETS (RDF
+          // merge): duplicate FROM entries and triples shared across
+          // files collapse; the session part keeps its own multiplicity
+          val loaded = files.distinct.map { f =>
             loadMemo.getOrElseUpdate(f,
               graft.sources.RdfIO.readRdfAuto(quads.sparkSession,
                 ConstructParser.resolveFileIri(ConstructParser.stripAngles(f))))
               .withColumn("graph", fileGraph(f))
           }
-          val parts = Option(base).toSeq ++ loaded
+          val loadedSet =
+            if (loaded.isEmpty) None
+            else Some(loaded.reduce(_.unionByName(_))
+              .dropDuplicates(Seq("graph", "subj", "pred", "obj")))
+          val parts = Option(base).toSeq ++ loadedSet.toSeq
           if (parts.isEmpty) {
             // graphs empty for this view: zero rows, but keep the quad
             // schema so patterns still compile
@@ -2183,7 +2253,11 @@ object ConstructParser {
       // RDF, not just which rows survive at group end. Gating draws on
       // ALL of the group's filters (§17.2 — placement is irrelevant), not
       // just those textually before the dispatching element.
-      val allGroupConds = els.collect { case FilterE(c) => c }
+      // non-prefilterable filters (RAND-family: xxhash64 over struct(*),
+      // value depends on the column set) must evaluate exactly once, at
+      // group end — never at the dispatch gate
+      val allGroupConds = els.collect { case f: FilterE => f.c }
+        .filter(org.apache.spark.sql.graft.bridge.safeToPrefilter)
       def filterGated(df: DataFrame): DataFrame =
         allGroupConds.filter(c => refNames(c).forall(df.columns.contains))
           .foldLeft(df)(_ filter _)
@@ -2258,11 +2332,23 @@ object ConstructParser {
           // §6.1 evaluates F on the MERGED solution, where that var takes
           // the outer binding
           val outerBacked = mn.intersect(acc.columns.toSet)
-          val (innerF, joinF) = filterEls.map(_.asInstanceOf[FilterE].c)
+          val (innerF, joinF0) = filterEls.map(_.asInstanceOf[FilterE].c)
             .partition { c =>
               val refs = refNames(c)
               refs.subsetOf(subCols) && refs.intersect(outerBacked).isEmpty
             }
+          // §6.1 evaluates F over the MERGED solution — a ref bound
+          // NEITHER inside the group nor in the outer accumulator so far
+          // (e.g. bound only by a LATER sibling pattern) is UNBOUND at
+          // LeftJoin time: type error ⇒ false. Substitute NULL so the
+          // condition compiles and evaluates false instead of crashing
+          // with an unresolved column.
+          val inScope = subCols ++ acc.columns
+          val joinF = joinF0.map { c =>
+            val missing = refNames(c).diff(inScope)
+            if (missing.isEmpty) c
+            else org.apache.spark.sql.graft.bridge.nullifyRefs(c, missing)
+          }
           val sub = innerF.foldLeft(subBase)(_ filter _)
           val sharedV = acc.columns.intersect(sub.columns)
           val useCompat = sharedV.exists(v =>
@@ -2313,7 +2399,7 @@ object ConstructParser {
               org.apache.spark.sql.graft.bridge.fallibleToNull(e.c))
             maybeNull += v
           acc = acc.withColumn(v, e.c)
-        case FilterE(c) => conds += c
+        case f: FilterE => conds += f.c
         case ValuesE(vars, rows) =>
           // inline data joins AT ITS POSITION (§18.2.2.6) — UNDEF cells
           // are NULL and flow forward as maybe-unbound vars, so every
@@ -2440,9 +2526,9 @@ object ConstructParser {
             case Right(sv) =>
               require(acc != null && acc.columns.contains(sv),
                 s"xml:unnest subject ?$sv is not bound")
-              val body = RdfTerms.ntUnescape(
-                regexp_extract(col(sv).cast("string"),
-                  "(?s)^\"(.*)\"(?:\\^\\^<[^>]*>)?$", 1))
+              // termLexical: same decode PropFnE uses — handles @lang
+              // literals too (a hand-rolled regex here used to miss them)
+              val body = RdfTerms.termLexical(col(sv))
               acc = acc
                 .withColumn("#xmlarr", xpath(body, lit(xp)))
                 .select(col("*"),

@@ -67,7 +67,54 @@ object RdfIO {
         case _ => return null
       }
     }
-    if (out.size == 3 || out.size == 4) out.toArray else null
+    if (out.size == 3 || out.size == 4) {
+      val a = out.toArray
+      var k = 0
+      while (k < a.length) { a(k) = canonUchar(a(k)); k += 1 }
+      a
+    } else null
+  }
+
+  /** Canonicalize `\\uXXXX` / `\\UXXXXXXXX` numeric escapes (N-Triples
+    * UCHAR) into raw chars, keeping ECHAR escapes intact. The TriG
+    * reader already canonicalizes this way, and termLexical/ntUnescape
+    * decode only the five ECHARs — without this, `"caf\\u00e9"` from a
+    * .nt file and `"café"` from a .ttl file would be UNEQUAL terms.
+    * Decoded codepoints that canonical N-Triples must escape (quote,
+    * backslash, LF, CR, tab) re-emit as their ECHAR forms so the term
+    * stays structurally valid. Fast path: terms without `\\u` return
+    * unchanged.
+    */
+  private[graft] def canonUchar(term: String): String = {
+    if (term.indexOf('\\') < 0) return term
+    if (!term.contains("\\u") && !term.contains("\\U")) return term
+    val sb = new java.lang.StringBuilder(term.length)
+    var i = 0
+    val n = term.length
+    while (i < n) {
+      val c = term.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        val d = term.charAt(i + 1)
+        val len = if (d == 'u') 4 else if (d == 'U') 8 else -1
+        if (len > 0 && i + 2 + len <= n) {
+          try {
+            val cp = Integer.parseInt(term.substring(i + 2, i + 2 + len), 16)
+            cp match {
+              case 0x22 => sb.append("\\\"")
+              case 0x5c => sb.append("\\\\")
+              case 0x0a => sb.append("\\n")
+              case 0x0d => sb.append("\\r")
+              case 0x09 => sb.append("\\t")
+              case _ => sb.appendCodePoint(cp)
+            }
+            i += 2 + len
+          } catch {
+            case _: NumberFormatException => sb.append(c).append(d); i += 2
+          }
+        } else { sb.append(c).append(d); i += 2 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Read N-Quads (or N-Triples; graph defaults to the constant default

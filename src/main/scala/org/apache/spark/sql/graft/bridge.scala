@@ -24,6 +24,37 @@ object bridge {
           a.name
       }.toSet
 
+  /** Replace references to the given names with NULL literals — used to
+    * compile SPARQL expressions whose vars are UNBOUND at evaluation
+    * time (unbound ⇒ type error ⇒ false for filters, §17.2) without
+    * tripping the analyzer's unresolved-column check.
+    */
+  def nullifyRefs(c: Column, names: Set[String]): Column = {
+    val e = org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+      .transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if names.contains(a.name) =>
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            null, org.apache.spark.sql.types.StringType)
+      }
+    column(e)
+  }
+
+  /** Is it safe to ALSO apply this filter earlier than its group-end
+    * position (classic predicate pushdown)? Requires a deterministic
+    * tree with no star expansion — the engine's RAND/UUID/STRUUID
+    * compile to xxhash64 over `struct(*)`, whose VALUE depends on the
+    * column set present, so while catalyst calls them deterministic they
+    * do not commute across joins that change the schema.
+    */
+  def safeToPrefilter(c: Column): Boolean = {
+    val e = org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+    e.deterministic && !e.exists {
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar => true
+      case _ => false
+    }
+  }
+
   /** Static check: can this Column yield NULL even when every input
     * attribute is non-NULL? Walks the catalyst tree for the
     * NULL-introducing shapes this codebase's compiled SPARQL expressions

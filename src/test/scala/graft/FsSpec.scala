@@ -295,6 +295,63 @@ class FsSpec extends AnyFunSuite {
     }
   }
 
+  test("file names with SPACES round-trip through fs:find → probe → SERVICE " +
+      "(Path.toUri percent-encoding is decoded back)") {
+    withBase { base =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(base, "spaced"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "spaced", "my data.nt"),
+        "<http://e/s> <http://e/p> \"v\" .\n")
+      val q =
+        """SELECT * {
+          |  <spaced> fs:find ?file
+          |  FILTER(fs:probeRdf(?file))
+          |  SERVICE ?file { ?s ?p ?o }
+          |}""".stripMargin
+      val got = ConstructParser.parseSelect(q).run(unit).collect()
+      assert(got.length === 1 && got.head.getString(0).contains("my%20data.nt"))
+      assert(got.head.getString(3) === "\"v\"")
+    }
+  }
+
+  test("OPTIONAL filter referencing a var bound only by a LATER sibling " +
+      "pattern: unbound at LeftJoin time = error = false (SPARQL 6.1), " +
+      "not an unresolved-column crash") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<a>", "<http://e/p>", "\"v\""),
+      ("<a>", "<http://e/q>", "\"q1\""),
+      ("<a>", "<http://e/r>", "\"w\""),
+      ("<b>", "<http://e/p>", "\"u\""),
+      ("<b>", "<http://e/q>", "\"q2\""),
+      ("<b>", "<http://e/r>", "\"z\"")).toDF("subj", "pred", "obj")
+    // ?y is bound only AFTER the OPTIONAL: the LeftJoin condition sees
+    // it UNBOUND (algebra is built left to right), so no optional row
+    // qualifies — both subjects keep ?v unbound
+    val q =
+      """PREFIX e: <http://e/>
+        |SELECT ?s ?v WHERE {
+        |  ?s e:q ?x
+        |  OPTIONAL { ?s e:p ?v FILTER(STR(?y) = "w") }
+        |  ?s e:r ?y
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got === Set(("<a>", None), ("<b>", None)))
+    // an OUTER var bound BEFORE the OPTIONAL joins the condition
+    // normally — and with correct term-ness wherever it is written
+    val q2 =
+      """PREFIX e: <http://e/>
+        |SELECT ?s ?v WHERE {
+        |  ?s e:r ?y
+        |  OPTIONAL { ?s e:p ?v FILTER(STR(?y) = "w") }
+        |}""".stripMargin
+    val got2 = ConstructParser.parseSelect(q2).run(quads).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got2 === Set(("<a>", Some("\"v\"")), ("<b>", None)))
+  }
+
   test("loud rejects: unbound endpoint var, non-directory fs:find, variable fs:find subject") {
     withBase { base =>
       def bad(q: String, frag: String): Unit = {

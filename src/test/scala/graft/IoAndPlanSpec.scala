@@ -30,6 +30,28 @@ class IoAndPlanSpec extends AnyFunSuite {
     assert(p("garbage line") === None)
   }
 
+  test("nquads UCHAR escapes canonicalize to raw chars (parity with the " +
+      "TriG reader), ECHAR-required codepoints stay escaped") {
+    def p(l: String) = Option(RdfIO.parseLine(l)).map(_.toSeq)
+    val bs = "\\" // build escapes by concat: scalac decodes \ uXXXX even
+                  // in triple quotes
+    // \ u00e9 = é: the .nt and .ttl spellings of café must be ONE term
+    assert(p(s"""<s> <p> "caf${bs}u00e9" .""") ===
+      Some(Seq("<s>", "<p>", "\"café\"")))
+    // \ U0001F600 = 😀 (astral plane)
+    assert(p(s"""<s> <p> "${bs}U0001F600" .""") ===
+      Some(Seq("<s>", "<p>", "\"😀\"")))
+    // \ u0022 is a quote — must re-emit as the ECHAR \" to stay valid
+    assert(p(s"""<s> <p> "a${bs}u0022b" .""") ===
+      Some(Seq("<s>", "<p>", "\"a" + bs + "\"b\"")))
+    // an ESCAPED backslash followed by u is NOT a UCHAR
+    assert(p(s"""<s> <p> "a$bs${bs}u0041" .""") ===
+      Some(Seq("<s>", "<p>", "\"a" + bs + bs + "u0041\"")))
+    // UCHARs in IRIs decode too
+    assert(p(s"""<http://e/caf${bs}u00e9> <p> "x" .""") ===
+      Some(Seq("<http://e/café>", "<p>", "\"x\"")))
+  }
+
   test("nquads write/read roundtrip preserves the triple set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nq").toString
     val quads = graft.pipeline.Kg.canonicalTriples(spark, TestSpark.sf0001)
