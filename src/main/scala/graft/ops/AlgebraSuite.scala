@@ -517,6 +517,23 @@ object AlgebraSuite {
            |FROM <file:$root/nested/r_1.nt>
            |{ ?s ?p ?o }""".stripMargin).run(session)
     }),
+    "macro_ttl" -> ((s, dir) => {
+      // udf:simpleDefinition macro loaded as DATA (docs/examples/
+      // macro-example.sh + macros.ttl), expanded from query TEXT at
+      // plan-build time over customer-derived quads
+      graft.functions.Macros.loadTtl(
+        """PREFIX udf: <https://w3id.org/aksw/norse#udf.>
+          |PREFIX eg: <http://www.example.org/>
+          |eg:greet udf:simpleDefinition ("CONCAT('Hello ', STR(?x), '!')" "x") .
+          |""".stripMargin)
+      val seed = customer(s, dir).select(
+        concat(lit("<http://ex.org/c/"), col("c_custkey"), lit(">")).as("subj"),
+        lit("<http://www.example.org/name>").as("pred"),
+        concat(lit("\""), col("c_name"), lit("\"")).as("obj"))
+      graft.rules.ConstructParser.parseSelect(
+        "SELECT ?c ?greeting { ?c eg:name ?n BIND(eg:greet(?n) AS ?greeting) }")
+        .run(seed)
+    }),
     "csv_parse" -> ((s, dir) =>
       // csv:parse port: rows serialized as CSV lines, parsed back to typed
       // columns (reference: docs/examples/README.md:390-413)
@@ -1155,6 +1172,9 @@ object AlgebraSuite {
       "SELECT c_custkey, c_name AS name, c_mktsegment AS seg FROM customer",
     "macro_greet" ->
       "SELECT c_custkey, 'Hello ' || c_name || '!' AS greeting FROM customer",
+    "macro_ttl" ->
+      """SELECT '<http://ex.org/c/'||c_custkey||'>' AS c,
+        |       'Hello '||c_name||'!' AS greeting FROM customer""".stripMargin,
     "construct_sequence" ->
       """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
         |       '<http://ex.org/name>' AS pred, '"' || c_name || '"' AS obj,

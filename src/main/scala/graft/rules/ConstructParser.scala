@@ -139,6 +139,19 @@ object ConstructParser {
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
 
+  /** Expand a TEXT macro body (udf:simpleDefinition) into an expression:
+    * a fresh sub-parser over the body with the file's sh:declare
+    * prefixes registered and the params bound to the CALLER's argument
+    * expressions. Purely plan-build-time.
+    */
+  private def compileMacroBody(tm: graft.functions.Macros.TextMacro,
+      params: Map[String, E]): E = {
+    val p = new P(tm.body)
+    tm.prefixes.foreach { case (k, v) => p.setPrefix(k, v) }
+    p.setMacroParams(params)
+    p.exprOnly()
+  }
+
   private[rules] def stripAngles(term: String): String =
     if (term.startsWith("<") && term.endsWith(">"))
       term.substring(1, term.length - 1)
@@ -2973,7 +2986,10 @@ object ConstructParser {
       peek match {
         case '?' =>
           val v = varName()
-          if (sawPattern)
+          // macro-body expansion: parameters substitute the CALLER's
+          // argument expressions (term flags included)
+          if (macroParams.contains(v)) macroParams(v)
+          else if (sawPattern)
             bgpVarTerm.get(v).map(t => E(col(v), t))
               .getOrElse(E(col(v), term = false))
           // binding-stream mode: property-function outputs that carry
@@ -3205,9 +3221,39 @@ object ConstructParser {
             // (Jena splits at the last non-NCName char; for the
             // machine-generated IRIs this engine handles the two agree)
             E(regexp_extract(raw(arg1()), "([^/#:]*)$", 1), term = false)
-          } else fail(s"unknown function <$iri>")
+          } else graft.functions.Macros.textMacro(iri) match {
+            // udf:simpleDefinition macros loaded from RDF
+            // (docs/examples/macro-example.sh): parse the caller's args,
+            // then expand the body inline with params bound to them —
+            // plan-build-time expansion, no runtime indirection
+            case Some(tm) =>
+              val args = argList()
+              if (args.size != tm.params.size) fail(
+                s"macro <$iri> takes ${tm.params.size} argument(s), " +
+                  s"got ${args.size}")
+              ConstructParser.compileMacroBody(tm,
+                tm.params.zip(args).toMap)
+            case None => fail(s"unknown function <$iri>")
+          }
         case _ => fail("unsupported expression")
       }
+    }
+
+    // ------------------------------------------------- macro expansion
+
+    /** Caller-argument substitutions active while parsing a macro BODY. */
+    private var macroParams: Map[String, E] = Map.empty
+    private[ConstructParser] def setMacroParams(m: Map[String, E]): Unit =
+      macroParams = m
+    private[rules] def setPrefix(p: String, ns: String): Unit =
+      prefixes(p) = ns
+    /** Parse this parser's whole input as ONE expression. */
+    private[ConstructParser] def exprOnly(): E = {
+      skipWs()
+      val e = expr()
+      skipWs()
+      if (i < n) fail("trailing input after macro-body expression")
+      e
     }
 
     /** XSD constructor cast: lexical canonicalization for the integer

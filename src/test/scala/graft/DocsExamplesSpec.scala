@@ -172,6 +172,39 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(byIdx.map(_.getString(0)).toSeq === Seq("hi"))
   }
 
+  test("macro-example.sh verbatim: macros.ttl loaded as data, eg:greet " +
+      "expands from query text") {
+    // docs/examples/macros.ttl byte-for-byte (minus comments)
+    val n = graft.functions.Macros.loadTtl(
+      """PREFIX udf: <https://w3id.org/aksw/norse#udf.>
+        |PREFIX sh: <http://www.w3.org/ns/shacl#>
+        |PREFIX eg: <http://www.example.org/>
+        |
+        |eg:prefixMapping
+        |  sh:declare [ sh:prefix "afn" ; sh:namespace "http://jena.apache.org/ARQ/function#" ]
+        |  .
+        |
+        |eg:greet udf:simpleDefinition ("CONCAT('Hello ', STR(?x), '!')" "x") .
+        |""".stripMargin)
+    assert(n === 1)
+    // macro-example.sh's query, byte-for-byte
+    val got = ConstructParser.parseSelect(
+      """SELECT (eg:greet("John Doe") AS ?x) {}""").run(unit).collect()
+    assert(got.length === 1 && got.head.getString(0) === "Hello John Doe!")
+    // a pattern-bound TERM argument resolves through its lexical form
+    import spark.implicits._
+    val quads = Seq(("<p1>", "<http://www.example.org/name>", "\"Ada\""))
+      .toDF("subj", "pred", "obj")
+    val got2 = ConstructParser.parseSelect(
+      "SELECT ?g { ?p eg:name ?n BIND(eg:greet(?n) AS ?g) }")
+      .run(quads).collect()
+    assert(got2.map(_.getString(0)).toSeq === Seq("Hello Ada!"))
+    // wrong arity fails loudly
+    val e = intercept[Exception](ConstructParser.parseSelect(
+      """SELECT (eg:greet("a", "b") AS ?x) {}"""))
+    assert(e.getMessage.contains("takes 1 argument"), s"got: ${e.getMessage}")
+  }
+
   test("zip-arrays idiom: two unnests sharing ?i join positionally") {
     // docs/examples/test-zip-arrays.sparql's WHERE shape (its INSERT
     // DATA payload carries a trailing comma — invalid JSON — so the
