@@ -48,7 +48,7 @@ object Macros {
   private val ShNs = "http://www.w3.org/ns/shacl#"
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  private def litBody(term: String): String = {
+  private[graft] def litBody(term: String): String = {
     require(term.startsWith("\""), s"expected a literal, got $term")
     val close = term.lastIndexOf('"')
     val b = term.substring(1, close)

@@ -517,6 +517,23 @@ object AlgebraSuite {
            |FROM <file:$root/nested/r_1.nt>
            |{ ?s ?p ?o }""".stripMargin).run(session)
     }),
+    "lambda_call" -> ((s, dir) => {
+      // norse:fn.of / fn.call lambdas from query TEXT (docs/examples/
+      // README.md:522-550): free-var capture of a pattern var, params
+      // from call args, plan-build inline expansion
+      val seed = customer(s, dir).select(
+        concat(lit("<http://ex.org/c/"), col("c_custkey"), lit(">")).as("subj"),
+        lit("<http://www.example.org/name>").as("pred"),
+        concat(lit("\""), col("c_name"), lit("\"")).as("obj"))
+      graft.rules.ConstructParser.parseSelect(
+        """PREFIX norse: <https://w3id.org/aksw/norse#>
+          |SELECT ?c ?resultA ?resultB {
+          |  ?c eg:name ?n
+          |  BIND(norse:fn.of(?honorific, CONCAT(?honorific, ' ', STR(?n))) AS ?f)
+          |  BIND(norse:fn.call(?f, "Mx.") AS ?resultA)
+          |  BIND(norse:fn.call(?f, "Dr.") AS ?resultB)
+          |}""".stripMargin).run(seed)
+    }),
     "macro_ttl" -> ((s, dir) => {
       // udf:simpleDefinition macro loaded as DATA (docs/examples/
       // macro-example.sh + macros.ttl), expanded from query TEXT at
@@ -1175,6 +1192,10 @@ object AlgebraSuite {
     "macro_ttl" ->
       """SELECT '<http://ex.org/c/'||c_custkey||'>' AS c,
         |       'Hello '||c_name||'!' AS greeting FROM customer""".stripMargin,
+    "lambda_call" ->
+      """SELECT '<http://ex.org/c/'||c_custkey||'>' AS c,
+        |       'Mx. '||c_name AS resultA, 'Dr. '||c_name AS resultB
+        |FROM customer""".stripMargin,
     "construct_sequence" ->
       """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
         |       '<http://ex.org/name>' AS pred, '"' || c_name || '"' AS obj,

@@ -198,6 +198,26 @@ object ConstructParser {
     * declares it explicitly; only afn:localname is implemented).
     */
   private[rules] val AfnNs = "http://jena.apache.org/ARQ/function#"
+  /** Not Only Rdf Sparql Extensions — lambdas live here
+    * (docs/sparql-extensions/function-extensions.md:13).
+    */
+  private[rules] val NorseNs = "https://w3id.org/aksw/norse#"
+
+  /** Decode a lambda literal `"?v1 ?v2 -> expr"^^norse:lambda` (or the
+    * older `^^norse:sparql.fn`) into (params, body text).
+    */
+  private[rules] def parseLambdaLiteral(term: String): (Seq[String], String) = {
+    require(term.startsWith("\"") &&
+      (term.endsWith("\"^^<" + NorseNs + "lambda>") ||
+        term.endsWith("\"^^<" + NorseNs + "sparql.fn>")),
+      s"fn.call: not a lambda literal: $term")
+    val decoded = graft.functions.Macros.litBody(term)
+    val arrow = decoded.indexOf("-> ")
+    require(arrow >= 0, s"malformed lambda literal: $term")
+    val params = decoded.substring(0, arrow).trim.split("\\s+").toSeq
+      .filter(_.nonEmpty).map(_.stripPrefix("?"))
+    (params, decoded.substring(arrow + 3))
+  }
   // literal, NOT XsdNs-derived: object init order (XsdNs binds later)
   private[rules] val XsdJson = "http://www.w3.org/2001/XMLSchema#json"
 
@@ -1717,6 +1737,14 @@ object ConstructParser {
           skipWs(); expect(')')
           out += BindE(v, e)
           if (sawPattern) bgpVarTerm(v) = e.term else binds(v) = e
+          // a BIND of a constant lambda literal is statically traceable
+          // in BOTH modes — fn.call resolves the var through this map
+          org.apache.spark.sql.graft.bridge.staticStringLiteral(e.c)
+            .foreach { t =>
+              if (t.endsWith("\"^^<" + ConstructParser.NorseNs + "lambda>") ||
+                  t.endsWith("\"^^<" + ConstructParser.NorseNs + "sparql.fn>"))
+                lambdaBinds(v) = t
+            }
         } else if (kw("FILTER")) {
           skipWs()
           if (kw("NOT")) {
@@ -3221,6 +3249,58 @@ object ConstructParser {
             // (Jena splits at the last non-NCName char; for the
             // machine-generated IRIs this engine handles the two agree)
             E(regexp_extract(raw(arg1()), "([^/#:]*)$", 1), term = false)
+          } else if (iri == NorseNs + "fn.of" ||
+              iri == NorseNs + "sparql.fn.of") {
+            // lambda DEFINITION (docs/examples/README.md:417-440,
+            // 522-550): all but the last argument are input vars, the
+            // last is the body EXPRESSION kept as text — the value is a
+            // lambda literal `"?v1 ?v2 -> expr"^^norse:lambda`, compiled
+            // lazily at each fn.call site
+            val spans = rawArgSpans()
+            require(spans.size >= 1, "fn.of needs at least a body expression")
+            val params = spans.dropRight(1).map { sp =>
+              require(sp.matches("^\\?[A-Za-z_][A-Za-z0-9_]*$"),
+                s"fn.of: input parameters must be plain variables, got '$sp'")
+              sp.substring(1)
+            }
+            val dt = if (iri.contains("sparql.")) NorseNs + "sparql.fn"
+              else NorseNs + "lambda"
+            E(lit("\"" + TrigEscape(
+              params.map("?" + _).mkString(" ") +
+                (if (params.nonEmpty) " " else "") + "-> " + spans.last) +
+              "\"^^<" + dt + ">"), term = true)
+          } else if (iri == NorseNs + "fn.call" ||
+              iri == NorseNs + "sparql.fn.call") {
+            // lambda INVOCATION: the lambda literal must be STATICALLY
+            // traceable (a constant or a BIND-bound var) — the body
+            // compiles inline at plan-build time with params bound to
+            // the call's argument expressions; free vars resolve like
+            // vars written at the call position. Data-borne lambdas
+            // (values flowing from patterns) reject loudly: per-row
+            // expression interpretation does not distribute.
+            val args = argList()
+            require(args.nonEmpty, "fn.call needs a lambda argument")
+            val lamLit = org.apache.spark.sql.graft.bridge
+              .staticStringLiteral(args.head.c)
+              .orElse(refNames(args.head.c).toSeq match {
+                case Seq(v1) => lambdaBinds.get(v1)
+                case _ => None
+              })
+              .getOrElse(fail(
+                "fn.call: the lambda must be a constant or a BIND-bound " +
+                  "fn.of value in this query (data-borne lambdas are not " +
+                  "supported — the body must compile at plan-build time)"))
+            val (plist, body) = ConstructParser.parseLambdaLiteral(lamLit)
+            if (plist.size != args.size - 1) fail(
+              s"fn.call: lambda takes ${plist.size} argument(s), " +
+                s"got ${args.size - 1}")
+            val child = new P(body)
+            child.copyResolutionFrom(this)
+            child.setMacroParams(plist.zip(args.tail).toMap)
+            child.exprOnly()
+          } else if (iri.startsWith(NorseNs + "map.")) {
+            fail(s"<$iri>: execution-local maps are per-row mutable state " +
+              "and do not distribute; memoize via BIND or a subquery instead")
           } else graft.functions.Macros.textMacro(iri) match {
             // udf:simpleDefinition macros loaded from RDF
             // (docs/examples/macro-example.sh): parse the caller's args,
@@ -3240,6 +3320,58 @@ object ConstructParser {
     }
 
     // ------------------------------------------------- macro expansion
+
+    /** Copy var-resolution state into a CHILD parser compiling a lambda
+      * body at its call site ("any non-input variable mentioned in expr
+      * is substituted with the current binding's value" —
+      * docs/examples/README.md:526): free vars in the body resolve
+      * exactly like vars written at the call position.
+      */
+    private[ConstructParser] def copyResolutionFrom(o: P): Unit = {
+      prefixes ++= o.prefixes
+      sawPattern = o.sawPattern
+      o.bgpVarTerm.foreach { case (k, v) => bgpVarTerm(k) = v }
+      binds ++= o.binds
+      propFnTermVars ++= o.propFnTermVars
+      lambdaBinds ++= o.lambdaBinds
+    }
+
+    /** Statically-traceable lambda literals: BIND target var → the full
+      * lambda literal term (see the BIND parse).
+      */
+    private[ConstructParser] val lambdaBinds =
+      scala.collection.mutable.HashMap[String, String]()
+
+    /** `norse:fn.of(?v1, …, expr)` — raw top-level-comma argument spans
+      * (the LAST span is the lambda body, kept as TEXT for lazy
+      * compilation at the call site).
+      */
+    private def rawArgSpans(): Seq[String] = {
+      skipWs(); expect('(')
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val sb = new StringBuilder
+      var depth = 0
+      var quote: Char = 0
+      var done = false
+      while (!done) {
+        if (i >= n) fail("unterminated argument list")
+        val c = s.charAt(i)
+        if (quote != 0) {
+          sb.append(c)
+          if (c == '\\' && i + 1 < n) { i += 1; sb.append(s.charAt(i)) }
+          else if (c == quote) quote = 0
+          i += 1
+        } else c match {
+          case '"' | '\'' => quote = c; sb.append(c); i += 1
+          case '(' => depth += 1; sb.append(c); i += 1
+          case ')' if depth == 0 => out += sb.toString.trim; done = true; i += 1
+          case ')' => depth -= 1; sb.append(c); i += 1
+          case ',' if depth == 0 => out += sb.toString.trim; sb.clear(); i += 1
+          case other => sb.append(other); i += 1
+        }
+      }
+      out.toSeq
+    }
 
     /** Caller-argument substitutions active while parsing a macro BODY. */
     private var macroParams: Map[String, E] = Map.empty
@@ -3400,9 +3532,14 @@ object ConstructParser {
       i += 1
       val lstart = i
       // '/' is NOT a local-name char (SPARQL PN_LOCAL) — it is the path
-      // sequence operator, so `ex:a/ex:b` must split at the slash
+      // sequence operator, so `ex:a/ex:b` must split at the slash. '.'
+      // IS allowed mid-name (norse:sparql.fn.of, udf:simpleDefinition)
+      // but never FINAL — a trailing dot is the statement terminator
       while (i < n && (Character.isLetterOrDigit(s.charAt(i)) ||
-        s.charAt(i) == '_' || s.charAt(i) == '-')) i += 1
+        s.charAt(i) == '_' || s.charAt(i) == '-' ||
+        (s.charAt(i) == '.' && i + 1 < n &&
+          (Character.isLetterOrDigit(s.charAt(i + 1)) ||
+            s.charAt(i + 1) == '_')))) i += 1
       val ns = prefixes.getOrElse(pfx, fail(s"undeclared prefix '$pfx:'"))
       ns + s.substring(lstart, i)
     }

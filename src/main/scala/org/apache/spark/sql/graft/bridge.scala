@@ -24,6 +24,17 @@ object bridge {
           a.name
       }.toSet
 
+  /** The column's value IF it is a static string literal (plan-build
+    * inspection — used to trace lambda literals through BINDs).
+    */
+  def staticStringLiteral(c: Column): Option[String] =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case _ => None
+    }
+
   /** Replace references to the given names with NULL literals — used to
     * compile SPARQL expressions whose vars are UNBOUND at evaluation
     * time (unbound ⇒ type error ⇒ false for filters, §17.2) without

@@ -205,6 +205,46 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("takes 1 argument"), s"got: ${e.getMessage}")
   }
 
+  test("lambdas verbatim (docs/examples/README.md:430-440): fn.of/fn.call " +
+      "in both namespaces, free-var capture, loud rejects") {
+    val q =
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?resultA ?resultB {
+        |  BIND('Dear' AS ?salutation)
+        |  BIND(norse:sparql.fn.of(?honorific, ?name, CONCAT(?salutation, ' ', ?honorific, ' ', ?name)) AS ?greetingsFn)
+        |  BIND(norse:sparql.fn.call(?greetingsFn, "Mrs.", "Miller") AS ?resultA)
+        |  BIND(norse:sparql.fn.call(?greetingsFn, "Ms.", "Smith") AS ?resultB)
+        |}""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(unit).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "Dear Mrs. Miller")
+    assert(got.head.getString(1) === "Dear Ms. Smith")
+    // the newer norse:fn.* namespace works identically
+    val q2 = q.replace("sparql.fn.", "fn.")
+    val got2 = ConstructParser.parseSelect(q2).run(unit).collect()
+    assert(got2.head.getString(0) === "Dear Mrs. Miller")
+    // wrong arity
+    val e1 = intercept[Exception](ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { BIND(norse:fn.of(?x, STR(?x)) AS ?f)
+        |  BIND(norse:fn.call(?f, "a", "b") AS ?r) }""".stripMargin))
+    assert(e1.getMessage.contains("takes 1 argument"), s"got: ${e1.getMessage}")
+    // data-borne lambdas reject loudly (plan-build expansion only)
+    import spark.implicits._
+    val quads = Seq(("<s>", "<http://www.example.org/fn>",
+      "\"?x -> STR(?x)\"^^<https://w3id.org/aksw/norse#lambda>"))
+      .toDF("subj", "pred", "obj")
+    val e2 = intercept[Exception](ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { ?s eg:fn ?f BIND(norse:fn.call(?f, "a") AS ?r) }""".stripMargin))
+    assert(e2.getMessage.contains("plan-build"), s"got: ${e2.getMessage}")
+    // execution-local maps reject loudly
+    val e3 = intercept[Exception](ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { BIND(norse:map.computeIfAbsent(1, 2, 3) AS ?r) }""".stripMargin))
+    assert(e3.getMessage.contains("do not distribute"), s"got: ${e3.getMessage}")
+  }
+
   test("zip-arrays idiom: two unnests sharing ?i join positionally") {
     // docs/examples/test-zip-arrays.sparql's WHERE shape (its INSERT
     // DATA payload carries a trailing comma — invalid JSON — so the
