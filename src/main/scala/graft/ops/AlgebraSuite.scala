@@ -79,6 +79,29 @@ object AlgebraSuite {
     root.toString
   }
 
+  /** Quad seed for the canned queries: customer→nation links + nation
+    * labels in the DEFAULT graph (nation nodes are INTERMEDIATE — both
+    * subject and object — the tree.rq targets), region labels in one
+    * NAMED graph.
+    */
+  private def cannedSeed(s: SparkSession, dir: String): DataFrame = {
+    val dg = "<urn:x-arq:DefaultGraph>"
+    customer(s, dir).select(lit(dg).as("graph"),
+        concat(lit("<http://ex.org/c/"), col("c_custkey"), lit(">")).as("subj"),
+        lit("<http://ex.org/in>").as("pred"),
+        concat(lit("<http://ex.org/n/"), col("c_nationkey"), lit(">")).as("obj"))
+      .unionAll(s.read.parquet(s"$dir/nation.parquet").select(
+        lit(dg).as("graph"),
+        concat(lit("<http://ex.org/n/"), col("n_nationkey"), lit(">")).as("subj"),
+        lit("<http://ex.org/name>").as("pred"),
+        concat(lit("\""), col("n_name"), lit("\"")).as("obj")))
+      .unionAll(s.read.parquet(s"$dir/region.parquet").select(
+        lit("<http://ex.org/g/r>").as("graph"),
+        concat(lit("<http://ex.org/r/"), col("r_regionkey"), lit(">")).as("subj"),
+        lit("<http://ex.org/rname>").as("pred"),
+        concat(lit("\""), col("r_name"), lit("\"")).as("obj")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bgp_star_join" -> ((s, dir) => {
       val t = trip(s, dir)
@@ -517,6 +540,21 @@ object AlgebraSuite {
            |FROM <file:$root/nested/r_1.nt>
            |{ ?s ?p ?o }""".stripMargin).run(session)
     }),
+    "canned_spogspo" -> ((s, dir) =>
+      // canned classpath query (docs/integrate/canned-queries.md):
+      // default-graph triples tagged with the default-graph IRI,
+      // unioned with the named-graph quads
+      graft.rules.ConstructParser
+        .parseConstruct(CannedQueries("spogspo.rq")).run(cannedSeed(s, dir))),
+    "canned_count" -> ((s, dir) =>
+      graft.rules.ConstructParser
+        .parseSelect(CannedQueries("count.rq")).run(cannedSeed(s, dir))),
+    "canned_tree" -> ((s, dir) =>
+      // tree.rq semantics as a distributed op: intermediate nodes
+      // (subject ∩ object) become deterministic blank nodes
+      CannedQueries.tree(cannedSeed(s, dir)
+        .filter(col("graph") === "<urn:x-arq:DefaultGraph>")
+        .select("subj", "pred", "obj"))),
     "lambda_call" -> ((s, dir) => {
       // norse:fn.of / fn.call lambdas from query TEXT (docs/examples/
       // README.md:522-550): free-var capture of a pattern var, params
@@ -1196,6 +1234,35 @@ object AlgebraSuite {
       """SELECT '<http://ex.org/c/'||c_custkey||'>' AS c,
         |       'Mx. '||c_name AS resultA, 'Dr. '||c_name AS resultB
         |FROM customer""".stripMargin,
+    // bare patterns see the union default graph (the reference's
+    // TransformUnionQuery rewrite), so the DG branch carries ALL rows;
+    // GRAPH ?g ranges over named graphs only
+    "canned_spogspo" ->
+      """SELECT '<http://ex.org/c/'||c_custkey||'>' AS subj,
+        |       '<http://ex.org/in>' AS pred,
+        |       '<http://ex.org/n/'||c_nationkey||'>' AS obj,
+        |       '<urn:x-arq:DefaultGraph>' AS graph FROM customer
+        |UNION ALL
+        |SELECT '<http://ex.org/n/'||n_nationkey||'>', '<http://ex.org/name>',
+        |       '"'||n_name||'"', '<urn:x-arq:DefaultGraph>' FROM nation
+        |UNION ALL
+        |SELECT '<http://ex.org/r/'||r_regionkey||'>', '<http://ex.org/rname>',
+        |       '"'||r_name||'"', '<urn:x-arq:DefaultGraph>' FROM region
+        |UNION ALL
+        |SELECT '<http://ex.org/r/'||r_regionkey||'>', '<http://ex.org/rname>',
+        |       '"'||r_name||'"', '<http://ex.org/g/r>' FROM region""".stripMargin,
+    "canned_count" ->
+      """SELECT (SELECT count(*) FROM customer) +
+        |       (SELECT count(*) FROM nation) +
+        |       2 * (SELECT count(*) FROM region) AS c""".stripMargin,
+    "canned_tree" ->
+      """SELECT '<http://ex.org/c/'||c_custkey||'>' AS subj,
+        |       '<http://ex.org/in>' AS pred,
+        |       '_:n'||md5('<http://ex.org/n/'||c_nationkey||'>') AS obj
+        |FROM customer
+        |UNION ALL
+        |SELECT '_:n'||md5('<http://ex.org/n/'||n_nationkey||'>'),
+        |       '<http://ex.org/name>', '"'||n_name||'"' FROM nation""".stripMargin,
     "construct_sequence" ->
       """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
         |       '<http://ex.org/name>' AS pred, '"' || c_name || '"' AS obj,

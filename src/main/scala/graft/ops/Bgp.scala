@@ -24,15 +24,24 @@ object Bgp {
     bindPositions(triples, Seq("subj" -> s, "pred" -> p, "obj" -> o))
 
   /** Quad pattern — a triple pattern inside `GRAPH g { … }` (SPARQL 1.1
-    * §13.3): the graph position filters/binds like any other.
+    * §13.3): the graph position filters/binds like any other, except a
+    * graph VARIABLE ranges over NAMED graphs only — the default graph is
+    * not named, so `GRAPH ?g` must not bind it (the canned spogspo.rq
+    * depends on this: its two UNION branches partition default vs named).
     */
   def quadPattern(quads: DataFrame,
       g: Either[String, String],
       s: Either[String, String],
       p: Either[String, String],
-      o: Either[String, String]): DataFrame =
-    bindPositions(quads,
+      o: Either[String, String]): DataFrame = {
+    val base = g match {
+      case Right(_) =>
+        quads.filter(col("graph") =!= "<urn:x-arq:DefaultGraph>")
+      case Left(_) => quads
+    }
+    bindPositions(base,
       Seq("graph" -> g, "subj" -> s, "pred" -> p, "obj" -> o))
+  }
 
   private[ops] def bindPositions(df: DataFrame,
       bind: Seq[(String, Either[String, String])]): DataFrame = {

@@ -202,6 +202,8 @@ object ConstructParser {
     * (docs/sparql-extensions/function-extensions.md:13).
     */
   private[rules] val NorseNs = "https://w3id.org/aksw/norse#"
+  /** ARQ system functions (`sys:getenv` — the canned rename.rq). */
+  private[rules] val SysNs = "http://jena.apache.org/ARQ/system#"
 
   /** Decode a lambda literal `"?v1 ?v2 -> expr"^^norse:lambda` (or the
     * older `^^norse:sparql.fn`) into (params, body text).
@@ -448,6 +450,7 @@ object ConstructParser {
       "url" -> ConstructParser.UrlNs,
       "fs" -> ConstructParser.FsNs,
       "afn" -> ConstructParser.AfnNs,
+      "sys" -> ConstructParser.SysNs,
       "norse" -> "https://w3id.org/aksw/norse#")
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
@@ -3243,6 +3246,18 @@ object ConstructParser {
             // FILTER(fs:probeRdf(?file)) — docs/examples/README.md:608;
             // see [[ConstructParser.probeRdfCol]] for the UDF rationale
             E(ConstructParser.probeRdfCol(arg1().c), term = false)
+          } else if (iri == ConstructParser.SysNs + "getenv") {
+            // sys:getenv('NAME') — the canned rename.rq parameterization;
+            // a DRIVER-side plan-build constant (env first, system
+            // property fallback for in-process callers), missing = loud
+            skipWs(); expect('(')
+            skipWs()
+            val name = stringLit()
+            skipWs(); expect(')')
+            val v = sys.env.get(name).orElse(sys.props.get(name))
+              .getOrElse(fail(s"sys:getenv('$name'): no such environment " +
+                "variable or system property"))
+            E(lit(v), term = false)
           } else if (iri == ConstructParser.AfnNs + "localname") {
             // afn:localname (workloads.sparql:14): the IRI's local part —
             // approximated as everything after the last '/', '#' or ':'

@@ -245,6 +245,31 @@ class DocsExamplesSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("do not distribute"), s"got: ${e3.getMessage}")
   }
 
+  test("canned rename.rq: FROM/TO env parameterization via sys:getenv " +
+      "(BIND form — filter-equality cannot bind per SPARQL)") {
+    import spark.implicits._
+    val dg = "<urn:x-arq:DefaultGraph>"
+    val ds = Seq(
+      (dg, "<a>", "<p>", "<urn:from>"),
+      (dg, "<urn:from>", "<q>", "\"v\""),
+      (dg, "<b>", "<p>", "<other>"))
+      .toDF("graph", "subj", "pred", "obj")
+    val old = (sys.props.get("FROM"), sys.props.get("TO"))
+    sys.props("FROM") = "urn:from"; sys.props("TO") = "urn:to"
+    try {
+      val out = graft.pipeline.Script.runSparql(spark,
+        graft.ops.CannedQueries("rename.rq"), Some(ds)).dataset.collect()
+        .map(r => (r.getString(1), r.getString(3))).toSet
+      assert(out.contains(("<a>", "<urn:to>")) &&
+        out.contains(("<urn:to>", "\"v\"")))
+      assert(!out.exists(t => t._1 == "<urn:from>" || t._2 == "<urn:from>"))
+      assert(out.contains(("<b>", "<other>"))) // untouched
+    } finally {
+      old._1.fold(sys.props.remove("FROM"): Unit)(sys.props("FROM") = _)
+      old._2.fold(sys.props.remove("TO"): Unit)(sys.props("TO") = _)
+    }
+  }
+
   test("zip-arrays idiom: two unnests sharing ?i join positionally") {
     // docs/examples/test-zip-arrays.sparql's WHERE shape (its INSERT
     // DATA payload carries a trailing comma — invalid JSON — so the
