@@ -105,7 +105,19 @@ object ConstructParser {
     require(url.startsWith("file:"),
       s"SERVICE endpoint <$url> is not supported: only local file: IRIs " +
         "are resolvable here (network federation is scoped out)")
-    val rest = url.stripPrefix("file:")
+    val rest0 = url.stripPrefix("file:")
+    // a raw '?' opens the IRI's QUERY component — never part of a path
+    // (a literal '?' in a filename arrives percent-encoded as %3F). The
+    // reference's sportal scripts use `?binsearch=true`
+    // (sportal/sportal-qe2.sparql:18): an access-path hint (binary
+    // search over a subject-sorted .nt) — not semantics; note and drop.
+    val q = rest0.indexOf('?')
+    val rest = if (q < 0) rest0 else {
+      System.err.println(s"[sparql] file SERVICE <$url>: ignoring IRI " +
+        s"parameter '${rest0.substring(q + 1)}' (access-path hint; the " +
+        "file is read in full)")
+      rest0.substring(0, q)
+    }
     val path =
       if (rest.startsWith("///")) rest.substring(2)
       else if (rest.startsWith("//")) throw new IllegalArgumentException(
@@ -120,6 +132,9 @@ object ConstructParser {
     * without it, `my data.nt` would probe as the nonexistent
     * `my%20data.nt` and silently vanish from listings.
     */
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private[graft] def percentDecode(p: String): String =
     if (p.indexOf('%') < 0) p
     else {
@@ -127,7 +142,16 @@ object ConstructParser {
       var k = 0
       while (k < p.length) {
         val c = p.charAt(k)
-        if (c == '%' && k + 2 < p.length) {
+        if (c == '%') {
+          // '%' in an IRI is ONLY legal as a pct-encoded triplet
+          // (RFC 3987 §2.2): a bare '%' means the IRI was built from an
+          // unencoded path — fail loudly instead of NumberFormatException
+          // (or worse, silently mangling `100%done.txt`)
+          if (k + 2 >= p.length || !isHex(p.charAt(k + 1)) ||
+              !isHex(p.charAt(k + 2)))
+            throw new IllegalArgumentException(
+              s"file IRI path <$p>: '%' at offset $k is not a pct-encoded " +
+                "%XX triplet — encode a literal '%' as %25")
           out.write(Integer.parseInt(p.substring(k + 1, k + 3), 16)); k += 3
         } else {
           val n = Character.charCount(p.codePointAt(k)) // surrogate-safe
@@ -233,16 +257,37 @@ object ConstructParser {
   private[graft] def resolveFileIri(iri: String): String =
     resolveFileIriAgainst(iri, fileBase)
 
-  /** [[resolveFileIri]] with an EXPLICIT base directory — callers that
-    * evaluate on executors (fs:probeRdf) capture the base at plan time
-    * instead of reading the driver-side system property per row.
+  /** Path-prefix location mapper (the same idea as Jena's
+    * LocationMapper): `-Dgraft.fileAliases=from1=to1,from2=to2` remaps
+    * resolved file paths by longest-prefix match. Lets published query
+    * texts carrying machine-specific absolute paths (the sportal
+    * scripts' /home/raven/tmp/sorttest .nt files) run against local
+    * copies without editing the query.
     */
-  private[graft] def resolveFileIriAgainst(iri: String, base: String): String = {
+  private[graft] def fileAliases: Seq[(String, String)] =
+    sys.props.get("graft.fileAliases").toSeq.flatMap(_.split(',')).flatMap {
+      pair =>
+        val eq = pair.indexOf('=')
+        if (eq <= 0) None else Some((pair.substring(0, eq), pair.substring(eq + 1)))
+    }.sortBy(-_._1.length)
+
+  private def applyAliases(path: String, aliases: Seq[(String, String)]): String =
+    aliases.collectFirst {
+      case (from, to) if path.startsWith(from) => to + path.substring(from.length)
+    }.getOrElse(path)
+
+  /** [[resolveFileIri]] with an EXPLICIT base directory — callers that
+    * evaluate on executors (fs:probeRdf) capture the base AND alias map
+    * at plan time instead of reading driver-side system properties
+    * per row.
+    */
+  private[graft] def resolveFileIriAgainst(iri: String, base: String,
+      aliases: Seq[(String, String)] = fileAliases): String = {
     val p = if (iri.startsWith("file:")) serviceFilePath(iri) else iri
     require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
       s"<$iri> is not a resolvable local file IRI (network schemes are " +
         "scoped out)")
-    if (p.startsWith("/")) p else base + "/" + p
+    applyAliases(if (p.startsWith("/")) p else base + "/" + p, aliases)
   }
 
   /** `fs:probeRdf(?file)` (docs/examples/README.md:608-618): true iff
@@ -255,6 +300,7 @@ object ConstructParser {
     */
   private[rules] def probeRdfCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val base = fileBase // capture driver-side; executors never read sys.props
+    val aliases = fileAliases
     val f = org.apache.spark.sql.functions.udf { (term: String) =>
       if (term == null) false
       else
@@ -262,7 +308,7 @@ object ConstructParser {
         // from being read as RDF — non-file scheme, permissions, I/O —
         // probes false rather than aborting the query
         try graft.sources.RdfIO.probeRdfLocal(
-          resolveFileIriAgainst(ConstructParser.stripAngles(term), base))
+          resolveFileIriAgainst(ConstructParser.stripAngles(term), base, aliases))
         catch { case scala.util.control.NonFatal(_) => false }
     }
     f(c)
@@ -360,9 +406,13 @@ object ConstructParser {
     * in the statement text is replaced from the given map BEFORE parsing
     * — plan-build-time config injection, nothing at runtime. Unknown
     * names fail loudly (a silently-unsubstituted endpoint is worse).
+    * Both the `<env:NAME>` and the `<env://NAME>` authority form are
+    * accepted — the reference's sportal compact queries use the latter
+    * (use-case-sportal-analysis/.../compact/qc5.rq `<env://D>`), and
+    * NodeEnvsubst substitutes on the env: SCHEME, not one lexical shape.
     */
   def envSubst(text: String, env: Map[String, String]): String =
-    "<env:([A-Za-z0-9_]+)>".r.replaceAllIn(text, m =>
+    "<env:(?://)?([A-Za-z0-9_]+)>".r.replaceAllIn(text, m =>
       java.util.regex.Matcher.quoteReplacement("<" + env.getOrElse(m.group(1),
         throw new IllegalArgumentException(
           s"env substitution: ${m.group(1)} is not defined")) + ">"))
@@ -452,6 +502,9 @@ object ConstructParser {
       "afn" -> ConstructParser.AfnNs,
       "sys" -> ConstructParser.SysNs,
       "norse" -> "https://w3id.org/aksw/norse#")
+    // BASE <iri> from the prologue; carries across a statement sequence
+    // like PREFIX does (SPARQL §4.1.1)
+    private var baseIri: Option[String] = None
     private var binds = scala.collection.mutable.LinkedHashMap[String, E]()
     private var filters = scala.collection.mutable.ArrayBuffer[Column]()
     // group-nesting depth + the (slot, source-offset) of every plain
@@ -479,6 +532,20 @@ object ConstructParser {
     private val propFnTermVars = scala.collection.mutable.HashSet[String]()
     // fresh labels for `[]` anonymous pattern nodes
     private var anonCounter = 0
+    // expression-kind constants + the kind of the most recent aggExpr()
+    // parse (single-threaded parser: read immediately after the call)
+    private val KOther = 0; private val KTerm = 1; private val KInt = 2
+    private var lastExprKind: Int = KOther
+    // WHERE-scoped vars known to hold xsd:integer VALUES (subselect
+    // COUNT projections) — templates serialize them as typed literals
+    private val intVars = scala.collection.mutable.HashSet[String]()
+    /** Int-valued vars projected by the most recent [[selectQuery]]. */
+    private var lastProjectionInts: Set[String] = Set.empty
+    // triples generated by `[ p o ; … ]` property lists while a
+    // statement is being tokenized — drained by tripleLines into the
+    // surrounding template/pattern block (SPARQL §19.6 / Turtle §2.7)
+    private val bracketTriples =
+      scala.collection.mutable.ArrayBuffer[(Tok, Tok, Tok)]()
 
     /** SPARQL LANGTAG (ASCII-only: [a-zA-Z]+('-'[a-zA-Z0-9]+)*) — the
       * downstream LANG/DATATYPE/termLexical regexes are ASCII, so a
@@ -530,6 +597,7 @@ object ConstructParser {
       filters = scala.collection.mutable.ArrayBuffer[Column]()
       sawPattern = false
       bgpVarTerm.clear()
+      intVars.clear()
       dsCtx = DatasetClause(Nil, Nil)
       withCtx = None
       propFnVars.clear()
@@ -538,12 +606,23 @@ object ConstructParser {
 
     private def prefixLoop(): Unit = {
       skipWs()
-      while (kw("PREFIX")) {
-        skipWs()
-        val pfx = until(':'); i += 1
-        skipWs()
-        prefixes(pfx) = iriRef()
-        skipWs()
+      var more = true
+      while (more) {
+        if (kw("PREFIX")) {
+          skipWs()
+          val pfx = until(':'); i += 1
+          skipWs()
+          prefixes(pfx) = iriRef()
+          skipWs()
+        } else if (kw("BASE")) {
+          // SPARQL §4.1.1 BaseDecl: relative IRIs resolve against it
+          // (the sportal raw battery's `<D>` with the reference's
+          // env:// base — MainCliVoidGenerator.java:426 binds D to
+          // `env://D`). Interleaved with PREFIX per the grammar.
+          skipWs()
+          baseIri = Some(iriRef())
+          skipWs()
+        } else more = false
       }
     }
 
@@ -925,7 +1004,15 @@ object ConstructParser {
 
     private sealed trait SelItem
     private case class PlainVar(v: String) extends SelItem
-    private case class Derived(v: String, c: Column, agg: Boolean) extends SelItem
+    /** kind: what the derived value IS — [[KOther]] a plain value,
+      * [[KTerm]] an N-Triples term string (IRI()/STRDT()/pattern var…),
+      * [[KInt]] an xsd:integer value (COUNT). Drives template
+      * serialization through subquery boundaries (the sportal batteries
+      * project both `(IRI(…) AS ?k)` and `(COUNT(…) AS ?x)` into
+      * CONSTRUCT templates).
+      */
+    private case class Derived(v: String, c: Column, agg: Boolean,
+        kind: Int = KOther) extends SelItem
     private case object Star extends SelItem
 
     def selectQuery(expectEnd: Boolean = true): ParsedSelect = {
@@ -936,6 +1023,7 @@ object ConstructParser {
       filters = scala.collection.mutable.ArrayBuffer[Column]()
       sawPattern = false
       bgpVarTerm.clear()
+      intVars.clear()
       prefixLoop()
       if (!kw("SELECT")) fail("expected SELECT")
       skipWs()
@@ -952,12 +1040,13 @@ object ConstructParser {
           else if (peek == '(') {
             i += 1
             val (c, isAgg) = aggExpr()
+            val kind = lastExprKind
             skipWs()
             if (!kw("AS")) fail("expected AS in (expr AS ?v)")
             skipWs()
             val v = varName()
             skipWs(); expect(')')
-            items += Derived(v, c, isAgg)
+            items += Derived(v, c, isAgg, kind)
           } else if (peek.isDigit || peek == '-') {
             // bare constant projection (`SELECT 1 { }`, the reference's
             // hashbang smoke script) — column named after the literal
@@ -1115,20 +1204,32 @@ object ConstructParser {
 
       val bgp = sawPattern
       val pipeline = !bgp && containsPropFn(els)
+      // `SELECT *` inside a subquery: expand to this query's WHERE-bound
+      // vars (SPARQL §18.2.4.4 — in BGP mode that's exactly bgpVarTerm,
+      // in insertion order). Binding-stream mode has no static var list,
+      // so '*' stays opaque there and subSelectEl keeps rejecting it.
+      val starVars: Seq[(String, Boolean)] = if (bgp) bgpVarTerm.toSeq else Nil
       lastProjectionNulls = {
         val m = staticNulls(els)._2
-        items.toSeq.collect {
-          case PlainVar(v) if m.contains(v) => v
+        items.toSeq.flatMap {
+          case PlainVar(v) if m.contains(v) => Seq(v)
           // conservative: a derived value is maybe-null when any var it
           // references is (covers renames and aggregates of nullables)
-          case Derived(v, c, _) if refNames(c).intersect(m).nonEmpty => v
+          case Derived(v, c, _, _) if refNames(c).intersect(m).nonEmpty => Seq(v)
+          case Star => starVars.map(_._1).filter(m.contains)
+          case _ => Nil
         }.toSet
       }
-      lastProjection = items.toSeq.map {
-        case PlainVar(v) => (v, bgpVarTerm.getOrElse(v, true))
-        case Derived(v, _, _) => (v, false)
-        case Star => ("*", false)
+      lastProjection = items.toSeq.flatMap {
+        case PlainVar(v) => Seq((v, bgpVarTerm.getOrElse(v, true)))
+        case Derived(v, _, _, k) => Seq((v, k == KTerm))
+        case Star => if (bgp) starVars else Seq(("*", false))
       }
+      lastProjectionInts = items.toSeq.flatMap {
+        case PlainVar(v) if intVars(v) => Seq(v)
+        case Derived(v, _, _, k) if k == KInt => Seq(v)
+        case _ => Nil
+      }.toSet
       ParsedSelect { input =>
         val bindings =
           if (bgp) compileGroup(els, input, ds)
@@ -1140,7 +1241,7 @@ object ConstructParser {
               s"${elName(other)} requires triple patterns in WHERE")
           }
         val hasAgg = groupBys.nonEmpty ||
-          items.exists { case Derived(_, _, true) => true; case _ => false }
+          items.exists { case Derived(_, _, true, _) => true; case _ => false }
         require(havings.isEmpty || hasAgg,
           "HAVING requires GROUP BY or an aggregate projection")
         val projected =
@@ -1155,7 +1256,7 @@ object ConstructParser {
               // a key referencing a DERIVED projection alias must wait
               // for the projection; everything else computes early
               val derivedNames =
-                items.collect { case Derived(v, _, _) => v }.toSet
+                items.collect { case Derived(v, _, _, _) => v }.toSet
               val early = orders.toSeq.zipWithIndex.collect {
                 case ((c, _, false), k)
                     if !distinctRows &&
@@ -1166,7 +1267,7 @@ object ConstructParser {
               // surfacing an unresolved-column analysis error
               val projNames = items.toSeq.collect {
                 case PlainVar(v) => v
-                case Derived(v, _, _) => v
+                case Derived(v, _, _, _) => v
               }.toSet
               orders.toSeq.zipWithIndex.foreach { case ((c, _, isAgg), k) =>
                 require(isAgg || early(k) || refNames(c).subsetOf(projNames),
@@ -1192,7 +1293,7 @@ object ConstructParser {
                   // SILENT-degraded SERVICE group
                   if (preOrd.columns.contains(v)) col(v)
                   else lit(null).cast("string").as(v)
-                case Derived(v, c, _) => c.as(v)
+                case Derived(v, c, _, _) => c.as(v)
                 case Star => throw new IllegalArgumentException(
                   "* cannot mix with named projections")
               } ++ ordCols: _*)
@@ -1211,7 +1312,7 @@ object ConstructParser {
             val hiddenOrd = orders.zipWithIndex.collect {
               case ((c, _, true), k) => c.as("#ord" + k)
             }
-            val aggs = items.collect { case Derived(v, c, _) => c.as(v) }.toSeq ++
+            val aggs = items.collect { case Derived(v, c, _, _) => c.as(v) }.toSeq ++
               hidden ++ hiddenOrd
             require(aggs.nonEmpty, "GROUP BY without any aggregate projection")
             // derived (expression) keys materialize as columns first
@@ -1241,7 +1342,7 @@ object ConstructParser {
               // backtick-quote: a bare-constant projection can be named
               // after a DECIMAL literal ("1.5") and col() would read the
               // dot as struct-field access
-              case Derived(v, _, _) => filtered("`" + v + "`")
+              case Derived(v, _, _, _) => filtered("`" + v + "`")
               case Star => throw new IllegalArgumentException(
                 "* cannot mix with aggregation")
             } ++ orders.zipWithIndex.collect {
@@ -1293,10 +1394,10 @@ object ConstructParser {
       while (go) {
         if (peek == '+') {
           i += 1; val (r, ra) = aggMulExpr(first = false)
-          c = c + r; isAgg ||= ra; skipWs()
+          c = c + r; isAgg ||= ra; lastExprKind = KOther; skipWs()
         } else if (peek == '-') {
           i += 1; val (r, ra) = aggMulExpr(first = false)
-          c = c - r; isAgg ||= ra; skipWs()
+          c = c - r; isAgg ||= ra; lastExprKind = KOther; skipWs()
         } else go = false
       }
       (c, isAgg)
@@ -1309,10 +1410,10 @@ object ConstructParser {
       while (go) {
         if (peek == '*') {
           i += 1; val (r, ra) = aggPrimary(narrow = true)
-          c = c * r; isAgg ||= ra; skipWs()
+          c = c * r; isAgg ||= ra; lastExprKind = KOther; skipWs()
         } else if (peek == '/') {
           i += 1; val (r, ra) = aggPrimary(narrow = true)
-          c = c / r; isAgg ||= ra; skipWs()
+          c = c / r; isAgg ||= ra; lastExprKind = KOther; skipWs()
         } else go = false
       }
       (c, isAgg)
@@ -1332,6 +1433,7 @@ object ConstructParser {
           else if (kw("DISTINCT")) countDistinct(expr().c)
           else count(expr().c)
         skipWs(); expect(')')
+        lastExprKind = KInt
         (c, true)
       } else if (kw("SUM") || kw("AVG") || kw("MIN") || kw("MAX")) {
         val f = s.substring(i - 3, i).toUpperCase
@@ -1352,11 +1454,16 @@ object ConstructParser {
           case "MAX" =>
             if (e.term) max_by(e.c, termOrdKey(e.c)) else max(a)
         }
+        // MIN/MAX of a term column yields the term itself
+        lastExprKind =
+          if (e.term && (f == "MIN" || f == "MAX")) KTerm else KOther
         (c, true)
       } else if (kw("SAMPLE")) {
         skipWs(); expect('(')
-        val a = expr().c
+        val e = expr()
+        val a = e.c
         skipWs(); expect(')')
+        lastExprKind = if (e.term) KTerm else KOther
         (min(a), true) // deterministic SAMPLE (SPARQL: any value)
       } else if (kw("GROUP_CONCAT")) {
         skipWs(); expect('('); skipWs()
@@ -1378,6 +1485,7 @@ object ConstructParser {
         val a = e.c.cast("string")
         val lst = sort_array(if (dist) collect_set(a) else collect_list(a))
         val strs = if (e.term) transform(lst, rawTermCol(_)) else lst
+        lastExprKind = KOther
         (array_join(strs, sep), true)
       } else if (kw("ROUND")) {
         skipWs(); expect('(')
@@ -1386,14 +1494,17 @@ object ConstructParser {
         skipWs()
         val d = number().toInt
         skipWs(); expect(')')
+        lastExprKind = KOther
         (round(inner, d), isAgg)
       } else if (narrow) {
         // right operand of aggregate arithmetic: numeric by construction,
         // so coerce term/raw values to their numeric form here (unary()
         // alone would feed a raw N-Triples term string into `*`/`+`)
+        lastExprKind = KOther
         (numC(unary()), false)
       } else {
         val e = expr()
+        lastExprKind = if (e.term) KTerm else KOther
         (e.c, false)
       }
     }
@@ -1474,6 +1585,13 @@ object ConstructParser {
         } else morePred = false
       }
       if (peek == '.') { i += 1; skipWs() }
+      if (bracketTriples.nonEmpty) {
+        // triples from `[ p o ; … ]` property lists tokenized within
+        // this statement (subject-first order keeps output stable)
+        val extra = bracketTriples.toSeq
+        bracketTriples.clear()
+        out ++= extra
+      }
       out.toSeq
     }
 
@@ -1501,15 +1619,35 @@ object ConstructParser {
           i += 1
           ListT(items.toSeq)
         case '[' =>
-          // `[]` anonymous node = a fresh query-scoped variable
-          // (SPARQL §19.6); bracketed property lists stay unsupported
+          // `[]` / `[ p o ; … ]` anonymous node (SPARQL §19.6): a fresh
+          // statement-scoped node; a non-empty property list emits its
+          // triples with the fresh node as subject into [[bracketTriples]]
+          // (drained by the enclosing tripleLines) — the sportal
+          // batteries' `v:classPartition [ v:class ?c ; … ]` templates
           i += 1; skipWs()
-          if (peek == ']') {
-            i += 1; anonCounter += 1
-            // '#' is not a user bnode-label char — no _:anonN collision
-            BnodeT("anon#" + anonCounter)
+          anonCounter += 1
+          // '#' is not a user bnode-label char — no _:anonN collision
+          val node = BnodeT("anon#" + anonCounter)
+          if (peek == ']') { i += 1; node }
+          else {
+            var morePred = true
+            while (morePred) {
+              val p = if (kwCS("a")) IriT(RdfTerms.RdfType) else tok()
+              skipWs()
+              var moreObj = true
+              while (moreObj) {
+                val o = tok(); skipWs()
+                bracketTriples += ((node, p, o))
+                if (peek == ',') { i += 1; skipWs() } else moreObj = false
+              }
+              if (peek == ';') {
+                i += 1; skipWs()
+                if (peek == ']') morePred = false // trailing ';'
+              } else morePred = false
+            }
+            expect(']')
+            node
           }
-          else fail("[…] property lists are not supported — only bare []")
         case '_' if i + 1 < n && s.charAt(i + 1) == ':' =>
           i += 2
           val start = i
@@ -1614,8 +1752,23 @@ object ConstructParser {
       case VarT(v) =>
         if (sawPattern) bgpVarTerm.get(v) match {
           case Some(true) => col(v) // pattern var: already a term
-          case Some(false) => RdfTerms.strLit(col(v).cast("string"))
-          case None => fail(s"template variable ?$v is bound by no pattern or BIND")
+          case Some(false) =>
+            if (intVars(v))
+              // subselect COUNT projection: typed literal, as the
+              // SPARQL value semantics (and Jena's serializer) demand
+              concat(lit("\""), col(v).cast("string"),
+                lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+            else RdfTerms.strLit(col(v).cast("string"))
+          case None =>
+            // SPARQL §16.2: a template triple with an unbound variable
+            // is suppressed — a var no pattern/BIND ever binds means the
+            // triple NEVER emits. The reference's own sportal queries
+            // ship this shape (qe2.rq templates ?c; its subselect only
+            // projects ?x ?p), so run it spec-true but say so loudly.
+            System.err.println(s"[sparql] template variable ?$v is bound " +
+              "by nothing in WHERE — its template triples are suppressed " +
+              "(SPARQL CONSTRUCT semantics)")
+            lit(null).cast("string")
         }
         else if (propFnTermVars(v)) col(v) // pf output: already a term
         else binds.get(v) match {
@@ -1724,6 +1877,56 @@ object ConstructParser {
     /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
       * `GRAPH term` token, threaded into each contained triple pattern.
       */
+    /** Is the keyword at the cursor `SELECT` (a brace-less SubSelect)? */
+    private def selectAhead: Boolean =
+      s.regionMatches(true, i, "SELECT", 0, 6) &&
+        (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6)))
+
+    /** Parse a SubSelect at the cursor (after any enclosing '{' has been
+      * consumed). selectQuery resets parser state — saved and restored
+      * around it. The pending-filter pass is scoped per (sub)query: the
+      * subselect's own WHERE close (depth 0) re-parses ITS filters with
+      * ITS registrations, then the outer list resumes.
+      */
+    private def subSelectEl(): WhereEl = {
+      val savedBinds = binds
+      val savedFilters = filters
+      val savedSaw = sawPattern
+      val savedTerm = bgpVarTerm.toMap
+      val savedInts = intVars.toSet
+      val savedDs = dsCtx
+      val savedPending = pendingFilters.toList
+      pendingFilters.clear()
+      val savedDepth = groupDepth
+      groupDepth = 0
+      val sub = selectQuery(expectEnd = false)
+      groupDepth = savedDepth
+      pendingFilters.clear()
+      pendingFilters ++= savedPending
+      val proj = lastProjection
+      val projNulls = lastProjectionNulls
+      val projInts = lastProjectionInts
+      binds = savedBinds
+      filters = savedFilters
+      sawPattern = savedSaw
+      dsCtx = savedDs
+      bgpVarTerm.clear()
+      savedTerm.foreach { case (k, v) => bgpVarTerm(k) = v }
+      intVars.clear()
+      intVars ++= savedInts
+      intVars ++= projInts // int-valued projections surface in this scope
+      require(!proj.exists(_._1 == "*"),
+        "SELECT * subqueries are not supported: project explicit variables")
+      if (!sawPattern) {
+        sawPattern = true
+        binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
+      }
+      proj.foreach { case (v, t) => bgpVarTerm(v) = t }
+      SubSelectE(sub, proj.map(_._1).toSet, proj.collect {
+        case (v, _) if projNulls.contains(v) => v
+      }.toSet)
+    }
+
     private def groupBlock(graphCtx: Option[Tok]): Seq[WhereEl] = {
       expect('{')
       groupDepth += 1
@@ -1837,42 +2040,14 @@ object ConstructParser {
           })
         } else if (peek == '{' && subselectAhead) {
           i += 1
-          // selectQuery resets parser state — save and restore around it.
-          // The pending-filter pass is scoped per (sub)query: the
-          // subselect's own WHERE close (depth 0) re-parses ITS filters
-          // with ITS registrations, then the outer list resumes.
-          val savedBinds = binds
-          val savedFilters = filters
-          val savedSaw = sawPattern
-          val savedTerm = bgpVarTerm.toMap
-          val savedDs = dsCtx
-          val savedPending = pendingFilters.toList
-          pendingFilters.clear()
-          val savedDepth = groupDepth
-          groupDepth = 0
-          val sub = selectQuery(expectEnd = false)
-          groupDepth = savedDepth
-          pendingFilters.clear()
-          pendingFilters ++= savedPending
-          val proj = lastProjection
-          val projNulls = lastProjectionNulls
+          out += subSelectEl()
           skipWs(); expect('}')
-          binds = savedBinds
-          filters = savedFilters
-          sawPattern = savedSaw
-          dsCtx = savedDs
-          bgpVarTerm.clear()
-          savedTerm.foreach { case (k, v) => bgpVarTerm(k) = v }
-          require(!proj.exists(_._1 == "*"),
-            "SELECT * subqueries are not supported: project explicit variables")
-          if (!sawPattern) {
-            sawPattern = true
-            binds.foreach { case (v, e) => bgpVarTerm(v) = e.term }
-          }
-          proj.foreach { case (v, t) => bgpVarTerm(v) = t }
-          out += SubSelectE(sub, proj.map(_._1).toSet, proj.collect {
-            case (v, _) if projNulls.contains(v) => v
-          }.toSet)
+        } else if (selectAhead) {
+          // SubSelect filling the group DIRECTLY (SPARQL §18 grammar:
+          // GroupGraphPattern ::= '{' (SubSelect | GGPSub) '}') — the
+          // shape every sportal query uses: `CONSTRUCT {…} { SELECT … }`.
+          // The group's own '}' terminates the loop.
+          out += subSelectEl()
         } else if (peek == '{') {
           val first = groupBlock(graphCtx)
           skipWs()
@@ -3535,7 +3710,18 @@ object ConstructParser {
       expect('<')
       val v = until('>')
       expect('>')
-      v
+      // resolve relative IRIs against an explicit BASE (RFC 3986 via
+      // java.net.URI; plain concat if the base is too exotic for URI).
+      // Without a BASE the raw form is kept — base-less relative IRIs
+      // are implementation-defined and some callers (file paths) want
+      // them verbatim for resolveFileIri.
+      if (v.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) v
+      else baseIri match {
+        case Some(b) =>
+          try new java.net.URI(b).resolve(v).toString
+          catch { case scala.util.control.NonFatal(_) => b + v }
+        case None => v
+      }
     }
 
     private def prefixedIri(): String = {

@@ -1,0 +1,112 @@
+package graft.rules
+
+import org.apache.spark.sql.DataFrame
+
+/** Runner for the reference's sportal / VoID-profiling query battery —
+  * the 33 raw `q{a..f}*.rq` files of `use-case-sportal-analysis`, their
+  * 18 compact variants, and the 4 `sportal-*.sparql` binsearch
+  * file-SERVICE scripts — embedded verbatim under
+  * `src/main/resources/sportal/` (see the README there for provenance
+  * and the documented prologue/placeholder conventions).
+  *
+  * The raw battery carries no prologue: the reference binds every
+  * `v:`/`e:`/`s:` term inside the VoID namespace and `D` as the IRI
+  * `env://D` in code (MainCliVoidGenerator.java:400-426). [[RawPrologue]]
+  * is exactly that binding, expressed as SPARQL prologue text.
+  */
+object Sportal {
+
+  /** The reference's in-code vocabulary bindings for the raw battery. */
+  val RawPrologue: String =
+    """BASE <env://>
+      |PREFIX v: <http://rdfs.org/ns/void#>
+      |PREFIX e: <http://rdfs.org/ns/void#>
+      |PREFIX s: <http://rdfs.org/ns/void#>
+      |PREFIX void: <http://rdfs.org/ns/void#>
+      |""".stripMargin
+
+  /** Default `<env://D>` / `<env:B>` placeholder values for the compact
+    * battery (any deterministic IRIs work; these follow the scripts'
+    * own `<http://my.data/set>` choice — sportal-qe2.sparql:6).
+    */
+  val DefaultEnv: Map[String, String] =
+    Map("D" -> "http://my.data/set", "B" -> "http://my.data/set")
+
+  def resource(relPath: String): String = {
+    val in = getClass.getResourceAsStream(s"/sportal/$relPath")
+    require(in != null, s"missing classpath resource /sportal/$relPath")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  val rawIds: Seq[String] = Seq(
+    "qa1", "qa2",
+    "qb1", "qb2", "qb3", "qb4", "qb5",
+    "qc1", "qc2", "qc3", "qc4", "qc5", "qc6",
+    "qd1", "qd2", "qd3", "qd4",
+    "qe1", "qe2", "qe3", "qe4",
+    "qf1", "qf2", "qf3", "qf4", "qf5", "qf6", "qf7", "qf8", "qf9", "qf10")
+
+  val compactIds: Seq[String] = Seq(
+    "qb2", "qbAllBut2", "qc3", "qc5", "qcAllBut35", "qdAll", "qeAll",
+    "qf1", "qf2", "qf3", "qf4", "qf5", "qf6", "qf7", "qf8", "qf9", "qf10",
+    "qx1")
+
+  val scriptIds: Seq[String] =
+    Seq("sportal-qb2", "sportal-qe2", "sportal-qe2-mem", "sportal-qf10")
+
+  /** Is the query a SELECT? — the first keyword after comments and any
+    * PREFIX/BASE prologue decides.
+    */
+  private def isSelect(text: String): Boolean = {
+    var i = 0
+    val n = text.length
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < n) {
+        val c = text.charAt(i)
+        if (c == '#') { while (i < n && text.charAt(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def at(w: String): Boolean = text.regionMatches(true, i, w, 0, w.length)
+    skipWsAndComments()
+    var more = true
+    while (more) {
+      if (at("PREFIX") || at("BASE")) {
+        while (i < n && text.charAt(i) != '>') i += 1
+        i += 1
+        skipWsAndComments()
+      } else more = false
+    }
+    at("SELECT")
+  }
+
+  /** Run one raw-battery query (verbatim text + the documented
+    * prologue) against a triple/quad frame.
+    */
+  def runRaw(id: String, triples: DataFrame): DataFrame =
+    run(RawPrologue + resource(s"raw/$id.rq"), triples)
+
+  /** Run one compact-battery query: verbatim text, `<env://D>`/`<env:B>`
+    * substituted via the engine's envSubst (qx1's undeclared `void:` is
+    * covered by the same prologue as the raw battery).
+    */
+  def runCompact(id: String, triples: DataFrame,
+      env: Map[String, String] = DefaultEnv): DataFrame =
+    run(RawPrologue + ConstructParser.envSubst(resource(s"compact/$id.rq"), env),
+      triples)
+
+  /** Run one `sportal-*.sparql` script verbatim. Their data comes from the
+    * file-SERVICE clause (or, for -mem, the passed frame); the
+    * `?binsearch=true` IRI parameter is stripped by the file-SERVICE
+    * reader and `/home/raven/...` paths remap via `graft.fileAliases`.
+    */
+  def runScript(id: String, triples: DataFrame): DataFrame =
+    run(resource(s"scripts/$id.sparql"), triples)
+
+  def run(text: String, triples: DataFrame): DataFrame =
+    if (isSelect(text)) ConstructParser.parseSelect(text).run(triples)
+    else ConstructParser.parseConstruct(text).run(triples)
+}

@@ -56,6 +56,87 @@ object SyntheticQuads {
         concat(lit("\""), col("c_mktsegment"), lit("\"")).as("obj")))
   }
 
+  /** VoID-profiling fixture for the sportal battery (reference
+    * use-case-sportal-analysis): a triple table with everything the 33
+    * qa…qf queries discriminate on — rdf:type edges (incl. multi-typed
+    * subjects for qc3's `?s a ?t , ?o`), IRI / literal / blank-node
+    * subjects AND objects (qf1–qf8 kind counts), typed bnode objects
+    * (qf10's `?o a ?oType`). IRIs stay in [A-Za-z0-9:/.] so the oracle
+    * can mirror ENCODE_FOR_URI with two replaces (':'→%3A, '/'→%2F —
+    * every other char is RFC 3986 unreserved).
+    */
+  def sportalTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").cast("long").as("n"))
+    val cust = concat(lit("<http://ex.org/c/"), col("k"), lit(">"))
+    val addr = concat(lit("_:a"), col("k"))
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(concat(lit("<http://ex.org/n/"),
+        col("n_nationkey").cast("long"), lit(">")).as("subj"))
+    c.select(cust.as("subj"), lit(RdfType).as("pred"),
+        concat(lit("<http://ex.org/seg/"), col("seg"), lit(">")).as("obj"))
+      .unionAll(c.where(col("k") % 2 === 0).select(cust.as("subj"),
+        lit(RdfType).as("pred"), lit("<http://ex.org/Even>").as("obj")))
+      .unionAll(c.select(cust.as("subj"),
+        lit("<http://ex.org/name>").as("pred"),
+        concat(lit("\""), col("c_name"), lit("\"")).as("obj")))
+      .unionAll(c.select(cust.as("subj"),
+        lit("<http://ex.org/nation>").as("pred"),
+        concat(lit("<http://ex.org/n/"), col("n"), lit(">")).as("obj")))
+      .unionAll(c.where(col("k") % 5 === 0).select(cust.as("subj"),
+        lit("<http://ex.org/addr>").as("pred"), addr.as("obj")))
+      .unionAll(c.where(col("k") % 5 === 0).select(addr.as("subj"),
+        lit("<http://ex.org/zip>").as("pred"),
+        concat(lit("\"Z"), col("k"), lit("\"")).as("obj")))
+      .unionAll(c.where(col("k") % 5 === 0).select(addr.as("subj"),
+        lit(RdfType).as("pred"), lit("<http://ex.org/Addr>").as("obj")))
+      .unionAll(nat.select(col("subj"), lit(RdfType).as("pred"),
+        lit("<http://ex.org/Nation>").as("obj")))
+  }
+
+  /** Lockstep DuckDB CTE: sportal(subj, pred, obj). */
+  def sportalOracleCte: String =
+    """sportal AS (
+      |  SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+      |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+      |         '<http://ex.org/seg/' || c_mktsegment || '>' AS obj
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+      |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+      |         '<http://ex.org/Even>'
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+      |         '<http://ex.org/name>', '"' || c_name || '"'
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+      |         '<http://ex.org/nation>',
+      |         '<http://ex.org/n/' || CAST(c_nationkey AS VARCHAR) || '>'
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+      |         '<http://ex.org/addr>', '_:a' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT '_:a' || CAST(c_custkey AS VARCHAR),
+      |         '<http://ex.org/zip>', '"Z' || CAST(c_custkey AS VARCHAR) || '"'
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT '_:a' || CAST(c_custkey AS VARCHAR),
+      |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+      |         '<http://ex.org/Addr>'
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT '<http://ex.org/n/' || CAST(n_nationkey AS VARCHAR) || '>',
+      |         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+      |         '<http://ex.org/Nation>'
+      |  FROM nation
+      |)""".stripMargin
+
   def mixedSubjectOracleCte: String =
     """mixed AS (
       |  SELECT CASE WHEN c_custkey % 3 = 0 THEN '<http://example.org/cust/' || CAST(c_custkey AS VARCHAR) || '>'

@@ -383,6 +383,8 @@ class DocsExamplesSpec extends AnyFunSuite {
       "not a resolvable local file IRI")
     bad("SELECT * { \"a,b\" csv:parse (?r \"tsv\") }", "unsupported dialect")
     bad("SELECT * { \"a,b\" csv:parse (?r \"excel\") }", "-h")
-    bad("SELECT * { [ ?p ?o ] ?q ?r }", "property lists are not supported")
+    // `[ p o ]` property lists are SUPPORTED since the sportal battery
+    // (SPARQL §19.6) — this shape must parse, not reject
+    ConstructParser.parseSelect("SELECT ?q ?r { [ ?p ?o ] ?q ?r }")
   }
 }
