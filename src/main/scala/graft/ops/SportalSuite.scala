@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.rules.Sportal
+import graft.sources.SyntheticQuads
+
+/** Driver entries for the reference's sportal VoID battery run VERBATIM
+  * (use-case-sportal-analysis — see src/main/resources/sportal/README.md)
+  * against the [[SyntheticQuads.sportalTriples]] fixture, each with a
+  * lockstep DuckDB oracle. Entries `.distinct()` the CONSTRUCT output:
+  * a CONSTRUCT result is an RDF GRAPH (a triple set — Jena materializes
+  * into a Model), while the engine's frames keep duplicates so the
+  * 100 TB path can defer dedup to the materializer.
+  */
+object SportalSuite {
+
+  private def trip(s: SparkSession, dir: String): DataFrame =
+    SyntheticQuads.sportalTriples(s, dir)
+
+  /** One local .nt fixture file per required sorttest name, written from
+    * the SAME sportal triple frame (the reference's two snapshots of one
+    * corpus), plus the `graft.fileAliases` remap that points the
+    * scripts' machine-specific /home/raven paths at it.
+    */
+  private[graft] def scriptFixture(s: SparkSession, dir: String): Unit = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_sorttest_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(root)
+    val lines = trip(s, dir).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
+      .sorted // the reference's files are subject-sorted (binsearch)
+      .mkString("", "\n", "\n")
+    for (name <- Seq("sorted.nt", "dnb-all_lds_20200213.sorted.nt"))
+      java.nio.file.Files.writeString(root.resolve(name), lines)
+    sys.props("graft.fileAliases") = s"/home/raven/tmp/sorttest=$root"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // whole-dataset VoID counts (compact qbAllBut2.rq: one subselect,
+    // four aggregates, D + 4 typed-literal triples)
+    "sportal_qb_all" -> ((s, dir) =>
+      Sportal.runCompact("qbAllBut2", trip(s, dir)).distinct()),
+    // class partitions with IRI keys minted via ENCODE_FOR_URI
+    "sportal_qc5" -> ((s, dir) =>
+      Sportal.runCompact("qc5", trip(s, dir)).distinct()),
+    // property partitions: triples + distinct subjects/objects per pred
+    "sportal_qd_all" -> ((s, dir) =>
+      Sportal.runCompact("qdAll", trip(s, dir)).distinct()),
+    // class×property partitions, two-level subselect + alias-chained
+    // IRI minting ((CONCAT(…) AS ?kStr) (IRI(?kStr) AS ?k))
+    "sportal_qe_all" -> ((s, dir) =>
+      Sportal.runCompact("qeAll", trip(s, dir)).distinct()),
+    // distinct blank nodes: UNION + group-scoped isBlank filter (raw)
+    "sportal_qf6" -> ((s, dir) =>
+      Sportal.runRaw("qf6", trip(s, dir)).distinct()),
+    // subjectTypes partitions per (property, subject class) (compact)
+    "sportal_qf9" -> ((s, dir) =>
+      Sportal.runCompact("qf9", trip(s, dir)).distinct()),
+    // the binsearch file-SERVICE script: verbatim text, ?binsearch=true
+    // stripped by the reader, /home/raven path remapped onto a local
+    // .nt fixture via graft.fileAliases
+    "sportal_script_qb2" -> ((s, dir) => {
+      scriptFixture(s, dir)
+      Sportal.runScript("sportal-qb2", trip(s, dir)).distinct()
+    })
+  )
+
+  private val G = "'<urn:x-arq:DefaultGraph>' AS graph"
+  private val TypeP = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+  private val V = "http://rdfs.org/ns/void#"
+  private val XInt = "\"^^<http://www.w3.org/2001/XMLSchema#integer>'"
+
+  private def cte = SyntheticQuads.sportalOracleCte
+
+  /** xsd:integer literal from a count column (DuckDB side). */
+  private def intLit(expr: String) =
+    s"'\"' || CAST($expr AS VARCHAR) || '$XInt"
+
+  /** ENCODE_FOR_URI over the fixture's IRI alphabet ([A-Za-z0-9:/.#] —
+    * ':', '/' and '#' (rdf:type!) are its RFC 3986 reserved chars).
+    */
+  private def enc(expr: String) =
+    s"replace(replace(replace($expr, ':', '%3A'), '/', '%2F'), '#', '%23')"
+
+  /** Strip the <angle brackets> off a term column. */
+  private def bare(c: String) = s"substr($c, 2, length($c) - 2)"
+
+  def oracles: Map[String, String] = Map(
+    "sportal_qb_all" ->
+      s"""WITH $cte, agg AS (
+         |  SELECT COUNT(subj) AS x, COUNT(DISTINCT subj) AS a,
+         |         COUNT(DISTINCT pred) AS b, COUNT(DISTINCT obj) AS c
+         |  FROM sportal)
+         |SELECT '<http://my.data/set>' AS subj, '<${V}triples>' AS pred,
+         |       ${intLit("x")} AS obj, $G FROM agg
+         |UNION ALL SELECT '<http://my.data/set>', '<${V}distinctSubjects>', ${intLit("a")}, '<urn:x-arq:DefaultGraph>' FROM agg
+         |UNION ALL SELECT '<http://my.data/set>', '<${V}properties>', ${intLit("b")}, '<urn:x-arq:DefaultGraph>' FROM agg
+         |UNION ALL SELECT '<http://my.data/set>', '<${V}distinctObjects>', ${intLit("c")}, '<urn:x-arq:DefaultGraph>' FROM agg""".stripMargin,
+    "sportal_qc5" ->
+      s"""WITH $cte, stats AS (
+         |  SELECT obj AS cls, COUNT(DISTINCT subj) AS n
+         |  FROM sportal WHERE pred = '$TypeP' GROUP BY obj),
+         |k AS (SELECT cls, n,
+         |  'http://my.data/set/cp/' || ${enc(bare("cls"))} AS kiri FROM stats)
+         |SELECT '<http://my.data/set>' AS subj,
+         |       '<${V}classPartition>' AS pred, '<' || kiri || '>' AS obj,
+         |       $G FROM k
+         |UNION ALL SELECT '<' || kiri || '>', '<${V}class>', cls, '<urn:x-arq:DefaultGraph>' FROM k
+         |UNION ALL SELECT '<' || kiri || '>', '<${V}distinctSubjects>', ${intLit("n")}, '<urn:x-arq:DefaultGraph>' FROM k""".stripMargin,
+    "sportal_qd_all" ->
+      s"""WITH $cte, stats AS (
+         |  SELECT pred AS p, COUNT(obj) AS x, COUNT(DISTINCT subj) AS a,
+         |         COUNT(DISTINCT obj) AS c
+         |  FROM sportal GROUP BY pred),
+         |l AS (SELECT p, x, a, c,
+         |  'http://my.data/set/pp/' || ${enc(bare("p"))} AS liri FROM stats)
+         |SELECT '<http://my.data/set>' AS subj,
+         |       '<${V}propertyPartition>' AS pred, '<' || liri || '>' AS obj,
+         |       $G FROM l
+         |UNION ALL SELECT '<' || liri || '>', '<${V}property>', p, '<urn:x-arq:DefaultGraph>' FROM l
+         |UNION ALL SELECT '<' || liri || '>', '<${V}triples>', ${intLit("x")}, '<urn:x-arq:DefaultGraph>' FROM l
+         |UNION ALL SELECT '<' || liri || '>', '<${V}distinctSubjects>', ${intLit("a")}, '<urn:x-arq:DefaultGraph>' FROM l
+         |UNION ALL SELECT '<' || liri || '>', '<${V}distinctObjects>', ${intLit("c")}, '<urn:x-arq:DefaultGraph>' FROM l""".stripMargin,
+    "sportal_qe_all" ->
+      s"""WITH $cte, types AS (
+         |  SELECT subj, obj AS cls FROM sportal WHERE pred = '$TypeP'),
+         |stats AS (
+         |  SELECT t.cls, s.pred AS p, COUNT(s.obj) AS x,
+         |         COUNT(DISTINCT s.subj) AS a, COUNT(DISTINCT s.obj) AS c
+         |  FROM types t JOIN sportal s ON s.subj = t.subj
+         |  GROUP BY t.cls, s.pred),
+         |kl AS (SELECT cls, p, x, a, c,
+         |  'http://my.data/set/cp/' || ${enc(bare("cls"))} AS kiri,
+         |  'http://my.data/set/cp/' || ${enc(bare("cls"))} || '/pp/' ||
+         |    ${enc(bare("p"))} AS liri
+         |  FROM stats)
+         |SELECT DISTINCT '<http://my.data/set>' AS subj,
+         |       '<${V}classPartition>' AS pred, '<' || kiri || '>' AS obj,
+         |       $G FROM kl
+         |UNION ALL SELECT DISTINCT '<' || kiri || '>', '<${V}class>', cls, '<urn:x-arq:DefaultGraph>' FROM kl
+         |UNION ALL SELECT '<' || kiri || '>', '<${V}propertyPartition>', '<' || liri || '>', '<urn:x-arq:DefaultGraph>' FROM kl
+         |UNION ALL SELECT '<' || liri || '>', '<${V}property>', p, '<urn:x-arq:DefaultGraph>' FROM kl
+         |UNION ALL SELECT '<' || liri || '>', '<${V}triples>', ${intLit("x")}, '<urn:x-arq:DefaultGraph>' FROM kl
+         |UNION ALL SELECT '<' || liri || '>', '<${V}distinctSubjects>', ${intLit("a")}, '<urn:x-arq:DefaultGraph>' FROM kl
+         |UNION ALL SELECT '<' || liri || '>', '<${V}distinctObjects>', ${intLit("c")}, '<urn:x-arq:DefaultGraph>' FROM kl""".stripMargin,
+    "sportal_qf6" ->
+      s"""WITH $cte, bn AS (
+         |  SELECT COUNT(DISTINCT b) AS x FROM (
+         |    SELECT obj AS b FROM sportal WHERE starts_with(obj, '_:')
+         |    UNION ALL SELECT subj FROM sportal WHERE starts_with(subj, '_:')) u)
+         |SELECT '<env://D>' AS subj, '<${V}distinctBlankNodes>' AS pred,
+         |       ${intLit("x")} AS obj, $G FROM bn""".stripMargin,
+    "sportal_qf9" ->
+      s"""WITH $cte, types AS (
+         |  SELECT subj, obj AS cls FROM sportal WHERE pred = '$TypeP'),
+         |stats AS (
+         |  SELECT s.pred AS p, t.cls, COUNT(s.subj) AS x
+         |  FROM sportal s JOIN types t ON t.subj = s.subj
+         |  GROUP BY s.pred, t.cls),
+         |lk AS (SELECT p, cls, x,
+         |  'http://my.data/set/pp/' || ${enc(bare("p"))} AS liri,
+         |  'http://my.data/set/pp/' || ${enc(bare("p"))} || '/cp/' ||
+         |    ${enc(bare("cls"))} || '/st' AS kiri
+         |  FROM stats)
+         |SELECT DISTINCT '<http://my.data/set>' AS subj,
+         |       '<${V}propertyPartition>' AS pred, '<' || liri || '>' AS obj,
+         |       $G FROM lk
+         |UNION ALL SELECT DISTINCT '<' || liri || '>', '<${V}property>', p, '<urn:x-arq:DefaultGraph>' FROM lk
+         |UNION ALL SELECT '<' || liri || '>', '<${V}subjectTypes>', '<' || kiri || '>', '<urn:x-arq:DefaultGraph>' FROM lk
+         |UNION ALL SELECT '<' || kiri || '>', '<${V}subjectClass>', cls, '<urn:x-arq:DefaultGraph>' FROM lk
+         |UNION ALL SELECT '<' || kiri || '>', '<${V}distinctMembers>', ${intLit("x")}, '<urn:x-arq:DefaultGraph>' FROM lk""".stripMargin,
+    "sportal_script_qb2" ->
+      s"""WITH $cte, agg AS (
+         |  SELECT COUNT(DISTINCT obj) AS x FROM sportal WHERE pred = '$TypeP')
+         |SELECT '<http://my.data/sot>' AS subj, '<${V}classes>' AS pred,
+         |       ${intLit("x")} AS obj, $G FROM agg""".stripMargin
+  )
+}

@@ -104,7 +104,11 @@ object Sportal {
     * reader and `/home/raven/...` paths remap via `graft.fileAliases`.
     */
   def runScript(id: String, triples: DataFrame): DataFrame =
-    run(resource(s"scripts/$id.sparql"), triples)
+    // same prologue as the raw battery: sportal-qb2.sparql uses `void:`
+    // without declaring it (the reference runs it under ARQ's
+    // well-known-prefix setup); explicit PREFIX lines in the other
+    // scripts override the injected ones
+    run(RawPrologue + resource(s"scripts/$id.sparql"), triples)
 
   def run(text: String, triples: DataFrame): DataFrame =
     if (isSelect(text)) ConstructParser.parseSelect(text).run(triples)

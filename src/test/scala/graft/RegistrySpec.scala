@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   /** Total `SparkEntry.queries` entries (= rows the driver verifies). */
-  private val ExpectedQueries = 126
+  private val ExpectedQueries = 133
 
   /** Registry keys that intentionally have NO DuckDB oracle — each one
     * hash-seeded or data-dependent, and each bridged by an
@@ -34,5 +34,26 @@ class RegistrySpec extends AnyFunSuite {
       s"un-oracled queries drifted from the documented rows-only set: " +
         s"extra=${(q -- o -- RowsOnly).toSeq.sorted} " +
         s"missing=${(RowsOnly -- (q -- o)).toSeq.sorted}")
+  }
+
+  test("BASELINE.md ledger prose matches the live registry") {
+    // the round-5 AND round-6 ledgers both drifted — so the prose is now
+    // READ here: the LAST "Registry now **N driver queries, M
+    // DuckDB-oracled…**" line must state the live counts. Adding a query
+    // without updating BASELINE.md fails this test, not a judge pass.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val re = """(\d+) driver queries, (\d+) DuckDB-oracled""".r
+    val ms = re.findAllMatchIn(text).toSeq
+    assert(ms.nonEmpty, "BASELINE.md carries no 'N driver queries, M " +
+      "DuckDB-oracled' ledger line")
+    val last = ms.last
+    assert(last.group(1).toInt === SparkEntry.queries.size,
+      "BASELINE.md's latest ledger line disagrees with SparkEntry.queries " +
+        s"(${SparkEntry.queries.size}) — update the prose")
+    assert(last.group(2).toInt === SparkEntry.oracleSql.size,
+      "BASELINE.md's latest ledger line disagrees with SparkEntry.oracleSql " +
+        s"(${SparkEntry.oracleSql.size}) — update the prose")
   }
 }
