@@ -541,6 +541,21 @@ object ConstructParser {
     private val intVars = scala.collection.mutable.HashSet[String]()
     /** Int-valued vars projected by the most recent [[selectQuery]]. */
     private var lastProjectionInts: Set[String] = Set.empty
+    /** Set by the expression compiler when it parses a
+      * `norse:map.computeIfAbsent(mapId, ?key, fn)` call: (mapId text,
+      * key var, compiled lambda body over the key column). Consumed by
+      * the enclosing BIND, which rewrites to a [[MapComputeE]]; any other
+      * consumer fails loudly.
+      */
+    private var pendingMapCompute: Option[(String, String, E, E)] = None
+    /** Execution-local maps (norse:map.*): mapId → memo frame with
+      * columns (key, value). Query-instance-scoped: every value is a
+      * deterministic function of its key (key-only row fingerprint), so
+      * re-running the parsed query reproduces identical maps — the
+      * replayable-by-content design RAND()/UUID() already follow.
+      */
+    private val mapMemos =
+      scala.collection.mutable.HashMap[String, DataFrame]()
     // triples generated by `[ p o ; … ]` property lists while a
     // statement is being tokenized — drained by tripleLines into the
     // surrounding template/pattern block (SPARQL §19.6 / Turtle §2.7)
@@ -1046,6 +1061,8 @@ object ConstructParser {
             skipWs()
             val v = varName()
             skipWs(); expect(')')
+            if (pendingMapCompute.isDefined) fail(
+              "map.computeIfAbsent is only supported as a BIND expression")
             items += Derived(v, c, isAgg, kind)
           } else if (peek.isDigit || peek == '-') {
             // bare constant projection (`SELECT 1 { }`, the reference's
@@ -1805,6 +1822,13 @@ object ConstructParser {
     private case class MinusE(els: Seq[WhereEl]) extends WhereEl
     private case class ExistsE(els: Seq[WhereEl], negated: Boolean) extends WhereEl
     private case class BindE(v: String, e: E) extends WhereEl
+    /** `BIND(norse:map.computeIfAbsent(mapId, ?keyVar, fn) AS ?v)` — the
+      * lambda `body` is compiled over the key column; the group compiler
+      * evaluates it once per DISTINCT key (into the execution-local memo
+      * for `mapId`) and joins the memo back.
+      */
+    private case class MapComputeE(v: String, mapId: String,
+        keyVar: String, body: E) extends WhereEl
     /** Plain FILTER. The condition lives in a MUTABLE one-slot array so
       * the OUTERMOST group close can re-parse it in place once every var
       * of the whole WHERE clause is registered (SPARQL §17.2: a filter
@@ -1941,7 +1965,15 @@ object ConstructParser {
           skipWs()
           val v = varName()
           skipWs(); expect(')')
-          out += BindE(v, e)
+          pendingMapCompute match {
+            case Some((mapId, keyVar, body, placeholder)) =>
+              pendingMapCompute = None
+              if (!(e eq placeholder)) fail(
+                "map.computeIfAbsent must be the ENTIRE BIND expression " +
+                  "(wrap or post-process its result in a second BIND)")
+              out += MapComputeE(v, mapId, keyVar, body)
+            case None => out += BindE(v, e)
+          }
           if (sawPattern) bgpVarTerm(v) = e.term else binds(v) = e
           // a BIND of a constant lambda literal is statically traceable
           // in BOTH modes — fn.call resolves the var through this map
@@ -1966,6 +1998,8 @@ object ConstructParser {
             val slot = new Array[Column](1)
             pendingFilters += ((slot, i))
             slot(0) = expr().c
+            if (pendingMapCompute.isDefined) fail(
+              "map.computeIfAbsent is only supported as a BIND expression")
             skipWs(); expect(')')
             out += FilterE(slot)
           }
@@ -2222,6 +2256,7 @@ object ConstructParser {
       case _: CsvParseE => "csv:parse"
       case _: XmlUnnestE => "xml:unnest"
       case _: UrlTextE => "url:text"
+      case _: MapComputeE => "map.computeIfAbsent"
     }
 
     /** Static (parse-time) binding analysis of a group: (bound vars,
@@ -2248,6 +2283,12 @@ object ConstructParser {
           // maybe-unbound even over all-bound inputs
           if (refNames(e.c).exists(maybe.contains) ||
               org.apache.spark.sql.graft.bridge.fallibleToNull(e.c))
+            maybe += v
+          bound += v
+        case MapComputeE(v, _, keyVar, body) =>
+          if (maybe.contains(keyVar) ||
+              refNames(body.c).exists(maybe.contains) ||
+              org.apache.spark.sql.graft.bridge.fallibleToNull(body.c))
             maybe += v
           bound += v
         case _: FilterE => ()
@@ -2618,6 +2659,36 @@ object ConstructParser {
               org.apache.spark.sql.graft.bridge.fallibleToNull(e.c))
             maybeNull += v
           acc = acc.withColumn(v, e.c)
+        case MapComputeE(v, mapId, keyVar, body) =>
+          // execution-local map: lambda evaluated once per DISTINCT key
+          // (computeIfAbsent — keys already in this mapId's memo keep
+          // their value, incl. from earlier calls with other lambdas),
+          // memo hash-joined back. One distinct + one equi-join; the
+          // memo is key-partitioned data, never driver state.
+          require(acc != null && acc.columns.contains(keyVar),
+            s"map.computeIfAbsent: ?$keyVar is not bound by an earlier " +
+              "pattern/BIND/VALUES in this group")
+          val keys = acc.select(col(keyVar))
+            .where(col(keyVar).isNotNull).distinct()
+          val fresh = mapMemos.get(mapId) match {
+            case Some(memo) => keys.join(memo.select(col(keyVar)),
+              Seq(keyVar), "left_anti")
+            case None => keys
+          }
+          val newVals = fresh.withColumn("#map_value", body.c)
+          val memo = mapMemos.get(mapId) match {
+            case Some(m) => m.unionByName(newVals)
+            case None => newVals
+          }
+          mapMemos(mapId) = memo
+          // NULL keys get no entry (left join → ?v unbound), matching
+          // the reference's map lookup of an unbound key
+          acc = acc.join(memo, Seq(keyVar), "left")
+            .withColumnRenamed("#map_value", v)
+          if (maybeNull.contains(keyVar) ||
+              refNames(body.c).exists(maybeNull.contains) ||
+              org.apache.spark.sql.graft.bridge.fallibleToNull(body.c))
+            maybeNull += v
         case f: FilterE => conds += f.c
         case ValuesE(vars, rows) =>
           // inline data joins AT ITS POSITION (§18.2.2.6) — UNDEF cells
@@ -3392,6 +3463,16 @@ object ConstructParser {
           E(concat(lit("_:fn" + site + "r"),
             monotonically_increasing_id().cast("string")), term = true)
         case c if Character.isLetter(c) || c == '_' =>
+          // bare boolean literals (SPARQL §19.8 BooleanLiteral) — the
+          // ollama macro bodies use `"stream", false`
+          def boolAhead(w: String): Boolean =
+            s.regionMatches(true, i, w, 0, w.length) && {
+              val j = i + w.length
+              j >= n || !(Character.isLetterOrDigit(s.charAt(j)) ||
+                ":_.-".indexOf(s.charAt(j)) >= 0)
+            }
+          if (boolAhead("true")) { i += 4; return E(lit(true), term = false) }
+          if (boolAhead("false")) { i += 5; return E(lit(false), term = false) }
           val iri = prefixedIri()
           // call form: xsd constructor casts and the json:* expression
           // functions; otherwise the prefixed name is an IRI constant
@@ -3406,6 +3487,34 @@ object ConstructParser {
             E(get_json_object(jsonRaw(src), path), term = false)
           } else if (iri == ConstructParser.JsonNs + "parse") {
             E(jsonRaw(arg1()), term = false) // JSON rides as raw text
+          } else if (iri == NorseNs + "json.object") {
+            // norse:json.object(k1, v1, …) — compact JSON object text
+            // (macros-ollama.ttl builds request bodies with it)
+            val args = argList()
+            require(args.size % 2 == 0 && args.nonEmpty,
+              s"json.object takes key/value pairs, got ${args.size} args")
+            val frags = args.grouped(2).map { case Seq(k, v) =>
+              concat(graft.functions.JsonFns.jsonEncode(raw(k)), lit(":"),
+                jsonFragment(v))
+            }.toSeq
+            E(RdfTerms.typedLit(
+              concat(lit("{"), concat_ws(",", frags: _*), lit("}")),
+              ConstructParser.XsdJson), term = true)
+          } else if (iri == NorseNs + "json.array") {
+            val args = argList()
+            E(RdfTerms.typedLit(
+              concat(lit("["), concat_ws(",", args.map(jsonFragment): _*),
+                lit("]")),
+              ConstructParser.XsdJson), term = true)
+          } else if (iri == NorseNs + "json.path") {
+            // norse alias of json:path (macros-ollama.ttl response
+            // extraction)
+            expect('(')
+            val src = expr()
+            skipWs(); expect(','); skipWs()
+            val path = stringLit()
+            skipWs(); expect(')')
+            E(get_json_object(jsonRaw(src), path), term = false)
           } else if (iri == ConstructParser.XmlNs + "path") {
             // xml:path scalar (docs/examples/README.md:456-500): the
             // XPath match's string-value ("//ul/@id" attribute form
@@ -3484,13 +3593,71 @@ object ConstructParser {
             if (plist.size != args.size - 1) fail(
               s"fn.call: lambda takes ${plist.size} argument(s), " +
                 s"got ${args.size - 1}")
-            val child = new P(body)
+            val child = new P(body, ctx) // inherit seed/clock (RAND in lambdas)
             child.copyResolutionFrom(this)
             child.setMacroParams(plist.zip(args.tail).toMap)
             child.exprOnly()
+          } else if (iri == NorseNs + "map.computeIfAbsent") {
+            // execution-local map (docs/examples/README.md:552-575):
+            // computeIfAbsent(mapId, key, lambda) binds ONE value per
+            // distinct key, computed by the lambda exactly once. The
+            // reference implements it as driver-side mutable state over a
+            // sequential binding stream; the distributed reduction is
+            // set-at-a-time: evaluate the lambda over the DISTINCT keys
+            // of the current solution frame and hash-join the memo back
+            // (the lambda sees a key-only row, so even seeded RAND() is a
+            // pure function of the key — exactly the once-per-key
+            // semantics the docs example demonstrates). Supported as the
+            // ENTIRE expression of a BIND; the group compiler rewrites it
+            // (see MapComputeE) — per-row mutable state has no other
+            // faithful distributed shape.
+            val spans = rawArgSpans()
+            require(spans.size == 3,
+              s"map.computeIfAbsent takes (mapId, key, lambda), got " +
+                s"${spans.size} argument(s)")
+            val keyVar = spans(1).trim
+            require(keyVar.startsWith("?"),
+              s"map.computeIfAbsent: the key must be a variable, got " +
+                s"'$keyVar'")
+            val fnSpan = spans(2).trim
+            val lamLit =
+              if (fnSpan.startsWith("?")) lambdaBinds.getOrElse(
+                fnSpan.stripPrefix("?"),
+                fail("map.computeIfAbsent: the lambda must be a " +
+                  "BIND-bound fn.of value or an inline fn.of call"))
+              else {
+                val sub = new P(fnSpan, ctx); sub.copyResolutionFrom(this)
+                org.apache.spark.sql.graft.bridge.staticStringLiteral(
+                  sub.exprOnly().c).getOrElse(fail(
+                  "map.computeIfAbsent: the lambda must compile to a " +
+                    "constant at plan-build time"))
+              }
+            val (plist, body) = ConstructParser.parseLambdaLiteral(lamLit)
+            require(plist.size == 1,
+              s"map.computeIfAbsent: the lambda takes one key argument, " +
+                s"got ${plist.size}")
+            val kv = keyVar.stripPrefix("?")
+            val child = new P(body, ctx) // inherit seed/clock (RAND in lambdas)
+            child.copyResolutionFrom(this)
+            child.setMacroParams(Map(plist.head ->
+              E(col(kv), term = bgpVarTerm.getOrElse(kv, true))))
+            val bodyE = child.exprOnly()
+            val placeholder = E(bodyE.c, bodyE.term, bodyE.num)
+            pendingMapCompute = Some((spans(0).trim, kv, bodyE, placeholder))
+            placeholder // BIND rewrites; any other consumer fails
           } else if (iri.startsWith(NorseNs + "map.")) {
             fail(s"<$iri>: execution-local maps are per-row mutable state " +
-              "and do not distribute; memoize via BIND or a subquery instead")
+              "and do not distribute; only map.computeIfAbsent (as a full " +
+              "BIND expression) has a faithful set-at-a-time reduction")
+          } else if (iri == NorseNs + "json.js" ||
+              iri == ConstructParser.JsonNs + "js") {
+            fail(s"<$iri>: embedded JavaScript evaluation is scoped out " +
+              "(no JS engine; express the computation in SPARQL or a " +
+              "macro instead)")
+          } else if (iri.startsWith(ConstructParser.UrlNs)) {
+            fail(s"<$iri>: network fetch functions are scoped out " +
+              "(zero-egress build; only the local-file `url:text` " +
+              "property function is available)")
           } else graft.functions.Macros.textMacro(iri) match {
             // udf:simpleDefinition macros loaded from RDF
             // (docs/examples/macro-example.sh): parse the caller's args,
@@ -3633,6 +3800,18 @@ object ConstructParser {
       */
     private def raw(e: E): Column =
       if (!e.term) e.c.cast("string") else rawTermCol(e.c)
+
+    /** One JSON-text fragment for a norse:json.object/array element:
+      * native values encode per their Spark type (numbers/booleans
+      * bare), xsd:json-typed terms embed their raw JSON body (nested
+      * json.object calls compose), other terms encode their lexical
+      * form as JSON strings.
+      */
+    private def jsonFragment(e: E): Column =
+      if (!e.term) graft.functions.JsonFns.jsonEncode(e.c)
+      else when(e.c.endsWith("\"^^<" + ConstructParser.XsdJson + ">"),
+          rawTermCol(e.c))
+        .otherwise(graft.functions.JsonFns.jsonEncode(rawTermCol(e.c)))
 
     /** STR() of a term-valued column (usable inside array lambdas too). */
     private def rawTermCol(c0: Column): Column = RdfTerms.termLexical(c0)

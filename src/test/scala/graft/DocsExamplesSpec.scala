@@ -238,11 +238,52 @@ class DocsExamplesSpec extends AnyFunSuite {
       """PREFIX norse: <https://w3id.org/aksw/norse#>
         |SELECT ?r { ?s eg:fn ?f BIND(norse:fn.call(?f, "a") AS ?r) }""".stripMargin))
     assert(e2.getMessage.contains("plan-build"), s"got: ${e2.getMessage}")
-    // execution-local maps reject loudly
+    // other norse:map.* functions stay loud rejects
     val e3 = intercept[Exception](ConstructParser.parseSelect(
       """PREFIX norse: <https://w3id.org/aksw/norse#>
-        |SELECT ?r { BIND(norse:map.computeIfAbsent(1, 2, 3) AS ?r) }""".stripMargin))
-    assert(e3.getMessage.contains("do not distribute"), s"got: ${e3.getMessage}")
+        |SELECT ?r { BIND(norse:map.put(1, 2, 3) AS ?r) }""".stripMargin))
+    assert(e3.getMessage.contains("map.computeIfAbsent"), s"got: ${e3.getMessage}")
+  }
+
+  test("norse:map.computeIfAbsent: the docs example verbatim " +
+      "(README.md:557-575) — one value per distinct key") {
+    // lambda computes a seeded-RAND value; a and b must each map to ONE
+    // value across their two occurrences (the docs' displayed behavior)
+    val q =
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |PREFIX eg: <http://www.example.org/>
+        |PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?rdfTerm ?value {
+        |  VALUES ?rdfTerm { eg:a eg:b eg:a eg:b }
+        |  # Set up a lambda that computes a random value for any argument
+        |  BIND(norse:fn.of(?x, xsd:int(RAND() * 100)) AS ?fn)
+        |  # Add map entries for each so-far unseen value of ?rdfTerm
+        |  BIND(norse:map.computeIfAbsent('myMapIdInTheExecCxt', ?rdfTerm, ?fn) AS ?value)
+        |}""".stripMargin
+    val rows = ConstructParser.parseSelect(q,
+        ConstructParser.EvalCtx(seed = Some(7L)))
+      .run(unit).collect()
+      .map(r => (r.getString(0), r.get(1)))
+    assert(rows.length === 4)
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byKey.keySet === Set("<http://www.example.org/a>",
+      "<http://www.example.org/b>"))
+    // exactly one value per key, values non-null, and stable across the
+    // duplicate VALUES occurrences
+    assert(byKey.values.forall(vs => vs.length == 1 && vs.head != null))
+    // replay determinism: same seed → same map
+    val again = ConstructParser.parseSelect(q,
+        ConstructParser.EvalCtx(seed = Some(7L)))
+      .run(unit).collect().map(r => (r.getString(0), r.get(1))).toSet
+    assert(again === rows.toSet)
+    // misuse rejects loudly: nested in a larger expression
+    val eN = intercept[Exception](ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { VALUES ?k { 1 }
+        |  BIND(norse:fn.of(?x, STR(?x)) AS ?fn)
+        |  BIND(CONCAT(norse:map.computeIfAbsent('m', ?k, ?fn), "!") AS ?r) }"""
+        .stripMargin))
+    assert(eN.getMessage.contains("ENTIRE BIND"), s"got: ${eN.getMessage}")
   }
 
   test("canned rename.rq: FROM/TO env parameterization via sys:getenv " +
@@ -386,5 +427,39 @@ class DocsExamplesSpec extends AnyFunSuite {
     // `[ p o ]` property lists are SUPPORTED since the sportal battery
     // (SPARQL §19.6) — this shape must parse, not reject
     ConstructParser.parseSelect("SELECT ?q ?r { [ ?p ?o ] ?q ?r }")
+  }
+
+  test("macros-ollama.ttl: the reference's real macro file loads verbatim; " +
+      "request-body macros run, network call sites reject loudly") {
+    val in = getClass.getResourceAsStream("/macros/macros-ollama.ttl")
+    val ttl = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    // 7 udf:simpleDefinition subjects: completeBody, completeFetchSpec,
+    // complete, embedBody, embedFetchSpec, embed, json.cosSimilarity
+    assert(graft.functions.Macros.loadTtl(ttl) === 7)
+    // the NON-network part runs: completeBody builds the chat-request
+    // JSON (norse:json.object / json.array, bare `false` literal)
+    val body = ConstructParser.parseSelect(
+      """PREFIX ollama: <https://w3id.org/aksw/norse#ollama.>
+        |SELECT ?b { BIND(STR(ollama:completeBody("llama3.1", "what is 2+2?")) AS ?b) }"""
+        .stripMargin).run(unit).collect().head.getString(0)
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(body)
+    assert(parsed.get("model").asText === "llama3.1")
+    assert(parsed.get("stream").isBoolean && !parsed.get("stream").asBoolean)
+    assert(parsed.get("messages").size === 2)
+    assert(parsed.get("messages").get(1).get("content").asText === "what is 2+2?")
+    // the network-backed macros expand but reject AT the url:fetch site
+    val e1 = intercept[Exception](ConstructParser.parseSelect(
+      """PREFIX ollama: <https://w3id.org/aksw/norse#ollama.>
+        |SELECT ?r { BIND(ollama:complete("http://localhost:11434", "m", "q") AS ?r) }"""
+        .stripMargin))
+    assert(e1.getMessage.contains("network fetch"), s"got: ${e1.getMessage}")
+    // json.cosSimilarity needs embedded JS — scoped out loudly
+    val e2 = intercept[Exception](ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { BIND(norse:json.cosSimilarity("[1,0]", "[0,1]") AS ?r) }"""
+        .stripMargin))
+    assert(e2.getMessage.contains("JavaScript"), s"got: ${e2.getMessage}")
   }
 }
