@@ -16,13 +16,15 @@ object Bench {
     * `rml_exec` joined in round 6 so the front-end surface (mapping
     * parse → shared-scan fusion → ref-object join) has a regression
     * canary — the r3–r5 battery had gone flat because every addition was
-    * off the headline path.
+    * off the headline path. `graphql_query` joined in round 7 for the
+    * same reason: the remaining front-end family (GraphQL → parent/child
+    * join compilation) now has sf0.1 regression visibility too.
     */
   val headline: Seq[String] = Seq(
     "kg_canonical_triples", "kg_triples", "kg_mentions", "kg_graph_stats",
     "ngs_hash", "ngs_filter_even", "sbs_groupby",
     "dedup_exact", "dedup_minhash", "text_quality", "embed_topk",
-    "rml_exec")
+    "rml_exec", "graphql_query")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -140,10 +140,44 @@ object RmlSuite {
          |""".stripMargin)
   }
 
+  /** Multi-valued XPath references (RML term SETS): each nation carries
+    * `(n_nationkey % 3) + 1` <tag> children; the object map over "tag"
+    * must emit one triple per tag value.
+    */
+  private def writeXmlMultiFixtures(s: SparkSession, dir: String): String = {
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect()
+    val xb = new StringBuilder("<nations>\n")
+    nat.foreach { r =>
+      val k = r.getLong(0)
+      xb.append(s"""  <nation id="$k">""")
+      (0L to k % 3).foreach(j => xb.append(s"<tag>t${k}_$j</tag>"))
+      xb.append("</nation>\n")
+    }
+    xb.append("</nations>\n")
+    fixture(dir, "nations_multi.xml", xb.toString)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    fixture(dir, "mapping_xml_multi.rml.ttl",
+      s"""@prefix rr: <http://www.w3.org/ns/r2rml#> .
+         |@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+         |@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+         |@prefix ex: <http://ex.org/> .
+         |<#NatM> rml:logicalSource [ rml:source "graft_rml_${tag}_nations_multi.xml" ;
+         |    rml:referenceFormulation ql:XPath ;
+         |    rml:iterator "/nations/nation" ] ;
+         |  rr:subjectMap [ rr:template "http://ex.org/n/{@id}" ] ;
+         |  rr:predicateObjectMap [ rr:predicate ex:tag ;
+         |    rr:objectMap [ rml:reference "tag" ] ] .
+         |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rml_exec" -> ((s, dir) => Rml.execute(s, writeCsvFixtures(s, dir))),
     "rml_json" -> ((s, dir) => Rml.execute(s, writeJsonFixtures(s, dir))),
-    "rml_xml" -> ((s, dir) => Rml.execute(s, writeXmlFixtures(s, dir)))
+    "rml_xml" -> ((s, dir) => Rml.execute(s, writeXmlFixtures(s, dir))),
+    "rml_xml_multi" -> ((s, dir) =>
+      Rml.execute(s, writeXmlMultiFixtures(s, dir)).distinct())
   )
 
   private val DG = "'<urn:x-arq:DefaultGraph>'"
@@ -184,6 +218,12 @@ object RmlSuite {
          |UNION
          |SELECT DISTINCT '<http://ex.org/n/'||n_nationkey||'>',
          |  '<http://ex.org/comment>', '"c'||n_nationkey||'"', $DG
-         |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin
+         |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin,
+    "rml_xml_multi" ->
+      s"""SELECT DISTINCT '<http://ex.org/n/'||n_nationkey||'>' AS subj,
+         |  '<http://ex.org/tag>' AS pred,
+         |  '"t'||n_nationkey||'_'||j||'"' AS obj, $DG AS graph
+         |FROM nation, (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) t
+         |WHERE t.j <= n_nationkey % 3""".stripMargin
   )
 }

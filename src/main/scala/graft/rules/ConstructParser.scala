@@ -2413,10 +2413,23 @@ object ConstructParser {
           // merge): duplicate FROM entries and triples shared across
           // files collapse; the session part keeps its own multiplicity
           val loaded = files.distinct.map { f =>
-            loadMemo.getOrElseUpdate(f,
-              graft.sources.RdfIO.readRdfAuto(quads.sparkSession,
-                ConstructParser.resolveFileIri(ConstructParser.stripAngles(f))))
-              .withColumn("graph", fileGraph(f))
+            loadMemo.getOrElseUpdate(f, {
+              // RDF merge (SPARQL §13.2 builds the dataset from graph
+              // MERGES, not unions): blank nodes are document-scoped, so
+              // `_:b0` in two FROM files must stay two nodes — relabel
+              // apart with a per-file tag before the union (Jena
+              // relabels per document the same way)
+              val tag = "m" + java.lang.Integer.toHexString(
+                scala.util.hashing.MurmurHash3.stringHash(f)) + "."
+              def relabel(c: Column): Column =
+                when(c.startsWith("_:"),
+                  concat(lit("_:" + tag), c.substr(lit(3), length(c))))
+                  .otherwise(c)
+              val df = graft.sources.RdfIO.readRdfAuto(quads.sparkSession,
+                ConstructParser.resolveFileIri(ConstructParser.stripAngles(f)))
+              df.withColumn("subj", relabel(col("subj")))
+                .withColumn("obj", relabel(col("obj")))
+            }).withColumn("graph", fileGraph(f))
           }
           val loadedSet =
             if (loaded.isEmpty) None
@@ -2849,7 +2862,12 @@ object ConstructParser {
           val terms = ConstructParser.collectEndpoints(filterGated(acc), sv,
             "url:text")
           if (terms.isEmpty) {
-            acc = acc.withColumn(v, lit(null).cast("string"))
+            // zero endpoints = every subject value is NULL; the non-empty
+            // path's inner join drops NULL-subject rows, so this path
+            // must too — same rows either way (the column stays for
+            // downstream resolution)
+            acc = acc.where(col(sv).isNotNull)
+              .withColumn(v, lit(null).cast("string"))
             maybeNull += v // NULL column: later joins must stay compatible
           }
           else {
@@ -2895,9 +2913,12 @@ object ConstructParser {
             s"SERVICE ?$v")
           val (innerBound, innerMaybe) = staticNulls(inner)
           if (eps.isEmpty) {
-            // no endpoints ⇒ acc is already empty; still materialize the
-            // inner-var columns so downstream references resolve — and
-            // register them maybe-unbound so later joins stay compatible
+            // zero endpoints = every endpoint value NULL; the non-empty
+            // path's join drops NULL-endpoint rows, so drop them here
+            // too, then materialize the inner-var columns so downstream
+            // references resolve — registered maybe-unbound so later
+            // joins stay compatible
+            acc = acc.where(col(v).isNotNull)
             val missing = (innerBound ++ innerMaybe -- acc.columns).toSeq.sorted
             missing.foreach { iv =>
               acc = acc.withColumn(iv, lit(null).cast("string")) }
@@ -3720,6 +3741,19 @@ object ConstructParser {
           i += 1
         } else c match {
           case '"' | '\'' => quote = c; sb.append(c); i += 1
+          case '<' =>
+            // <…> IRI: a no-split region — an IRI with a top-level comma
+            // (<http://ex.org/f,g>) must not split the argument spans.
+            // Lookahead for the closing '>' (IRIs carry no whitespace/
+            // parens/quotes): without one, this '<' is the comparison
+            // operator (?x < 5) and scans as an ordinary char.
+            var j = i + 1
+            while (j < n && s.charAt(j) != '>' &&
+              !s.charAt(j).isWhitespace &&
+              "()'\"".indexOf(s.charAt(j)) < 0) j += 1
+            if (j < n && s.charAt(j) == '>') {
+              sb.append(s.substring(i, j + 1)); i = j + 1
+            } else { sb.append(c); i += 1 }
           case '(' => depth += 1; sb.append(c); i += 1
           case ')' if depth == 0 => out += sb.toString.trim; done = true; i += 1
           case ')' => depth -= 1; sb.append(c); i += 1

@@ -364,22 +364,30 @@ object Rml {
           val nodes = xp.evaluate(iterator, dom,
               javax.xml.xpath.XPathConstants.NODESET)
             .asInstanceOf[org.w3c.dom.NodeList]
-          (0 until nodes.getLength).iterator.map { i =>
+          (0 until nodes.getLength).iterator.flatMap { i =>
             val node = nodes.item(i)
-            refs.map { r =>
+            // RML term maps generate term SETS: a reference matching k
+            // nodes yields k values, and the triples of a row are the
+            // cross product of its term sets. The row model here carries
+            // one value per (row, ref), so a multi-valued row expands to
+            // one output row per COMBINATION — the generated triples are
+            // exactly RML's (the output is a graph, a set, so the extra
+            // multiplicity from unrelated refs collapses at
+            // materialization). Loudly bounded: a pathological row must
+            // not explode a task.
+            val valueSets: Seq[Seq[String]] = refs.map { r =>
               val hits = xp.evaluate(r, node,
                   javax.xml.xpath.XPathConstants.NODESET)
                 .asInstanceOf[org.w3c.dom.NodeList]
-              // RML would emit one triple per value; this engine's row
-              // model carries one value per (row, ref) — rather than
-              // silently dropping values, fail LOUDLY (make the
-              // iterator finer-grained, or the reference unique)
-              require(hits.getLength <= 1,
-                s"""XPath reference "$r" matched ${hits.getLength} nodes """ +
-                  "in one iterator row — multi-valued references are not " +
-                  "supported; refine rml:iterator so each row has at most " +
-                  "one match")
-              if (hits.getLength == 0) null else hits.item(0).getTextContent
+              if (hits.getLength == 0) Seq(null) // absent → NULL → suppress
+              else (0 until hits.getLength).map(hits.item(_).getTextContent)
+            }
+            require(valueSets.map(_.size.toLong).product <= 10000L,
+              s"XPath iterator row expands to more than 10000 reference " +
+                s"combinations (${refs.zip(valueSets.map(_.size)).mkString(", ")})" +
+                " — refine rml:iterator")
+            valueSets.foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
+              for { a <- acc; v <- vs } yield a :+ v
             }
           }
         }

@@ -236,7 +236,19 @@ object RdfIO {
     // of an oversized file with no newlines must not read as empty.)
     if (lines.isEmpty) full
     else if (lines.forall(parseLine(_) != null)) true
-    else if (!full) false
+    else if (!full) {
+      // oversized non-line-oriented file: bounded TriG attempt over the
+      // truncated prefix. The cut can land mid-statement, so an error
+      // AFTER at least one statement parsed is the truncation, not the
+      // syntax — without this, a large valid Turtle file silently
+      // vanishes from fs-list-rdf-files / SERVICE dispatch.
+      var parsed = 0
+      try {
+        val it = TrigParser.parse(content, "<urn:x-arq:DefaultGraph>")
+        while (it.hasNext && parsed < 1000) { it.next(); parsed += 1 }
+        true
+      } catch { case scala.util.control.NonFatal(_) => parsed > 0 }
+    }
     else
       try {
         val it = TrigParser.parse(content, "<urn:x-arq:DefaultGraph>")

@@ -369,4 +369,49 @@ class FsSpec extends AnyFunSuite {
       assert(ok.isEmpty)
     }
   }
+
+  test("FROM over two files relabels blank nodes apart (RDF merge, not union)") {
+    withBase { base =>
+      def w(rel: String, body: String): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(base, rel), body)
+      // the SAME _:b0 label in two documents = two distinct nodes
+      w("m1.nt", "_:b0 <http://ex.org/p> \"one\" .\n")
+      w("m2.nt", "_:b0 <http://ex.org/p> \"two\" .\n")
+      val session = unit.sparkSession.range(0).selectExpr(
+        "'x' as graph", "'x' as subj", "'x' as pred", "'x' as obj")
+      val rows = ConstructParser.parseSelect(
+        "SELECT ?s ?o FROM <m1.nt> FROM <m2.nt> { ?s ?p ?o }")
+        .run(session).collect()
+      assert(rows.length === 2) // merged label would dedupe to... 2 rows
+      // ...but critically the two subjects must DIFFER
+      assert(rows.map(_.getString(0)).distinct.length === 2,
+        s"blank nodes from different FROM files were identified: " +
+          rows.map(_.getString(0)).mkString(", "))
+      assert(rows.map(_.getString(1)).toSet === Set("\"one\"", "\"two\""))
+    }
+  }
+
+  test("percentDecode: bare % in a file path fails loudly; %XX decodes") {
+    assert(ConstructParser.percentDecode("/tmp/a%20b.nt") === "/tmp/a b.nt")
+    val e = intercept[IllegalArgumentException](
+      ConstructParser.percentDecode("/tmp/100%done.txt"))
+    assert(e.getMessage.contains("%25"), s"got: ${e.getMessage}")
+  }
+
+  test("fn.of lambda body: a top-level comma inside an IRI does not split arg spans") {
+    val got = ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { BIND(norse:fn.of(?x, STR(<http://ex.org/f,g>)) AS ?f)
+        |  BIND(norse:fn.call(?f, 1) AS ?r) }""".stripMargin)
+      .run(unit).collect()
+    assert(got.head.getString(0) === "http://ex.org/f,g")
+    // and a comparison '<' in the body still parses as an operator
+    val got2 = ConstructParser.parseSelect(
+      """PREFIX norse: <https://w3id.org/aksw/norse#>
+        |SELECT ?r { BIND(norse:fn.of(?x, IF(?x < 5, "lo", "hi")) AS ?f)
+        |  BIND(norse:fn.call(?f, 3) AS ?r) }""".stripMargin)
+      .run(unit).collect()
+    assert(got2.head.getString(0) === "lo")
+  }
 }

@@ -206,10 +206,11 @@ class RmlSpec extends AnyFunSuite {
       ("<http://ex.org/b/333>", "<http://ex.org/room>", "<http://ex.org/room/east>")))
   }
 
-  test("XML reference matching MULTIPLE nodes in one row fails loudly " +
-      "(no silent value drop)") {
+  test("XML reference matching MULTIPLE nodes yields one triple per value " +
+      "(RML term sets)") {
     tmp("multi.xml",
-      "<lib><book isbn=\"1\"><a>A</a><a>B</a></book></lib>")
+      "<lib><book isbn=\"1\"><a>A</a><a>B</a></book>" +
+        "<book isbn=\"2\"><a>C</a></book><book isbn=\"3\"/></lib>")
     val mapping = prefixes +
       """<#M> rml:logicalSource [ rml:source "graft_rml_multi.xml" ;
         |       rml:referenceFormulation ql:XPath ; rml:iterator "/lib/book" ] ;
@@ -217,9 +218,12 @@ class RmlSpec extends AnyFunSuite {
         |  rr:predicateObjectMap [ rr:predicate ex:author ;
         |    rr:objectMap [ rml:reference "a" ] ] .
         |""".stripMargin
-    val e = intercept[Exception](
-      Rml.compile(spark, Rml.parseMapping(mapping), baseDir).collect())
-    assert(e.getMessage.contains("matched 2 nodes"), s"got: ${e.getMessage}")
+    val got = Rml.compile(spark, Rml.parseMapping(mapping), baseDir).collect()
+      .map(r => (r.getAs[String]("subj"), r.getAs[String]("obj"))).toSet
+    // book 1: two author triples; book 2: one; book 3 (no <a>): suppressed
+    assert(got === Set(
+      ("<http://ex.org/b/1>", "\"A\""), ("<http://ex.org/b/1>", "\"B\""),
+      ("<http://ex.org/b/2>", "\"C\"")))
   }
 
   test("XML logical source rejects: missing iterator, '.' in a reference") {
