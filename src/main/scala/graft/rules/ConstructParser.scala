@@ -222,6 +222,10 @@ object ConstructParser {
     * declares it explicitly; only afn:localname is implemented).
     */
   private[rules] val AfnNs = "http://jena.apache.org/ARQ/function#"
+  /** XPath math functions (Jena's `math:` — bitmask.sparql:28 uses
+    * math:pow undeclared, via ARQ's well-known prefixes).
+    */
+  private[rules] val MathNs = "http://www.w3.org/2005/xpath-functions/math#"
   /** Not Only Rdf Sparql Extensions — lambdas live here
     * (docs/sparql-extensions/function-extensions.md:13).
     */
@@ -500,6 +504,7 @@ object ConstructParser {
       "url" -> ConstructParser.UrlNs,
       "fs" -> ConstructParser.FsNs,
       "afn" -> ConstructParser.AfnNs,
+      "math" -> ConstructParser.MathNs,
       "sys" -> ConstructParser.SysNs,
       "norse" -> "https://w3id.org/aksw/norse#")
     // BASE <iri> from the prologue; carries across a statement sequence
@@ -2506,14 +2511,40 @@ object ConstructParser {
       // this set, keeping the hash-joinable equi path for the all-bound
       // common case
       val maybeNull = scala.collection.mutable.HashSet[String]()
+      // Align shared-var types before a join: a var bound RAW-numeric
+      // (BIND arithmetic, an unnest index) joining a pattern side that
+      // carries TERM STRINGS compares by numeric VALUE — the term side
+      // coerces via numTermVal (non-numeric term → NULL → no match,
+      // bitmask.sparql's `?o eg:hasBit ?val` lookup). Fires only on a
+      // numeric↔string mismatch, where the raw join would crash in ANSI
+      // mode — typed-vs-typed joins keep exact term identity.
+      // Only the INCOMING side coerces: the accumulator's columns feed
+      // later templates/filters, so mutating them would corrupt term
+      // vars — a numeric acc var meeting a term-string frame is the one
+      // direction with a sound value-join reduction.
+      def alignShared(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+        import org.apache.spark.sql.types.{NumericType, StringType}
+        val at = a.schema.fields.map(f => f.name -> f.dataType).toMap
+        var b2 = b
+        b.schema.fields.foreach { f =>
+          at.get(f.name) match {
+            case Some(t) if t.isInstanceOf[NumericType] &&
+                f.dataType == StringType =>
+              b2 = b2.withColumn(f.name, numTermVal(col(f.name)))
+            case _ => ()
+          }
+        }
+        (a, b2)
+      }
       def joinIn(df: DataFrame, dfNulls: Set[String] = Set.empty): Unit = {
         if (acc == null) acc = df
         else {
+          val (a2, df2) = alignShared(acc, df)
           val sharedV = acc.columns.intersect(df.columns)
           acc =
             if (sharedV.exists(v => maybeNull.contains(v) || dfNulls.contains(v)))
-              Bgp.compatJoin(acc, df)
-            else Bgp.join(acc, df)
+              Bgp.compatJoin(a2, df2)
+            else Bgp.join(a2, df2)
         }
         maybeNull ++= dfNulls
       }
@@ -2628,10 +2659,11 @@ object ConstructParser {
             maybeNull.contains(v) || mn.contains(v))
           maybeNull ++= mn
           maybeNull ++= sub.columns.diff(acc.columns) // OPTIONAL-only vars
+          val (accA, subA) = alignShared(acc, sub)
           acc =
-            if (joinF.nonEmpty) Bgp.optionalCond(acc, sub, joinF.toSeq, useCompat)
-            else if (useCompat) Bgp.compatOptional(acc, sub)
-            else Bgp.optional(acc, sub)
+            if (joinF.nonEmpty) Bgp.optionalCond(accA, subA, joinF.toSeq, useCompat)
+            else if (useCompat) Bgp.compatOptional(accA, subA)
+            else Bgp.optional(accA, subA)
         case MinusE(inner) =>
           require(acc != null, "MINUS with no preceding pattern")
           require(!containsPropFn(inner),
@@ -2733,9 +2765,12 @@ object ConstructParser {
           // SILENT + unreadable endpoint = the unit solution (join
           // identity, SPARQL-fed §18.2.2.2), i.e. acc is left unchanged.
           val spark = quads.sparkSession
-          // scheme gate first (SERVICE-specific message), then the SAME
-          // relative-IRI resolution csv:parse/url:text use
-          ConstructParser.serviceFilePath(url)
+          // scheme gate first (SERVICE-specific message for network
+          // schemes; a SCHEME-LESS relative IRI like <triples.ttl> —
+          // unsorted-tests/service-test.sparql — skips it), then the
+          // SAME relative-IRI resolution csv:parse/url:text use
+          if (url.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))
+            ConstructParser.serviceFilePath(url)
           val path = ConstructParser.resolveFileIri(url)
           val sub =
             try {
@@ -3536,6 +3571,39 @@ object ConstructParser {
             val path = stringLit()
             skipWs(); expect(')')
             E(get_json_object(jsonRaw(src), path), term = false)
+          } else if (iri == ConstructParser.JsonNs + "binaryString") {
+            // json:binaryString(n) → base-2 digits (bitmask.sparql:18)
+            val e = arg1()
+            E(bin((if (e.term) numTermVal(e.c) else e.c).cast("long")),
+              term = false)
+          } else if (iri == ConstructParser.JsonNs + "split") {
+            // json:split(str, regex) → xsd:json array of the parts
+            // (bitmask.sparql splits a digit string per character)
+            expect('(')
+            val str = expr()
+            skipWs(); expect(','); skipWs()
+            val re = stringLit()
+            skipWs(); expect(')')
+            E(RdfTerms.typedLit(to_json(split(raw(str), re)),
+              ConstructParser.XsdJson), term = true)
+          } else if (iri == ConstructParser.JsonNs + "reverse") {
+            // json:reverse(arr) → the array reversed (element order only;
+            // elements re-serialize compactly)
+            val e = arg1()
+            E(RdfTerms.typedLit(
+              to_json(reverse(from_json(jsonRaw(e),
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.VariantType)))),
+              ConstructParser.XsdJson), term = true)
+          } else if (iri == ConstructParser.MathNs + "pow") {
+            // math:pow(b, e) (XPath math; bitmask.sparql:28)
+            expect('(')
+            val b = expr()
+            skipWs(); expect(','); skipWs()
+            val x = expr()
+            skipWs(); expect(')')
+            def nv(e: E) = if (e.term) numTermVal(e.c) else e.c
+            E(pow(nv(b), nv(x)), term = false, num = true)
           } else if (iri == ConstructParser.XmlNs + "path") {
             // xml:path scalar (docs/examples/README.md:456-500): the
             // XPath match's string-value ("//ul/@id" attribute form
@@ -3747,10 +3815,13 @@ object ConstructParser {
             // Lookahead for the closing '>' (IRIs carry no whitespace/
             // parens/quotes): without one, this '<' is the comparison
             // operator (?x < 5) and scans as an ordinary char.
+            // stop at every RFC 3987 IRI-excluded char — in particular a
+            // second '<' (so `IF(?a<?b,<http://x>,1)` reads ?a<?b as a
+            // comparison, not the start of a bogus IRI)
             var j = i + 1
             while (j < n && s.charAt(j) != '>' &&
               !s.charAt(j).isWhitespace &&
-              "()'\"".indexOf(s.charAt(j)) < 0) j += 1
+              "()'\"<{}|\\^`".indexOf(s.charAt(j)) < 0) j += 1
             if (j < n && s.charAt(j) == '>') {
               sb.append(s.substring(i, j + 1)); i = j + 1
             } else { sb.append(c); i += 1 }

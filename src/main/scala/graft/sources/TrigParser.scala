@@ -160,7 +160,11 @@ object TrigParser {
         else {
           // `[ po-list ] .` — a bnode property list may be a whole statement
           if (!(anon && peek == '.')) predicateObjectList(defaultGraph, t)
-          skipWs(); expect('.')
+          skipWs()
+          // EOF terminates the FINAL statement in place of '.' — a
+          // leniency some emitters rely on (the reference's own
+          // unsorted-tests/triples.ttl ships without the final dot)
+          if (i < n) expect('.')
         }
       }
     }
