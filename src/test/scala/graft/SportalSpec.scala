@@ -120,6 +120,14 @@ class SportalSpec extends AnyFunSuite {
     assert(one("qf7") + one("qf6") + lits === one("qf8"))
   }
 
+  test("qf1–qf8: raw and compact batteries agree on every node-kind count") {
+    for (id <- Seq("qf1", "qf2", "qf3", "qf4", "qf5", "qf6", "qf7", "qf8")) {
+      val raw = soleInt(Sportal.runRaw(id, trip))
+      val compact = soleInt(Sportal.runCompact(id, trip))
+      assert(raw === compact, s"$id: raw=$raw compact=$compact")
+    }
+  }
+
   test("qe2: never-bound template var suppresses its triples (SPARQL §16.2)") {
     // raw qe2's template mentions ?c, but its subselect only projects
     // ?x ?p — Jena emits no v:class triples; neither must we
