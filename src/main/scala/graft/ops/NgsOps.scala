@@ -171,6 +171,17 @@ object NgsOps {
   def mapToGraph(quads: DataFrame, g: String): DataFrame =
     quads.withColumn("graph", lit(g))
 
+  /** `ngs map --sparql 'CONSTRUCT …'` — run the CONSTRUCT once per named
+    * graph (NgsCmdImpls.java:191-216): patterns scoped to the record's
+    * graph, default-graph template output wrapped back into that graph
+    * (README-NGS.md Rules). The per-record result is an RDF Model (a
+    * set), so output quads are DISTINCT — matching the reference's
+    * materialize-into-Model step. Compiled as ONE distributed plan.
+    */
+  def mapSparql(quads: DataFrame, constructText: String): DataFrame =
+    graft.rules.ConstructParser.parseGraphConstruct(constructText)
+      .run(quads).distinct()
+
   /** `ngs while` — emit graphs (in graph order) while the ASK condition
     * holds; first failing graph stops the stream (NgsCmdImpls.java:366-380).
     * `until=true` emits while the condition does NOT hold.

@@ -20,6 +20,28 @@ object RelationalSuite {
       graft.sources.ResultSetIO.writeSrjFixture(s, dir, p)
       p
     })
+  /** Verbatim reference fixture from the classpath (provenance:
+    * src/main/resources/reference/README.md).
+    */
+  private def refResource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/reference/$name")
+    require(in != null, s"missing classpath resource /reference/$name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Reference fixture materialized to a tmp path (scans take paths);
+    * fixture-scale by construction (the files are the reference's own
+    * KB-sized test resources).
+    */
+  private def refFixture(name: String): String =
+    fixtureOnce.getOrElseUpdate("ref:" + name, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ref_" + name)
+      java.nio.file.Files.writeString(p, refResource(name))
+      p.toString
+    })
+
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String) =
@@ -73,6 +95,14 @@ object RelationalSuite {
         "<urn:merged>")),
     "ngs_while" -> ((s, dir) =>
       NgsOps.whileGraphs(quads(s, dir), col("idx") % 100 =!= 7).drop("idx")),
+    // the reference's OWN JUnit scenario (TestCliNgs.java:8-14): `ngs map
+    // --sparql ngs-map.sparql` over ngs-nato-phonetic-alphabet.trig,
+    // fixtures verbatim under /reference (ReferenceTestsSpec asserts the
+    // full scenario; this is its oracled conformance row)
+    "ngs_map_nato" -> ((s, _) =>
+      NgsOps.mapSparql(
+        graft.sources.RdfIO.readTrig(s, refFixture("ngs-nato-phonetic-alphabet.trig")),
+        refResource("ngs-map.sparql"))),
 
     // --- sbs family (binding streams; front door = SPARQL-results JSON) --
     "sbs_srj_scan" -> ((s, dir) => {
@@ -148,6 +178,13 @@ object RelationalSuite {
           |ORDER BY ?event_id LIMIT 100 OFFSET 10""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(events(s, dir))
     }),
+    // the reference's sbs JUnit battery head query
+    // (TestSparqlBindingStreamOperators.java:12-28): aggregate + constant
+    // IRI projection over js-query-3.srj — terms in, SUM by numeric value
+    "sbs_js_sum_const" -> ((s, _) =>
+      graft.rules.ConstructParser
+        .parseSelectTerms("SELECT (SUM(?X) AS ?sum) (<foo> AS ?Y) {}")
+        .run(graft.sources.ResultSetIO.readSrj(s, refFixture("js-query-3.srj")))),
     "sbs_union_headers" -> ((s, dir) => {
       val e = events(s, dir)
       SbsOps.unionHeaders(Seq(
@@ -294,6 +331,19 @@ object RelationalSuite {
          |SELECT q.graph, q.subj, q.pred, q.obj
          |FROM quads q JOIN ranked r ON r.graph = q.graph, stop
          |WHERE r.rnk < stop.s""".stripMargin,
+    // the nato fixture is a fixed 9-graph file (reference test resource,
+    // alfa..india); the per-record constant CONSTRUCT emits exactly one
+    // <urn:charming> triple wrapped into each record's graph
+    "ngs_map_nato" ->
+      """SELECT '<http://example.org/' || g || '>' AS graph,
+        |       '<urn:charming>' AS subj, '<urn:charming>' AS pred,
+        |       '<urn:charming>' AS obj
+        |FROM (VALUES ('alfa'),('bravo'),('charlie'),('delta'),('echo'),
+        |             ('foxtrot'),('golf'),('hotel'),('india')) t(g)""".stripMargin,
+    // js-query-3.srj holds ONE binding X="10"^^xsd:integer; SUM's value
+    // domain is double (documented engine reduction)
+    "sbs_js_sum_const" ->
+      """SELECT CAST(10 AS DOUBLE) AS sum, '<foo>' AS Y""".stripMargin,
     "sbs_srj_scan" ->
       """SELECT '"' || CAST(event_id AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS id,
         |       '"' || event_type || '"' AS etype,

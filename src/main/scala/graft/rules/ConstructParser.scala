@@ -367,6 +367,17 @@ object ConstructParser {
   def parseSelect(text: String, ctx: EvalCtx): ParsedSelect =
     new P(text, ctx).selectQuery()
 
+  /** [[parseSelect]] with binding-stream input vars typed as RDF TERMS —
+    * the reference's sbs model (`sbs map -s`, SbsCmdImpls.java:204-228):
+    * a binding stream carries SPARQL result-set TERMS (the SRJ/SRX/TSV
+    * scans produce exactly that shape), so `SUM(?X)` over
+    * `"10"^^xsd:integer` aggregates the numeric VALUE per SPARQL §18.5.1
+    * instead of cast-failing on the lexical string. Use [[parseSelect]]
+    * when the input frame holds raw values (parquet tables).
+    */
+  def parseSelectTerms(text: String): ParsedSelect =
+    new P(text, termInputVars = true).selectQuery()
+
   /** SPARQL ASK text — the reference's per-graph filter condition (`ngs
     * filter --sparql 'ASK {…}'`, NgsCmdImpls.java filter route) and plain
     * ASK queries. `run` yields ONE row with a boolean `ask` column,
@@ -383,6 +394,19 @@ object ConstructParser {
     * ([[graft.ops.NgsOps.askFilterSparql]]).
     */
   def parseGraphAsk(text: String): ParsedSelect = new P(text).graphAskQuery()
+
+  /** Per-graph CONSTRUCT (the reference's `ngs map --sparql 'CONSTRUCT
+    * …'`, NgsCmdImpls.java:191-216): the query runs against EACH named
+    * graph's one-graph dataset, so every un-GRAPHed pattern is scoped to
+    * one shared graph variable — pattern joins stay inside a graph — and,
+    * per README-NGS.md's Rules, CONSTRUCT'ed data in the default graph
+    * "is wrapped in a graph with the same name as the input graph":
+    * default-graph templates emit into the record's graph; explicit
+    * `GRAPH <g>`/`GRAPH ?v` templates pass through as-is. One distributed
+    * compile — no per-graph query loop.
+    */
+  def parseGraphConstruct(text: String): ParsedConstruct =
+    new P(text).graphConstructQuery()
 
   /** SPARQL DESCRIBE text (the 4th query form): `DESCRIBE <iri>… [WHERE
     * {…}]` / `DESCRIBE ?v… WHERE {…}`. Emits the Concise Bounded
@@ -485,7 +509,8 @@ object ConstructParser {
     */
   def parseScript(text: String): Seq[ScriptStmt] = new P(text).scriptStatements()
 
-  private[rules] final class P(s: String, ctx: EvalCtx = EvalCtx()) {
+  private[rules] final class P(s: String, ctx: EvalCtx = EvalCtx(),
+      termInputVars: Boolean = false) {
     private var i = 0
     private val n = s.length
     // predefined prelude: the reference's integrate command lets scripts
@@ -946,6 +971,36 @@ object ConstructParser {
       ParsedSelect { input =>
         compileGroup(els, input).select(col("#g").as("graph")).distinct()
       }
+    }
+
+    def graphConstructQuery(): ParsedConstruct = {
+      resetState()
+      prefixLoop()
+      if (!kw("CONSTRUCT")) fail("expected CONSTRUCT")
+      skipWs()
+      // `CONSTRUCT WHERE { bgp }` shorthand works here too — its pattern
+      // templates inherit the #g graph scope, which is exactly the
+      // record-graph wrap the Rules prescribe
+      val short = peek != '{'
+      val templates = if (short) Seq.empty else templateBlock()
+      if (!kw("WHERE")) {
+        skipWs()
+        if (peek != '{') fail("expected WHERE or a group pattern")
+      }
+      skipWs()
+      bgpVarTerm("#g") = true
+      val els = groupBlock(graphCtx = Some(VarT("#g")))
+      skipWs()
+      if (peek == ';') i += 1
+      skipWs()
+      if (i < n) fail("trailing input after per-graph CONSTRUCT")
+      require(sawPattern, "per-graph CONSTRUCT needs at least one triple pattern")
+      val dg = defaultGraphTok
+      val tpl = (if (short) patternTemplates(els) else templates).map {
+        case (a, b, c, g) if g == dg => (a, b, c, VarT("#g"): Tok)
+        case t => t
+      }
+      finishConstruct(tpl, els)
     }
 
     def describeQuery(): ParsedSelect = {
@@ -3330,7 +3385,7 @@ object ConstructParser {
           // must resolve as terms or json:path would see the raw
           // escaped term text
           else if (propFnTermVars(v)) E(col(v), term = true)
-          else binds.getOrElse(v, E(col(v), term = false))
+          else binds.getOrElse(v, E(col(v), term = termInputVars))
         case '"' | '\'' =>
           val body = stringLit()
           // typed-literal constants in expression position — the docs'

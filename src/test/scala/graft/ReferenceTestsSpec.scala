@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.ops.NgsOps
+import graft.rules.ConstructParser
+import graft.sources.{RdfIO, ResultSetIO}
+
+/** The reference's OWN JUnit scenarios run verbatim and ASSERTED (the
+  * reference eyeballs stdout; we assert the outputs):
+  *
+  *  - `TestCliNgs.java:8-14` — `ngs map --sparql` over
+  *    `ngs-nato-phonetic-alphabet.trig` (the `ngs-map.sparql`
+  *    constant-CONSTRUCT and the `CONSTRUCT WHERE { ?s foaf:name ?o }`
+  *    form), plus the single-graph .trig/.nq variants, which also pin
+  *    `ngs cat` semantics (same logical stream from either syntax).
+  *  - `TestSparqlBindingStreamOperators.java:12-28` — the sbs
+  *    identity/SUM/COUNT/const-IRI battery over `js-query-3.srj`.
+  *
+  * Fixtures are verbatim copies under src/main/resources/reference/
+  * (provenance README there).
+  */
+class ReferenceTestsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def res(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/reference/$name")
+    require(in != null, s"missing resource /reference/$name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Materialize a classpath fixture to a readable tmp path (readers
+    * take filesystem paths).
+    */
+  private def path(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_ref_" + name)
+    java.nio.file.Files.writeString(p, res(name))
+    p.toString
+  }
+
+  private def nato: DataFrame =
+    RdfIO.readTrig(spark, path("ngs-nato-phonetic-alphabet.trig"))
+
+  private val Charming = "<urn:charming>"
+  private val NatoGraphs = Set("alfa", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india").map(g => s"<http://example.org/$g>")
+
+  test("TestCliNgs: ngs map --sparql ngs-map.sparql over the nato trig " +
+      "emits the constant triple once per record graph") {
+    val out = NgsOps.mapSparql(nato, res("ngs-map.sparql")).collect()
+      .map(r => (r.getAs[String]("graph"), r.getAs[String]("subj"),
+        r.getAs[String]("pred"), r.getAs[String]("obj"))).toSet
+    // 9 records, each with >=1 solution of `?s ?p ?o`; the per-record
+    // Model dedups to ONE <urn:charming> triple, wrapped into the
+    // record's graph (README-NGS.md Rules)
+    assert(out === NatoGraphs.map(g => (g, Charming, Charming, Charming)))
+  }
+
+  test("TestCliNgs: ngs map --sparql 'CONSTRUCT WHERE { ?s foaf:name ?o }' " +
+      "keeps per-record names in their record graphs") {
+    // the reference parses the inline query under Jena's well-known
+    // prefix map (MainCliNamedGraphStream.pm); foaf: is the one prefix
+    // this query needs
+    val q = "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n" +
+      "CONSTRUCT WHERE { ?s foaf:name ?o }"
+    val rows = NgsOps.mapSparql(nato, q).collect()
+    val byGraphName = rows.map(r => (r.getAs[String]("graph"),
+      r.getAs[String]("obj"))).toSet
+    def g(n: String) = s"<http://example.org/$n>"
+    assert(byGraphName === Set(
+      g("alfa") -> "\"Alfa\"", g("alfa") -> "\"Alfario\"",
+      g("bravo") -> "\"Bravo\"", g("charlie") -> "\"Charlie\"",
+      g("delta") -> "\"Delta\"", g("echo") -> "\"Echo\"",
+      g("foxtrot") -> "\"Foxtrot\"", g("foxtrot") -> "\"Foxy\"",
+      g("golf") -> "\"Golf\"", g("hotel") -> "\"Hotel\"",
+      g("india") -> "\"India\""))
+    // subject kinds survive the template: the two named individuals stay
+    // IRIs, everyone else a blank node
+    val iriSubjects = rows.filter(_.getAs[String]("subj").startsWith("<"))
+      .map(r => (r.getAs[String]("subj"), r.getAs[String]("obj"))).toSet
+    assert(iriSubjects === Set(
+      "<http://www.example.org/alfario>" -> "\"Alfario\"",
+      "<http://www.example.org/foxy>" -> "\"Foxy\""))
+    assert(rows.forall(r => r.getAs[String]("subj").startsWith("<") ||
+      r.getAs[String]("subj").startsWith("_:")))
+  }
+
+  test("TestCliNgs: ngs cat semantics — the single-graph .trig and .nq " +
+      "variants decode to the same logical quad stream") {
+    def norm(df: DataFrame): Set[(String, String, String, String)] =
+      df.collect().map { r =>
+        def b(c: String) = {
+          val v = r.getAs[String](c)
+          if (v.startsWith("_:")) "_:x" else v // labels are file-scoped
+        }
+        (r.getAs[String]("graph"), b("subj"), r.getAs[String]("pred"), b("obj"))
+      }.toSet
+    val viaTrig = norm(RdfIO.readTrig(spark,
+      path("ngs-nato-phonetic-alphabet-single-graph.trig")))
+    val viaNq = norm(RdfIO.readNQuads(spark,
+      path("ngs-nato-phonetic-alphabet-single-graph.nq")))
+    assert(viaTrig === viaNq)
+    assert(viaTrig === Set(
+      ("<http://www.example.org/alfa>", "_:x",
+        "<http://xmlns.com/foaf/0.1/name>", "\"Alfa\""),
+      ("<http://www.example.org/alfa>", "_:x",
+        "<http://xmlns.com/foaf/0.1/mbox>", "<mailto:alfa@work.example.org>")))
+  }
+
+  // ---- TestSparqlBindingStreamOperators.java:12-28 ----------------------
+
+  private def js3: DataFrame = ResultSetIO.readSrj(spark, path("js-query-3.srj"))
+
+  private val XInt = "\"10\"^^<http://www.w3.org/2001/XMLSchema#integer>"
+
+  test("sbs battery: SELECT * {} is the identity over js-query-3.srj") {
+    val out = ConstructParser.parseSelect("SELECT * {}").run(js3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("X") === XInt)
+  }
+
+  test("sbs battery: SELECT (SUM(?X) AS ?sum) {} sums the typed integer") {
+    // parseSelectTerms: an sbs stream carries TERMS, so SUM aggregates
+    // the numeric value of "10"^^xsd:integer (documented reduction: the
+    // engine's numeric aggregate domain is double)
+    val out = ConstructParser.parseSelectTerms("SELECT (SUM(?X) AS ?sum) {}")
+      .run(js3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("sum") === 10.0)
+  }
+
+  test("sbs battery: SELECT (COUNT(*) AS ?count) {} counts the bindings") {
+    val out = ConstructParser.parseSelect("SELECT (COUNT(*) AS ?count) {}")
+      .run(js3).collect()
+    assert(out.length === 1)
+    assert(out.head.get(0).toString === "1")
+  }
+
+  test("sbs battery: aggregate + constant-IRI projection " +
+      "(SUM(?X) AS ?sum) (<foo> AS ?Y)") {
+    val out = ConstructParser
+      .parseSelectTerms("SELECT (SUM(?X) AS ?sum) (<foo> AS ?Y) {}")
+      .run(js3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("Y") === "<foo>")
+    assert(out.head.getAs[Double]("sum") === 10.0)
+  }
+}
