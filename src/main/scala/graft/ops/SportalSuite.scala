@@ -17,6 +17,9 @@ object SportalSuite {
   private def trip(s: SparkSession, dir: String): DataFrame =
     SyntheticQuads.sportalTriples(s, dir)
 
+  /** Hard bound on the driver-side fixture write in [[scriptFixture]]. */
+  private[graft] val MaxFixtureTriples = 1000000L
+
   /** One local .nt fixture file per required sorttest name, written from
     * the SAME sportal triple frame (the reference's two snapshots of one
     * corpus), plus the `graft.fileAliases` remap that points the
@@ -25,14 +28,30 @@ object SportalSuite {
   private[graft] def scriptFixture(s: SparkSession, dir: String): Unit = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft_sorttest_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    writeSortedNt(trip(s, dir), root)
+    sys.props("graft.fileAliases") = s"/home/raven/tmp/sorttest=$root"
+  }
+
+  /** FIXTURE MANUFACTURE ONLY (in real use the sorted-nt endpoint file
+    * already exists): this collect-and-write must never silently pull a
+    * data-scale frame to the driver — fail loudly instead (count first,
+    * so an oversized corpus aborts BEFORE any driver materialization).
+    */
+  private[graft] def writeSortedNt(triples: DataFrame,
+      root: java.nio.file.Path, maxTriples: Long = MaxFixtureTriples): Unit = {
     java.nio.file.Files.createDirectories(root)
-    val lines = trip(s, dir).collect()
+    val n = triples.count()
+    require(n <= maxTriples,
+      s"scriptFixture: $n triples exceed the $maxTriples fixture " +
+        "bound — the binsearch endpoint .nt is a driver-written FIXTURE; " +
+        "point the scripts at a pre-existing sorted .nt (graft.fileAliases) " +
+        "instead of manufacturing one from a data-scale frame")
+    val lines = triples.collect()
       .map(r => s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
       .sorted // the reference's files are subject-sorted (binsearch)
       .mkString("", "\n", "\n")
     for (name <- Seq("sorted.nt", "dnb-all_lds_20200213.sorted.nt"))
       java.nio.file.Files.writeString(root.resolve(name), lines)
-    sys.props("graft.fileAliases") = s"/home/raven/tmp/sorttest=$root"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

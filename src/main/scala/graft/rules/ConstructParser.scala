@@ -105,19 +105,7 @@ object ConstructParser {
     require(url.startsWith("file:"),
       s"SERVICE endpoint <$url> is not supported: only local file: IRIs " +
         "are resolvable here (network federation is scoped out)")
-    val rest0 = url.stripPrefix("file:")
-    // a raw '?' opens the IRI's QUERY component — never part of a path
-    // (a literal '?' in a filename arrives percent-encoded as %3F). The
-    // reference's sportal scripts use `?binsearch=true`
-    // (sportal/sportal-qe2.sparql:18): an access-path hint (binary
-    // search over a subject-sorted .nt) — not semantics; note and drop.
-    val q = rest0.indexOf('?')
-    val rest = if (q < 0) rest0 else {
-      System.err.println(s"[sparql] file SERVICE <$url>: ignoring IRI " +
-        s"parameter '${rest0.substring(q + 1)}' (access-path hint; the " +
-        "file is read in full)")
-      rest0.substring(0, q)
-    }
+    val rest = stripIriQuery(url.stripPrefix("file:"), url)
     val path =
       if (rest.startsWith("///")) rest.substring(2)
       else if (rest.startsWith("//")) throw new IllegalArgumentException(
@@ -275,6 +263,26 @@ object ConstructParser {
         if (eq <= 0) None else Some((pair.substring(0, eq), pair.substring(eq + 1)))
     }.sortBy(-_._1.length)
 
+  /** Drop an IRI's QUERY component from a would-be file path. A raw '?'
+    * opens the query component — never part of a path (a literal '?' in
+    * a filename arrives percent-encoded as %3F). The reference's
+    * binsearch scripts use `?binsearch=true`
+    * (sportal/sportal-qe2.sparql:18, unsorted-tests/sorted-service
+    * .sparql — the latter on a SCHEME-LESS absolute path): an
+    * access-path hint (binary search over a subject-sorted .nt), not
+    * semantics; note loudly and drop.
+    */
+  private def stripIriQuery(pathPart: String, iri: String): String = {
+    val q = pathPart.indexOf('?')
+    if (q < 0) pathPart
+    else {
+      System.err.println(s"[sparql] file SERVICE <$iri>: ignoring IRI " +
+        s"parameter '${pathPart.substring(q + 1)}' (access-path hint; the " +
+        "file is read in full)")
+      pathPart.substring(0, q)
+    }
+  }
+
   private def applyAliases(path: String, aliases: Seq[(String, String)]): String =
     aliases.collectFirst {
       case (from, to) if path.startsWith(from) => to + path.substring(from.length)
@@ -287,7 +295,9 @@ object ConstructParser {
     */
   private[graft] def resolveFileIriAgainst(iri: String, base: String,
       aliases: Seq[(String, String)] = fileAliases): String = {
-    val p = if (iri.startsWith("file:")) serviceFilePath(iri) else iri
+    val p =
+      if (iri.startsWith("file:")) serviceFilePath(iri)
+      else stripIriQuery(iri, iri)
     require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
       s"<$iri> is not a resolvable local file IRI (network schemes are " +
         "scoped out)")

@@ -164,4 +164,18 @@ class SportalSpec extends AnyFunSuite {
         "<http://www.example.org/sportal#objectClass>").count() > 0L)
     } finally sys.props.remove("graft.fileAliases")
   }
+
+  test("scriptFixture's driver write refuses a data-scale frame (loud bound)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_guard")
+    val big = trip // any frame larger than the tiny bound we pass
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.SportalSuite.writeSortedNt(big, root, maxTriples = 3)
+    }
+    assert(ex.getMessage.contains("fixture"))
+    // nothing was collected or written past the guard
+    assert(!java.nio.file.Files.exists(root.resolve("sorted.nt")))
+    // and the same frame under the bound writes fine
+    graft.ops.SportalSuite.writeSortedNt(big.limit(3), root, maxTriples = 3)
+    assert(java.nio.file.Files.exists(root.resolve("sorted.nt")))
+  }
 }
