@@ -267,21 +267,33 @@ object Bench {
     }
 
     val spark = session(cpus)
+    // drift-check knobs: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
+    // battery; SPARK_GRAFT_BENCH_REPS=N times each query N times and
+    // reports the min (the quiet-window best-of protocol, BASELINE.md)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val battery = only.getOrElse(headline)
     // warmup at the smallest sf: JIT + janino codegen compile once per plan
     // shape, so the timed runs measure steady-state data throughput
-    headline.foreach { name =>
+    battery.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0 // failure must be visible in the stdout JSON
+    val results = battery.map { name =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // failure must be visible in the stdout JSON
+        }
       }
+      if (reps > 1) System.err.println(s"[bench] $name runs: " +
+        runs.map(r => f"$r%.2fs").mkString(", "))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

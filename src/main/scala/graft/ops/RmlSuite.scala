@@ -173,12 +173,24 @@ object RmlSuite {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rml_exec" -> ((s, dir) => Rml.execute(s, writeCsvFixtures(s, dir))),
-    "rml_json" -> ((s, dir) => Rml.execute(s, writeJsonFixtures(s, dir))),
-    "rml_xml" -> ((s, dir) => Rml.execute(s, writeXmlFixtures(s, dir))),
-    "rml_xml_multi" -> ((s, dir) =>
-      Rml.execute(s, writeXmlMultiFixtures(s, dir)).distinct())
+    "rml_exec" -> ((s, dir) => Rml.execute(s, fixturesOnce("csv", dir,
+      writeCsvFixtures(s, dir)))),
+    "rml_json" -> ((s, dir) => Rml.execute(s, fixturesOnce("json", dir,
+      writeJsonFixtures(s, dir)))),
+    "rml_xml" -> ((s, dir) => Rml.execute(s, fixturesOnce("xml", dir,
+      writeXmlFixtures(s, dir)))),
+    "rml_xml_multi" -> ((s, dir) => Rml.execute(s, fixturesOnce("xmlm", dir,
+      writeXmlMultiFixtures(s, dir))).distinct())
   )
+
+  // fixtures are deterministic functions of (kind, dir): write once per
+  // JVM so repeated runs (bench reps, verify) time the MAPPING EXECUTION,
+  // not the driver-side fixture manufacture (same memo pattern as
+  // RelationalSuite.fixtureOnce)
+  private val fixturesMemo = scala.collection.concurrent.TrieMap[String, String]()
+  private def fixturesOnce(kind: String, dir: String,
+      write: => String): String =
+    fixturesMemo.getOrElseUpdate(kind + ":" + dir, write)
 
   private val DG = "'<urn:x-arq:DefaultGraph>'"
 
