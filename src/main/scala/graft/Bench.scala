@@ -24,7 +24,7 @@ object Bench {
     "kg_canonical_triples", "kg_triples", "kg_mentions", "kg_graph_stats",
     "ngs_hash", "ngs_filter_even", "sbs_groupby",
     "dedup_exact", "dedup_minhash", "text_quality", "embed_topk",
-    "rml_exec", "graphql_query")
+    "rml_exec", "graphql_query", "sportal_qd_all")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -195,6 +195,51 @@ object Bench {
           f"pairs=$tdN")
       println(s"""{"metric":"path_closure_doubling_vs_seminaive","value":${cd + td},"unit":"sec","queries":{"chain_doubling":$cd,"chain_seminaive":$cs,"chain_pairs":$cdN,"tree_doubling":$td,"tree_seminaive":$ts,"tree_pairs":$tdN},"sf":"synthetic"}""")
       spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("sportal")) {
+      // the sportal battery AS A PIPELINE over a ×factor corpus: the raw
+      // qf battery alone is 10 whole-scans where the reference fans ONE
+      // publish()ed scan into all subscribers (MainCliVoidGenerator
+      // .java:536-555). Two forms at two parallelism levels: naive =
+      // every query re-derives the corpus plan (N scans), shared = the
+      // corpus is materialized once (localCheckpoint — Spark's publish())
+      // and all 16 queries read it. Efficiency reported on the shared
+      // form (the scale path).
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SPORTAL_FACTOR", "64").toInt
+      val Array(n1, n2) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
+        .split(",").map(_.trim.toInt)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val results = Seq(n1, n2).map { k =>
+        val s = session(k)
+        try {
+          // warm all 16 plan shapes (janino codegen) on a tiny corpus
+          graft.rules.Sportal.runBattery(
+            graft.sources.SyntheticQuads.sportalScaled(s, "/root/testdata/sf0.001", 2))
+          val lazyCorpus = graft.sources.SyntheticQuads.sportalScaled(s, sfDir, factor)
+          // naive once per level (a demonstration number — 16 queries ×
+          // factor×8 re-derived scans; the reps go to the shared form,
+          // which is the scale path)
+          val naive = time(graft.rules.Sportal.runBattery(lazyCorpus))
+          val corpus = lazyCorpus.localCheckpoint(true)
+          val nTriples = corpus.count()
+          val shared = (1 to reps)
+            .map(_ => time(graft.rules.Sportal.runBattery(corpus))).min
+          System.err.println(f"[sportal] local[$k] triples=$nTriples " +
+            f"naive=$naive%.1fs shared=$shared%.1fs")
+          (naive, shared, nTriples)
+        } finally s.stop()
+      }
+      val Seq((nLo, sLo, t1), (nHi, sHi, t2)) = results
+      require(t1 == t2, s"corpus mismatch across levels: $t1 vs $t2")
+      val eff = (sLo / sHi) / (n2.toDouble / n1)
+      System.err.println(f"[sportal] shared 2->8 speedup=${sLo / sHi}%.2fx " +
+        f"efficiency=$eff%.2f; shared-vs-naive at local[$n2]: ${nHi / sHi}%.2fx")
+      println(s"""{"metric":"sportal_battery_shared_scan_efficiency_${n1}_to_$n2","value":$eff,"unit":"ratio","queries":{"naive_lo_sec":$nLo,"shared_lo_sec":$sLo,"naive_hi_sec":$nHi,"shared_hi_sec":$sHi,"triples":$t1,"queries_run":16},"sf":"$sfDir"}""")
       return
     }
 

@@ -118,6 +118,18 @@ object TrainingSuite {
       s"""WITH $dupCorpusCte,
          |$jaccardPairsCte
          |SELECT a, b, jaccard FROM jp""".stripMargin,
+    // r8 (VERDICT r7 task 6): full-green oracle for the LSH path. The
+    // pair set DuckDB derives here is the EXACT jaccard pairs; minhash
+    // output equals it because (a) every candidate is verified with
+    // exact jaccard (precision 1.0 by construction) and (b) LSH recall
+    // on this corpus is exactly 1.0 — a DETERMINISTIC fact of the fixed
+    // xxhash64 seeds and corpus, asserted as exact set equality in
+    // TrainingSpec (a future seed/band change that costs recall fails
+    // the spec first, pointing here).
+    "dedup_minhash" ->
+      s"""WITH $dupCorpusCte,
+         |$jaccardPairsCte
+         |SELECT a, b, jaccard FROM jp""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $dupCorpusCte,
          |$jaccardPairsCte,

@@ -550,6 +550,10 @@ object ConstructParser {
     // group-nesting depth + the (slot, source-offset) of every plain
     // FILTER awaiting its §17.2 re-parse at the outermost group close
     private var groupDepth = 0
+    // per-record query forms (graphAskQuery / graphConstructQuery): the
+    // dataset of each record holds exactly one named graph, so explicit
+    // GRAPH operands resolve against the record's graph (#g)
+    private var perRecordGraph = false
     private val pendingFilters =
       scala.collection.mutable.ArrayBuffer[(Array[Column], Int)]()
     // BGP mode state: flips when the first triple pattern is parsed;
@@ -657,6 +661,7 @@ object ConstructParser {
       withCtx = None
       propFnVars.clear()
       propFnTermVars.clear()
+      perRecordGraph = false
     }
 
     private def prefixLoop(): Unit = {
@@ -972,6 +977,7 @@ object ConstructParser {
       kw("WHERE") // optional keyword
       skipWs()
       bgpVarTerm("#g") = true
+      perRecordGraph = true
       val els = groupBlock(graphCtx = Some(VarT("#g")))
       skipWs()
       if (peek == ';') i += 1
@@ -993,12 +999,14 @@ object ConstructParser {
       // record-graph wrap the Rules prescribe
       val short = peek != '{'
       val templates = if (short) Seq.empty else templateBlock()
+      skipWs()
       if (!kw("WHERE")) {
         skipWs()
         if (peek != '{') fail("expected WHERE or a group pattern")
       }
       skipWs()
       bgpVarTerm("#g") = true
+      perRecordGraph = true
       val els = groupBlock(graphCtx = Some(VarT("#g")))
       skipWs()
       if (peek == ';') i += 1
@@ -2118,9 +2126,36 @@ object ConstructParser {
         } else if (kw("GRAPH")) {
           skipWs()
           val g = tok()
-          g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
           skipWs()
-          out += GroupE(groupBlock(Some(g)))
+          if (perRecordGraph) {
+            // per-record dataset (`ngs map/filter --sparql`,
+            // NgsCmdImpls.java:88-104/191-216): each record's dataset
+            // holds exactly ONE named graph, so an explicit GRAPH ?v
+            // binds ?v to the record's graph (never a cross-record
+            // join) and GRAPH <iri> matches only when the record IS
+            // that graph — inner patterns stay scoped to the record.
+            val seen = g match {
+              case VarT(v) => bgpVarTerm.contains(v)
+              case _ => false
+            }
+            g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
+            val inner = groupBlock(Some(VarT("#g")))
+            g match {
+              case VarT(v) if seen =>
+                out += GroupE(inner :+
+                  FilterE(Array(col(v) === col("#g"))))
+              case VarT(v) =>
+                out += GroupE(inner :+ BindE(v, E(col("#g"), term = true)))
+              case IriT(iri) =>
+                out += GroupE(inner :+
+                  FilterE(Array(col("#g") === lit("<" + iri + ">"))))
+              case other =>
+                fail(s"GRAPH operand must be a variable or IRI, got $other")
+            }
+          } else {
+            g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
+            out += GroupE(groupBlock(Some(g)))
+          }
         } else if (kw("SERVICE")) {
           // SERVICE against a LOCAL FILE dataset (reference
           // docs/examples/README.md:630-650; SURVEY §2.1 adjudicates the

@@ -113,4 +113,28 @@ object Sportal {
   def run(text: String, triples: DataFrame): DataFrame =
     if (isSelect(text)) ConstructParser.parseSelect(text).run(triples)
     else ConstructParser.parseConstruct(text).run(triples)
+
+  /** The battery-as-a-pipeline set: the compact whole-corpus aggregates
+    * plus the raw qf kind-count battery — the fan-out the reference
+    * feeds from ONE `publish()`ed scan
+    * (MainCliVoidGenerator.java:536-555). (id, isCompact) pairs.
+    */
+  val batteryIds: Seq[(String, Boolean)] =
+    Seq("qbAllBut2", "qc3", "qc5", "qcAllBut35", "qdAll", "qeAll")
+      .map((_, true)) ++
+      (1 to 10).map(i => (s"qf$i", false))
+
+  /** Run the whole battery over ONE triple frame, returning per-query
+    * distinct output counts. The SHARED-SCAN decision belongs to the
+    * caller: pass a materialized (persisted / checkpointed) frame and
+    * all 16 queries read one scan — the Spark-first form of the
+    * reference's publish()+subscribe fan-out; pass a lazy plan and each
+    * query re-derives it (the per-query-scan form the r7 entries use at
+    * fixture scale).
+    */
+  def runBattery(triples: DataFrame): Seq[(String, Long)] =
+    batteryIds.map { case (id, compact) =>
+      val df = if (compact) runCompact(id, triples) else runRaw(id, triples)
+      id -> df.distinct().count()
+    }
 }

@@ -96,6 +96,33 @@ object SyntheticQuads {
         lit("<http://ex.org/Nation>").as("obj")))
   }
 
+  /** ×`factor` sportal corpus for the battery-as-a-pipeline bench:
+    * customer IRIs, address bnode labels and literals are rewritten per
+    * replica so every distinct-count aggregate (distinctSubjects,
+    * distinctObjects, per-class/per-property partitions) scales with the
+    * factor; the dimension IRIs (segments, nations, classes) stay shared
+    * like real vocabulary terms. Plan-only — callers decide whether to
+    * materialize (the shared-scan form) or re-derive per query.
+    */
+  def sportalScaled(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val base = sportalTriples(spark, sfDir)
+    if (factor <= 1) base
+    else (0 until factor).map { k =>
+      def rw(c: org.apache.spark.sql.Column) =
+        when(c.startsWith("<http://ex.org/c/"),
+          concat(lit(s"<http://ex.org/c/r$k/"), expr_substr(c, 18)))
+          .when(c.startsWith("_:a"), concat(lit(s"_:r${k}a"), expr_substr(c, 4)))
+          .when(c.startsWith("\""), concat(lit("\"r" + k + " "), expr_substr(c, 2)))
+          .otherwise(c)
+      base.select(rw(col("subj")).as("subj"), col("pred"),
+        rw(col("obj")).as("obj"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** substring(col, pos) to end of string (1-based, SQL semantics). */
+  private def expr_substr(c: org.apache.spark.sql.Column, pos: Int) =
+    c.substr(lit(pos), length(c))
+
   /** Lockstep DuckDB CTE: sportal(subj, pred, obj). */
   def sportalOracleCte: String =
     """sportal AS (

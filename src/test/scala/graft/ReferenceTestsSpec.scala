@@ -109,6 +109,27 @@ class ReferenceTestsSpec extends AnyFunSuite {
         "<http://xmlns.com/foaf/0.1/mbox>", "<mailto:alfa@work.example.org>")))
   }
 
+  test("per-record GRAPH semantics: an explicit GRAPH ?v inside ngs map " +
+      "binds the record's graph — never a cross-record join") {
+    // each record's dataset holds exactly ONE named graph, so ?v can only
+    // be the record graph; 9 records → 9 triples, g == record graph
+    val q = "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n" +
+      "CONSTRUCT { ?v <urn:seen> <urn:seen> } WHERE { GRAPH ?v { ?s foaf:name ?o } }"
+    val out = NgsOps.mapSparql(nato, q).collect()
+      .map(r => (r.getAs[String]("graph"), r.getAs[String]("subj"))).toSet
+    assert(out === NatoGraphs.map(g => (g, g)))
+  }
+
+  test("per-record GRAPH semantics: GRAPH <iri> matches only the record " +
+      "that IS that graph") {
+    val q = "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n" +
+      "CONSTRUCT { ?s <urn:hit> ?o } WHERE { " +
+      "GRAPH <http://example.org/bravo> { ?s foaf:name ?o } }"
+    val out = NgsOps.mapSparql(nato, q).collect()
+      .map(r => (r.getAs[String]("graph"), r.getAs[String]("obj"))).toSet
+    assert(out === Set("<http://example.org/bravo>" -> "\"Bravo\""))
+  }
+
   // ---- TestSparqlBindingStreamOperators.java:12-28 ----------------------
 
   private def js3: DataFrame = ResultSetIO.readSrj(spark, path("js-query-3.srj"))

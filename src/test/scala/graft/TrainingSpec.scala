@@ -90,15 +90,19 @@ class TrainingSpec extends AnyFunSuite {
     assert(twins.filter($"group_size" >= 2).count() === 50)
   }
 
-  test("minhash pairs: precision 1.0 and high recall vs exact jaccard") {
+  test("minhash pairs: EXACTLY the exact-jaccard pair set (precision and " +
+      "recall 1.0 — the contract the dedup_minhash DuckDB oracle rests on)") {
+    // deterministic: fixed xxhash64 seeds × fixed corpus. If a parameter
+    // change (numHashes/rowsPerBand/seeds) ever costs recall here, the
+    // dedup_minhash oracle in TrainingSuite must be revisited in the
+    // same change — that oracle IS this equality.
     val exact = Dedup.jaccardPairs(corpus, 3, 0.6)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val mh = Dedup.minhashPairs(corpus, 3, 0.6)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(mh.subsetOf(exact)) // verified candidates => precision 1.0
     assert(exact.nonEmpty)
-    val recall = mh.size.toDouble / exact.size
-    assert(recall >= 0.9, s"recall $recall (${mh.size}/${exact.size})")
+    assert(mh === exact,
+      s"missed=${(exact -- mh).size} spurious=${(mh -- exact).size}")
   }
 
   test("hashed shingles: pair set AND jaccard values match the " +
