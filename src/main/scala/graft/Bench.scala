@@ -221,11 +221,20 @@ object Bench {
           graft.rules.Sportal.runBattery(
             graft.sources.SyntheticQuads.sportalScaled(s, "/root/testdata/sf0.001", 2))
           val lazyCorpus = graft.sources.SyntheticQuads.sportalScaled(s, sfDir, factor)
-          // naive once per level (a demonstration number — 16 queries ×
-          // factor×8 re-derived scans; the reps go to the shared form,
-          // which is the scale path)
-          val naive = time(graft.rules.Sportal.runBattery(lazyCorpus))
-          val corpus = lazyCorpus.localCheckpoint(true)
+          // naive is a demonstration number (16 queries × factor×8
+          // re-derived scans — measured 6× slower than shared at factor 4
+          // and growing with factor); opt-in via SPARK_GRAFT_SPORTAL_NAIVE
+          // so the big-factor scaling run doesn't burn its wall-clock on
+          // the known-bad plan. -1 = not measured.
+          val naive =
+            if (sys.env.get("SPARK_GRAFT_SPORTAL_NAIVE").contains("1"))
+              time(graft.rules.Sportal.runBattery(lazyCorpus))
+            else -1.0
+          // fixed corpus layout across parallelism levels (a real job
+          // reads the same table layout at N and 4N executors); without
+          // this the checkpoint inherits the generator's partitioning
+          val parts = sys.env.getOrElse("SPARK_GRAFT_SPORTAL_PARTS", "64").toInt
+          val corpus = lazyCorpus.repartition(parts).localCheckpoint(true)
           val nTriples = corpus.count()
           val shared = (1 to reps)
             .map(_ => time(graft.rules.Sportal.runBattery(corpus))).min
@@ -237,8 +246,9 @@ object Bench {
       val Seq((nLo, sLo, t1), (nHi, sHi, t2)) = results
       require(t1 == t2, s"corpus mismatch across levels: $t1 vs $t2")
       val eff = (sLo / sHi) / (n2.toDouble / n1)
-      System.err.println(f"[sportal] shared 2->8 speedup=${sLo / sHi}%.2fx " +
-        f"efficiency=$eff%.2f; shared-vs-naive at local[$n2]: ${nHi / sHi}%.2fx")
+      System.err.println(f"[sportal] shared $n1->$n2 speedup=${sLo / sHi}%.2fx " +
+        f"efficiency=$eff%.2f" +
+        (if (nHi > 0) f"; shared-vs-naive at local[$n2]: ${nHi / sHi}%.2fx" else ""))
       println(s"""{"metric":"sportal_battery_shared_scan_efficiency_${n1}_to_$n2","value":$eff,"unit":"ratio","queries":{"naive_lo_sec":$nLo,"shared_lo_sec":$sLo,"naive_hi_sec":$nHi,"shared_hi_sec":$sHi,"triples":$t1,"queries_run":16},"sf":"$sfDir"}""")
       return
     }

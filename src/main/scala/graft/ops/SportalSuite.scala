@@ -75,6 +75,11 @@ object SportalSuite {
     // subjectTypes partitions per (property, subject class) (compact)
     "sportal_qf9" -> ((s, dir) =>
       Sportal.runCompact("qf9", trip(s, dir)).distinct()),
+    // qf1–qf8 fused into ONE aggregation pass (multi-agg shared scan —
+    // the reference's publish() fan-out done Spark-first); value-equality
+    // vs the eight verbatim raw queries asserted in SportalSpec
+    "sportal_qf_fused" -> ((s, dir) =>
+      Sportal.fusedQfCounts(trip(s, dir))),
     // the binsearch file-SERVICE script: verbatim text, ?binsearch=true
     // stripped by the reader, /home/raven path remapped onto a local
     // .nt fixture via graft.fileAliases
@@ -162,6 +167,29 @@ object SportalSuite {
          |UNION ALL SELECT '<' || liri || '>', '<${V}triples>', ${intLit("x")}, '<urn:x-arq:DefaultGraph>' FROM kl
          |UNION ALL SELECT '<' || liri || '>', '<${V}distinctSubjects>', ${intLit("a")}, '<urn:x-arq:DefaultGraph>' FROM kl
          |UNION ALL SELECT '<' || liri || '>', '<${V}distinctObjects>', ${intLit("c")}, '<urn:x-arq:DefaultGraph>' FROM kl""".stripMargin,
+    "sportal_qf_fused" ->
+      s"""WITH $cte, pos AS (
+         |  SELECT 's' AS pos, subj AS t FROM sportal
+         |  UNION ALL SELECT 'p', pred FROM sportal
+         |  UNION ALL SELECT 'o', obj FROM sportal),
+         |a AS (SELECT
+         |  COUNT(DISTINCT CASE WHEN pos = 's' AND starts_with(t, '<') THEN t END) AS qf1,
+         |  COUNT(DISTINCT CASE WHEN pos = 's' AND starts_with(t, '_:') THEN t END) AS qf2,
+         |  COUNT(DISTINCT CASE WHEN pos = 'o' AND starts_with(t, '<') THEN t END) AS qf3,
+         |  COUNT(DISTINCT CASE WHEN pos = 'o' AND starts_with(t, '"') THEN t END) AS qf4,
+         |  COUNT(DISTINCT CASE WHEN pos = 'o' AND starts_with(t, '_:') THEN t END) AS qf5,
+         |  COUNT(DISTINCT CASE WHEN pos <> 'p' AND starts_with(t, '_:') THEN t END) AS qf6,
+         |  COUNT(DISTINCT CASE WHEN starts_with(t, '<') THEN t END) AS qf7,
+         |  COUNT(DISTINCT t) AS qf8
+         |FROM pos)
+         |SELECT '<env://D>' AS subj, '<${V}distinctIRIReferenceSubjects>' AS pred, ${intLit("qf1")} AS obj, $G FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctBlankNodeSubjects>', ${intLit("qf2")}, '<urn:x-arq:DefaultGraph>' FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctIRIReferenceObjects>', ${intLit("qf3")}, '<urn:x-arq:DefaultGraph>' FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctLiterals>', ${intLit("qf4")}, '<urn:x-arq:DefaultGraph>' FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctBlankNodeObjects>', ${intLit("qf5")}, '<urn:x-arq:DefaultGraph>' FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctBlankNodes>', ${intLit("qf6")}, '<urn:x-arq:DefaultGraph>' FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctIRIReferences>', ${intLit("qf7")}, '<urn:x-arq:DefaultGraph>' FROM a
+         |UNION ALL SELECT '<env://D>', '<${V}distinctRDFNodes>', ${intLit("qf8")}, '<urn:x-arq:DefaultGraph>' FROM a""".stripMargin,
     "sportal_qf6" ->
       s"""WITH $cte, bn AS (
          |  SELECT COUNT(DISTINCT b) AS x FROM (

@@ -137,4 +137,57 @@ object Sportal {
       val df = if (compact) runCompact(id, triples) else runRaw(id, triples)
       id -> df.distinct().count()
     }
+
+  /** (stat column, VoID stat local name) for the qf1–qf8 global counts. */
+  private val QfStats: Seq[(String, String)] = Seq(
+    "qf1" -> "distinctIRIReferenceSubjects",
+    "qf2" -> "distinctBlankNodeSubjects",
+    "qf3" -> "distinctIRIReferenceObjects",
+    "qf4" -> "distinctLiterals",
+    "qf5" -> "distinctBlankNodeObjects",
+    "qf6" -> "distinctBlankNodes",
+    "qf7" -> "distinctIRIReferences",
+    "qf8" -> "distinctRDFNodes")
+
+  /** qf1–qf8 fused into ONE aggregation pass — the multi-agg shared-scan
+    * form of the reference's publish()+subscribe fan-out
+    * (MainCliVoidGenerator.java:536-555): the quad positions explode once
+    * to (pos, term) rows, and all eight COUNT DISTINCT statistics ride a
+    * single aggregation (Catalyst's Expand handles the multi-distinct) —
+    * one scan + one shuffle round instead of eight whole-corpus queries.
+    * Emits exactly the triples the eight raw queries CONSTRUCT
+    * (value-equality asserted against them in SportalSpec).
+    */
+  def fusedQfCounts(triples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val pos = triples.select(explode(array(
+      struct(lit("s").as("pos"), col("subj").as("t")),
+      struct(lit("p").as("pos"), col("pred").as("t")),
+      struct(lit("o").as("pos"), col("obj").as("t")))).as("x"))
+      .select(col("x.pos").as("pos"), col("x.t").as("t"))
+    val iri = col("t").startsWith("<")
+    val blank = col("t").startsWith("_:")
+    val lite = col("t").startsWith("\"")
+    def cd(cond: Column) = count_distinct(when(cond, col("t")))
+    val agg = pos.agg(
+      cd(col("pos") === "s" && iri).as("qf1"),
+      cd(col("pos") === "s" && blank).as("qf2"),
+      cd(col("pos") === "o" && iri).as("qf3"),
+      cd(col("pos") === "o" && lite).as("qf4"),
+      cd(col("pos") === "o" && blank).as("qf5"),
+      cd(col("pos") =!= "p" && blank).as("qf6"),
+      cd(iri).as("qf7"),
+      count_distinct(col("t")).as("qf8"))
+    val V = "http://rdfs.org/ns/void#"
+    val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    agg.select(explode(array(QfStats.map { case (c, name) =>
+        struct(lit(s"<$V$name>").as("pred"),
+          concat(lit("\""), col(c).cast("string"), lit("\"^^<" + XsdInt + ">"))
+            .as("obj"))
+      }: _*)).as("x"))
+      .select(lit("<env://D>").as("subj"), col("x.pred").as("pred"),
+        col("x.obj").as("obj"),
+        lit("<urn:x-arq:DefaultGraph>").as("graph"))
+  }
 }

@@ -107,16 +107,27 @@ object SyntheticQuads {
   def sportalScaled(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val base = sportalTriples(spark, sfDir)
     if (factor <= 1) base
-    else (0 until factor).map { k =>
+    else {
+      // ONE plan branch: broadcast-crossJoin the replica ids instead of
+      // unioning `factor` copies of the scan — a 256-way union makes a
+      // 2048-leaf plan (29 MB task binaries, thousands of micro
+      // partitions whose per-task scheduling then dominates the battery)
+      // while the crossJoin is a single scan exploded 256× in place
+      val rep = broadcast(spark.range(factor)
+        .select(col("id").cast("string").as("#rep")))
       def rw(c: org.apache.spark.sql.Column) =
         when(c.startsWith("<http://ex.org/c/"),
-          concat(lit(s"<http://ex.org/c/r$k/"), expr_substr(c, 18)))
-          .when(c.startsWith("_:a"), concat(lit(s"_:r${k}a"), expr_substr(c, 4)))
-          .when(c.startsWith("\""), concat(lit("\"r" + k + " "), expr_substr(c, 2)))
+          concat(lit("<http://ex.org/c/r"), col("#rep"), lit("/"),
+            expr_substr(c, 18)))
+          .when(c.startsWith("_:a"),
+            concat(lit("_:r"), col("#rep"), lit("a"), expr_substr(c, 4)))
+          .when(c.startsWith("\""),
+            concat(lit("\"r"), col("#rep"), lit(" "), expr_substr(c, 2)))
           .otherwise(c)
-      base.select(rw(col("subj")).as("subj"), col("pred"),
-        rw(col("obj")).as("obj"))
-    }.reduce(_ unionAll _)
+      base.crossJoin(rep)
+        .select(rw(col("subj")).as("subj"), col("pred"),
+          rw(col("obj")).as("obj"))
+    }
   }
 
   /** substring(col, pos) to end of string (1-based, SQL semantics). */

@@ -178,4 +178,17 @@ class SportalSpec extends AnyFunSuite {
     graft.ops.SportalSuite.writeSortedNt(big.limit(3), root, maxTriples = 3)
     assert(java.nio.file.Files.exists(root.resolve("sorted.nt")))
   }
+
+  test("fusedQfCounts equals the eight verbatim raw qf queries exactly") {
+    val fused = graft.rules.Sportal.fusedQfCounts(trip).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val raw = (1 to 8).flatMap { i =>
+      Sportal.runRaw(s"qf$i", trip).distinct().collect()
+        .map(r => (r.getAs[String]("subj"), r.getAs[String]("pred"),
+          r.getAs[String]("obj"), r.getAs[String]("graph")))
+    }.toSet
+    assert(fused === raw)
+    assert(fused.size === 8)
+  }
 }

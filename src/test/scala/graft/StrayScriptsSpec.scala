@@ -128,6 +128,26 @@ class StrayScriptsSpec extends AnyFunSuite {
     }
   }
 
+  test("docs/examples/test2.sparql verbatim: SERVICE <file:///home/raven/…> " +
+      "via fileAliases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcat2")
+    java.nio.file.Files.writeString(dir.resolve("dcat.ttl"),
+      """@prefix dct: <http://purl.org/dc/terms/> .
+        |<http://ex.org/ds/bikes> dct:title "Electric bikesharing stations" .
+        |""".stripMargin)
+    withProp("graft.fileAliases",
+      "/home/raven/Projects/Eclipse/qrowd-rdf-data-integration/datasets/" +
+        s"1014-electric-bikesharing-stations=$dir") {
+      val rows = ConstructParser.parseSelect(res("unsorted", "test2.sparql"))
+        .run(ConstructParser.unitFrame(spark)).collect()
+        .map(r => (r.getAs[String]("s"), r.getAs[String]("p"),
+          r.getAs[String]("o"))).toSet
+      assert(rows === Set(
+        ("<http://ex.org/ds/bikes>", "<http://purl.org/dc/terms/title>",
+          "\"Electric bikesharing stations\"")))
+    }
+  }
+
   /** An empty session quad frame — FROM must hide it entirely. */
   private def quadlessSession(): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
