@@ -217,9 +217,12 @@ object Bench {
       val results = Seq(n1, n2).map { k =>
         val s = session(k)
         try {
-          // warm all 16 plan shapes (janino codegen) on a tiny corpus
-          graft.rules.Sportal.runBattery(
+          // warm all 16 plan shapes (janino codegen) on a tiny corpus;
+          // best-effort like the headline warmup — a missing warmup dir
+          // must not abort the measured run
+          try graft.rules.Sportal.runBattery(
             graft.sources.SyntheticQuads.sportalScaled(s, "/root/testdata/sf0.001", 2))
+          catch { case _: Throwable => }
           val lazyCorpus = graft.sources.SyntheticQuads.sportalScaled(s, sfDir, factor)
           // naive is a demonstration number (16 queries × factor×8
           // re-derived scans — measured 6× slower than shared at factor 4

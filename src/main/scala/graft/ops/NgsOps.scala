@@ -175,8 +175,15 @@ object NgsOps {
     * graph (NgsCmdImpls.java:191-216): patterns scoped to the record's
     * graph, default-graph template output wrapped back into that graph
     * (README-NGS.md Rules). The per-record result is an RDF Model (a
-    * set), so output quads are DISTINCT — matching the reference's
-    * materialize-into-Model step. Compiled as ONE distributed plan.
+    * set), so output quads are DISTINCT. Deliberate reduction: the
+    * DISTINCT here is GLOBAL — for default-graph templates that equals
+    * per-record dedup exactly (the record graph is a column of every
+    * quad), but a template with an explicit constant GRAPH emitting the
+    * SAME quad from several records collapses to one row where the
+    * reference's stream carries one copy per record; this engine's
+    * contract everywhere is that a CONSTRUCT result is a quad SET (the
+    * materializer owns dedup), so the set form is kept. Compiled as ONE
+    * distributed plan.
     */
   def mapSparql(quads: DataFrame, constructText: String): DataFrame =
     graft.rules.ConstructParser.parseGraphConstruct(constructText)

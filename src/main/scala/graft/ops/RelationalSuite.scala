@@ -21,9 +21,10 @@ object RelationalSuite {
       p
     })
   /** Verbatim reference fixture from the classpath (provenance:
-    * src/main/resources/reference/README.md).
+    * src/main/resources/reference/README.md). Shared with
+    * ReferenceTestsSpec — one loader, one tmp naming scheme.
     */
-  private def refResource(name: String): String = {
+  private[graft] def refResource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/reference/$name")
     require(in != null, s"missing classpath resource /reference/$name")
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
@@ -32,15 +33,28 @@ object RelationalSuite {
 
   /** Reference fixture materialized to a tmp path (scans take paths);
     * fixture-scale by construction (the files are the reference's own
-    * KB-sized test resources).
+    * KB-sized test resources). The write is ATOMIC (temp + move) so a
+    * concurrent reader in another JVM (test run beside a Verify run)
+    * never sees a half-written file.
     */
-  private def refFixture(name: String): String =
-    fixtureOnce.getOrElseUpdate("ref:" + name, {
+  private[graft] def refFixture(name: String): String =
+    memoOnce("ref:" + name) {
       val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_ref_" + name)
-      java.nio.file.Files.writeString(p, refResource(name))
+      val tmp = java.nio.file.Files.createTempFile(p.getParent, "graft_ref_", ".tmp")
+      java.nio.file.Files.writeString(tmp, refResource(name))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       p.toString
-    })
+    }
+
+  /** Once-per-JVM fixture memo, shared by the suites (deterministic
+    * fixtures keyed by name/dir — repeated bench/verify runs must time
+    * the query, not the fixture manufacture).
+    */
+  private[graft] def memoOnce(key: String)(write: => String): String =
+    fixtureOnce.getOrElseUpdate(key, write)
 
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")

@@ -185,12 +185,10 @@ object RmlSuite {
 
   // fixtures are deterministic functions of (kind, dir): write once per
   // JVM so repeated runs (bench reps, verify) time the MAPPING EXECUTION,
-  // not the driver-side fixture manufacture (same memo pattern as
-  // RelationalSuite.fixtureOnce)
-  private val fixturesMemo = scala.collection.concurrent.TrieMap[String, String]()
+  // not the driver-side fixture manufacture
   private def fixturesOnce(kind: String, dir: String,
       write: => String): String =
-    fixturesMemo.getOrElseUpdate(kind + ":" + dir, write)
+    RelationalSuite.memoOnce("rml:" + kind + ":" + dir)(write)
 
   private val DG = "'<urn:x-arq:DefaultGraph>'"
 

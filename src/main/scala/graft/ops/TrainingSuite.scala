@@ -106,6 +106,14 @@ object TrainingSuite {
        |  ) WHERE jaccard >= 0.6
        |)""".stripMargin
 
+  /** The exact-jaccard pair list — the oracle of BOTH dedup_jaccard and
+    * dedup_minhash (see the dedup_minhash note below).
+    */
+  private val jaccardPairsSql: String =
+    s"""WITH $dupCorpusCte,
+       |$jaccardPairsCte
+       |SELECT a, b, jaccard FROM jp""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $dupCorpusCte,
@@ -114,22 +122,17 @@ object TrainingSuite {
          |       min(doc_id) OVER (PARTITION BY h) AS rep_id,
          |       count(*) OVER (PARTITION BY h) AS group_size
          |FROM hashed""".stripMargin,
-    "dedup_jaccard" ->
-      s"""WITH $dupCorpusCte,
-         |$jaccardPairsCte
-         |SELECT a, b, jaccard FROM jp""".stripMargin,
-    // r8 (VERDICT r7 task 6): full-green oracle for the LSH path. The
-    // pair set DuckDB derives here is the EXACT jaccard pairs; minhash
-    // output equals it because (a) every candidate is verified with
-    // exact jaccard (precision 1.0 by construction) and (b) LSH recall
-    // on this corpus is exactly 1.0 — a DETERMINISTIC fact of the fixed
-    // xxhash64 seeds and corpus, asserted as exact set equality in
-    // TrainingSpec (a future seed/band change that costs recall fails
-    // the spec first, pointing here).
-    "dedup_minhash" ->
-      s"""WITH $dupCorpusCte,
-         |$jaccardPairsCte
-         |SELECT a, b, jaccard FROM jp""".stripMargin,
+    "dedup_jaccard" -> jaccardPairsSql,
+    // r8 (VERDICT r7 task 6): full-green oracle for the LSH path — the
+    // SAME SQL as dedup_jaccard (one shared constant, so they can never
+    // drift apart). The pair set DuckDB derives is the EXACT jaccard
+    // pairs; minhash output equals it because (a) every candidate is
+    // verified with exact jaccard (precision 1.0 by construction) and
+    // (b) LSH recall on this corpus is exactly 1.0 — a DETERMINISTIC
+    // fact of the fixed xxhash64 seeds and corpus, asserted as exact
+    // set equality in TrainingSpec (a future seed/band change that
+    // costs recall fails the spec first, pointing here).
+    "dedup_minhash" -> jaccardPairsSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $dupCorpusCte,
          |$jaccardPairsCte,

@@ -1976,6 +1976,27 @@ object ConstructParser {
     private case class PropFnE(subj: Either[String, (String, Boolean)],
         objVar: String, pos: Option[Either[String, Int]] = None) extends WhereEl
 
+    /** Does `v` occur in a BINDING position of these elements? — pattern
+      * vars, BINDs, VALUES headers, and the binding-visible sub-groups
+      * (GROUP/UNION/OPTIONAL/SERVICE); EXISTS/MINUS do not bind outward.
+      */
+    private def mentionsVar(els: Seq[WhereEl], v: String): Boolean =
+      els.exists {
+        case TpE(g, a, b, c) => (Seq(a, b, c) ++ g.toSeq).exists {
+          case VarT(x) => x == v
+          case _ => false
+        }
+        case GroupE(in) => mentionsVar(in, v)
+        case UnionE(gs) => gs.exists(mentionsVar(_, v))
+        case OptionalE(in) => mentionsVar(in, v)
+        case ServiceE(_, in, _) => mentionsVar(in, v)
+        case ServiceVarE(x, in, _) => x == v || mentionsVar(in, v)
+        case BindE(x, _) => x == v
+        case MapComputeE(x, _, _, _) => x == v
+        case ValuesE(vars, _) => vars.contains(v)
+        case _ => false
+      }
+
     /** `{ element… }` — group graph pattern. `graphCtx` is the enclosing
       * `GRAPH term` token, threaded into each contained triple pattern.
       */
@@ -2134,14 +2155,17 @@ object ConstructParser {
             // binds ?v to the record's graph (never a cross-record
             // join) and GRAPH <iri> matches only when the record IS
             // that graph — inner patterns stay scoped to the record.
-            val seen = g match {
-              case VarT(v) => bgpVarTerm.contains(v)
-              case _ => false
-            }
+            // When ?v is ALSO bound by the inner patterns themselves
+            // (e.g. GRAPH ?v { ?v ?p ?o }) the record constraint is a
+            // FILTER on the pattern-bound column — a BIND would
+            // silently overwrite it; when ?v is bound only by GRAPH,
+            // BIND it to the record graph and let the enclosing
+            // compat join key on it if the var appears elsewhere
+            // (VALUES, other patterns, a second GRAPH ?v group).
             g match { case VarT(v) => bgpVarTerm(v) = true; case _ => () }
             val inner = groupBlock(Some(VarT("#g")))
             g match {
-              case VarT(v) if seen =>
+              case VarT(v) if mentionsVar(inner, v) =>
                 out += GroupE(inner :+
                   FilterE(Array(col(v) === col("#g"))))
               case VarT(v) =>

@@ -23,22 +23,12 @@ import graft.sources.{RdfIO, ResultSetIO}
 class ReferenceTestsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def res(name: String): String = {
-    val in = getClass.getResourceAsStream(s"/reference/$name")
-    require(in != null, s"missing resource /reference/$name")
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
-
-  /** Materialize a classpath fixture to a readable tmp path (readers
-    * take filesystem paths).
-    */
-  private def path(name: String): String = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_ref_" + name)
-    java.nio.file.Files.writeString(p, res(name))
-    p.toString
-  }
+  // one loader + one tmp naming scheme, shared with the driver entries
+  // (RelationalSuite) — no second copy to drift or race
+  private def res(name: String): String =
+    graft.ops.RelationalSuite.refResource(name)
+  private def path(name: String): String =
+    graft.ops.RelationalSuite.refFixture(name)
 
   private def nato: DataFrame =
     RdfIO.readTrig(spark, path("ngs-nato-phonetic-alphabet.trig"))
@@ -128,6 +118,50 @@ class ReferenceTestsSpec extends AnyFunSuite {
     val out = NgsOps.mapSparql(nato, q).collect()
       .map(r => (r.getAs[String]("graph"), r.getAs[String]("obj"))).toSet
     assert(out === Set("<http://example.org/bravo>" -> "\"Bravo\""))
+  }
+
+  test("per-record GRAPH ?v with ?v ALSO pattern-bound keeps the join " +
+      "constraint (record graph == subject) instead of overwriting it") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<urn:g1>", "<urn:g1>", "<urn:p>", "\"match\""),
+      ("<urn:g1>", "<urn:s2>", "<urn:p>", "\"nomatch\""),
+      ("<urn:g2>", "<urn:s3>", "<urn:p>", "\"other\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val out = NgsOps.mapSparql(quads,
+      "CONSTRUCT { ?v <urn:hit> ?o } WHERE { GRAPH ?v { ?v ?p ?o } }")
+      .collect().map(r => (r.getAs[String]("subj"), r.getAs[String]("obj")))
+    assert(out.toSet === Set("<urn:g1>" -> "\"match\""))
+  }
+
+  test("per-record GRAPH ?v joins with an earlier VALUES binding of ?v " +
+      "(no unresolved column, no cross-record leak)") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<urn:g1>", "<urn:s1>", "<urn:p>", "\"a\""),
+      ("<urn:g2>", "<urn:s2>", "<urn:p>", "\"b\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val out = NgsOps.mapSparql(quads,
+      "CONSTRUCT { ?s <urn:hit> ?o } WHERE { " +
+        "VALUES ?v { <urn:g2> } GRAPH ?v { ?s ?p ?o } }")
+      .collect().map(r => (r.getAs[String]("graph"), r.getAs[String]("obj")))
+    assert(out.toSet === Set("<urn:g2>" -> "\"b\""))
+  }
+
+  test("two per-record GRAPH ?v groups share the record binding") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<urn:g1>", "<urn:s1>", "<urn:p>", "\"a\""),
+      ("<urn:g1>", "<urn:s1>", "<urn:q>", "\"b\""),
+      ("<urn:g2>", "<urn:s2>", "<urn:p>", "\"c\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val out = NgsOps.mapSparql(quads,
+      "CONSTRUCT { ?v <urn:both> ?o2 } WHERE { " +
+        "GRAPH ?v { ?s <urn:p> ?o } GRAPH ?v { ?s2 <urn:q> ?o2 } }")
+      .collect().map(r => (r.getAs[String]("graph"), r.getAs[String]("subj"),
+        r.getAs[String]("obj")))
+    // only g1 has both predicates; ?v is the shared record graph
+    assert(out.toSet === Set(("<urn:g1>", "<urn:g1>", "\"b\"")))
   }
 
   // ---- TestSparqlBindingStreamOperators.java:12-28 ----------------------
