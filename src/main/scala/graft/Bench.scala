@@ -233,6 +233,16 @@ object Bench {
             if (sys.env.get("SPARK_GRAFT_SPORTAL_NAIVE").contains("1"))
               time(graft.rules.Sportal.runBattery(lazyCorpus))
             else -1.0
+          // qf fusion over the NON-cached corpus: here each raw query
+          // re-derives the input, so 1 derivation vs 8 is the real
+          // cold-data tradeoff (the cached comparison below isolates the
+          // Expand cost instead)
+          val (raw8Cold, fusedCold) =
+            if (sys.env.get("SPARK_GRAFT_SPORTAL_NAIVE").contains("1"))
+              (time((1 to 8).foreach(i =>
+                 graft.rules.Sportal.runRaw(s"qf$i", lazyCorpus).distinct().collect())),
+               time(graft.rules.Sportal.fusedQfCounts(lazyCorpus).collect()))
+            else (-1.0, -1.0)
           // fixed corpus layout across parallelism levels (a real job
           // reads the same table layout at N and 4N executors); without
           // this the checkpoint inherits the generator's partitioning
@@ -241,18 +251,31 @@ object Bench {
           val nTriples = corpus.count()
           val shared = (1 to reps)
             .map(_ => time(graft.rules.Sportal.runBattery(corpus))).min
+          // multi-agg fusion: the 8 raw qf global counts as 8 separate
+          // queries vs ONE fused aggregation pass (Sportal.fusedQfCounts).
+          // collect(), not count(): the outputs are ≤8 rows, and count()
+          // would let Catalyst PRUNE the aggregate values entirely (the
+          // exploded row count is static) — timing nothing.
+          val raw8 = (1 to reps).map(_ => time(
+            (1 to 8).foreach(i =>
+              graft.rules.Sportal.runRaw(s"qf$i", corpus).distinct().collect()))).min
+          val fused = (1 to reps)
+            .map(_ => time(graft.rules.Sportal.fusedQfCounts(corpus).collect())).min
           System.err.println(f"[sportal] local[$k] triples=$nTriples " +
-            f"naive=$naive%.1fs shared=$shared%.1fs")
-          (naive, shared, nTriples)
+            f"naive=$naive%.1fs shared=$shared%.1fs qf_raw8=$raw8%.1fs " +
+            f"qf_fused=$fused%.1fs (${raw8 / fused}%.2fx cached)" +
+            (if (raw8Cold > 0) f"; cold qf_raw8=$raw8Cold%.1fs " +
+              f"qf_fused=$fusedCold%.1fs (${raw8Cold / fusedCold}%.2fx)" else ""))
+          (naive, shared, nTriples, raw8, fused)
         } finally s.stop()
       }
-      val Seq((nLo, sLo, t1), (nHi, sHi, t2)) = results
+      val Seq((nLo, sLo, t1, r8Lo, fLo), (nHi, sHi, t2, r8Hi, fHi)) = results
       require(t1 == t2, s"corpus mismatch across levels: $t1 vs $t2")
       val eff = (sLo / sHi) / (n2.toDouble / n1)
       System.err.println(f"[sportal] shared $n1->$n2 speedup=${sLo / sHi}%.2fx " +
-        f"efficiency=$eff%.2f" +
+        f"efficiency=$eff%.2f; qf fusion at local[$n2]: ${r8Hi / fHi}%.2fx" +
         (if (nHi > 0) f"; shared-vs-naive at local[$n2]: ${nHi / sHi}%.2fx" else ""))
-      println(s"""{"metric":"sportal_battery_shared_scan_efficiency_${n1}_to_$n2","value":$eff,"unit":"ratio","queries":{"naive_lo_sec":$nLo,"shared_lo_sec":$sLo,"naive_hi_sec":$nHi,"shared_hi_sec":$sHi,"triples":$t1,"queries_run":16},"sf":"$sfDir"}""")
+      println(s"""{"metric":"sportal_battery_shared_scan_efficiency_${n1}_to_$n2","value":$eff,"unit":"ratio","queries":{"naive_lo_sec":$nLo,"shared_lo_sec":$sLo,"naive_hi_sec":$nHi,"shared_hi_sec":$sHi,"qf_raw8_lo_sec":$r8Lo,"qf_fused_lo_sec":$fLo,"qf_raw8_hi_sec":$r8Hi,"qf_fused_hi_sec":$fHi,"triples":$t1,"queries_run":16},"sf":"$sfDir"}""")
       return
     }
 
