@@ -24,9 +24,10 @@ object RelationalSuite {
     * src/main/resources/reference/README.md). Shared with
     * ReferenceTestsSpec — one loader, one tmp naming scheme.
     */
-  private[graft] def refResource(name: String): String = {
-    val in = getClass.getResourceAsStream(s"/reference/$name")
-    require(in != null, s"missing classpath resource /reference/$name")
+  private[graft] def refResource(name: String,
+      dir: String = "reference"): String = {
+    val in = getClass.getResourceAsStream(s"/$dir/$name")
+    require(in != null, s"missing classpath resource /$dir/$name")
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }

@@ -413,7 +413,11 @@ object ConstructParser {
     * "is wrapped in a graph with the same name as the input graph":
     * default-graph templates emit into the record's graph; explicit
     * `GRAPH <g>`/`GRAPH ?v` templates pass through as-is. One distributed
-    * compile — no per-graph query loop.
+    * compile — no per-graph query loop. Known limitation: the GRAPH var
+    * may be used in pattern positions and templates; referencing it
+    * inside an inner BIND/FILTER *expression* when no pattern binds it
+    * (`GRAPH ?v { ?s ?p ?o BIND(STR(?v) AS ?w) }`) is unsupported and
+    * fails loudly at compile (UNRESOLVED_COLUMN), never silently.
     */
   def parseGraphConstruct(text: String): ParsedConstruct =
     new P(text).graphConstructQuery()
@@ -1108,7 +1112,18 @@ object ConstructParser {
         kind: Int = KOther) extends SelItem
     private case object Star extends SelItem
 
-    def selectQuery(expectEnd: Boolean = true): ParsedSelect = {
+    /** `subGraphCtx`: the enclosing `GRAPH term` when this is a SubSelect
+      * inside a graph pattern (SPARQL §13.3: GRAPH sets the active graph
+      * for EVERYTHING inside, subqueries included) — threaded into the
+      * WHERE patterns, and for a variable graph term the var is exposed
+      * through the projection (GRAPH ?v binds ?v at the outer level) and
+      * joins any GROUP BY so aggregates compute per active graph.
+      */
+    def selectQuery(expectEnd: Boolean = true): ParsedSelect =
+      selectQueryCtx(expectEnd, None)
+
+    private def selectQueryCtx(expectEnd: Boolean,
+        subGraphCtx: Option[Tok]): ParsedSelect = {
       // NOTE: deliberately does NOT resetState() — a subquery parse must
       // keep the enclosing dsCtx; the per-query fields are reset here and
       // the enclosing group saves/restores its own state around the call
@@ -1160,7 +1175,7 @@ object ConstructParser {
       dsCtx = ds // nested subqueries inherit
       kw("WHERE") // optional keyword
       skipWs()
-      val els = groupBlock(graphCtx = None)
+      val els = groupBlock(graphCtx = subGraphCtx)
       skipWs()
       // projection expressions were parsed BEFORE the WHERE, when no
       // pattern variable's term-ness was known (everything defaulted to
@@ -1296,6 +1311,27 @@ object ConstructParser {
       if (peek == ';') i += 1
       skipWs()
       if (expectEnd && i < n) fail("trailing input after SELECT query")
+
+      // inside GRAPH ?gv: ?gv is bound by the graph pattern at the OUTER
+      // level (§18.2.1 in-scope rules), so expose it through the
+      // projection, and make it a grouping key so aggregates compute per
+      // active graph (a whole-stream aggregate inside GRAPH ?gv is one
+      // row PER GRAPH, not one row total)
+      subGraphCtx match {
+        case Some(VarT(gv)) if sawPattern =>
+          if (!items.exists {
+            case PlainVar(v) => v == gv
+            case Derived(v, _, _, _) => v == gv
+            case _ => false
+          }) items = items :+ PlainVar(gv)
+          val hasAggItems = items.exists {
+            case Derived(_, _, true, _) => true
+            case _ => false
+          }
+          if ((groupBys.nonEmpty || hasAggItems) && !groupBys.exists(_._1 == gv))
+            groupBys += ((gv, None))
+        case _ => ()
+      }
 
       val bgp = sawPattern
       val pipeline = !bgp && containsPropFn(els)
@@ -1994,6 +2030,13 @@ object ConstructParser {
         case BindE(x, _) => x == v
         case MapComputeE(x, _, _, _) => x == v
         case ValuesE(vars, _) => vars.contains(v)
+        case SubSelectE(_, vars, _) => vars.contains(v)
+        case FsFindE(_, x) => x == v
+        case CsvParseE(_, x, _) => x == v
+        case XmlUnnestE(src, _, x) => x == v || src.exists(_ == v)
+        case UrlTextE(src, x) => x == v || src.exists(_ == v)
+        case PropFnE(subj, objVar, pos) => objVar == v ||
+          subj.exists(_._1 == v) || pos.exists(_.swap.exists(_ == v))
         case _ => false
       }
 
@@ -2011,7 +2054,7 @@ object ConstructParser {
       * subselect's own WHERE close (depth 0) re-parses ITS filters with
       * ITS registrations, then the outer list resumes.
       */
-    private def subSelectEl(): WhereEl = {
+    private def subSelectEl(graphCtx: Option[Tok] = None): WhereEl = {
       val savedBinds = binds
       val savedFilters = filters
       val savedSaw = sawPattern
@@ -2022,7 +2065,7 @@ object ConstructParser {
       pendingFilters.clear()
       val savedDepth = groupDepth
       groupDepth = 0
-      val sub = selectQuery(expectEnd = false)
+      val sub = selectQueryCtx(expectEnd = false, subGraphCtx = graphCtx)
       groupDepth = savedDepth
       pendingFilters.clear()
       pendingFilters ++= savedPending
@@ -2166,7 +2209,13 @@ object ConstructParser {
             val inner = groupBlock(Some(VarT("#g")))
             g match {
               case VarT(v) if mentionsVar(inner, v) =>
+                // ?v may be unbound in SOME solutions (a UNION branch /
+                // OPTIONAL that never mentions it): SPARQL's GRAPH ?v
+                // still binds those to the record graph, so coalesce
+                // FIRST (BIND applies at its position), then the
+                // group-end FILTER keeps only v == record graph
                 out += GroupE(inner :+
+                  BindE(v, E(coalesce(col(v), col("#g")), term = true)) :+
                   FilterE(Array(col(v) === col("#g"))))
               case VarT(v) =>
                 out += GroupE(inner :+ BindE(v, E(col("#g"), term = true)))
@@ -2203,14 +2252,14 @@ object ConstructParser {
           })
         } else if (peek == '{' && subselectAhead) {
           i += 1
-          out += subSelectEl()
+          out += subSelectEl(graphCtx)
           skipWs(); expect('}')
         } else if (selectAhead) {
           // SubSelect filling the group DIRECTLY (SPARQL §18 grammar:
           // GroupGraphPattern ::= '{' (SubSelect | GGPSub) '}') — the
           // shape every sportal query uses: `CONSTRUCT {…} { SELECT … }`.
           // The group's own '}' terminates the loop.
-          out += subSelectEl()
+          out += subSelectEl(graphCtx)
         } else if (peek == '{') {
           val first = groupBlock(graphCtx)
           skipWs()

@@ -148,6 +148,40 @@ class ReferenceTestsSpec extends AnyFunSuite {
     assert(out.toSet === Set("<urn:g2>" -> "\"b\""))
   }
 
+  test("per-record GRAPH ?v with a UNION branch that never binds ?v keeps " +
+      "those solutions (SPARQL: GRAPH still binds ?v to the record graph)") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<urn:g1>", "<urn:s1>", "<urn:p>", "\"a\""),
+      ("<urn:g2>", "<urn:g2>", "<urn:q>", "\"b\""),
+      ("<urn:g3>", "<urn:s3>", "<urn:q>", "\"c\"")) // ?v-branch, subj != graph
+      .toDF("graph", "subj", "pred", "obj")
+    val out = NgsOps.mapSparql(quads,
+      "CONSTRUCT { ?v <urn:hit> ?o } WHERE { GRAPH ?v { " +
+        "{ ?s <urn:p> ?o } UNION { ?v <urn:q> ?o } } }")
+      .collect().map(r => (r.getAs[String]("subj"), r.getAs[String]("obj")))
+    // branch 1 (g1): ?v unbound by the pattern -> the record graph;
+    // branch 2: only g2's subject IS its record graph; g3's is not
+    assert(out.toSet === Set("<urn:g1>" -> "\"a\"", "<urn:g2>" -> "\"b\""))
+  }
+
+  test("per-record GRAPH ?v with ?v bound by a subselect constrains it to " +
+      "the record graph (no silent overwrite)") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<urn:g1>", "<urn:s1>", "<urn:p>", "<urn:g1>"),
+      ("<urn:g1>", "<urn:s1>", "<urn:p>", "<urn:other>"),
+      ("<urn:g2>", "<urn:s2>", "<urn:p>", "<urn:g1>"))
+      .toDF("graph", "subj", "pred", "obj")
+    val out = NgsOps.mapSparql(quads,
+      "CONSTRUCT { ?s <urn:hit> ?v } WHERE { GRAPH ?v { " +
+        "{ SELECT ?s ?v WHERE { ?s <urn:p> ?v } } } }")
+      .collect().map(r => (r.getAs[String]("graph"), r.getAs[String]("subj"),
+        r.getAs[String]("obj")))
+    // only the g1 row whose object equals its own record graph survives
+    assert(out.toSet === Set(("<urn:g1>", "<urn:s1>", "<urn:g1>")))
+  }
+
   test("two per-record GRAPH ?v groups share the record binding") {
     import spark.implicits._
     val quads = Seq(

@@ -22,12 +22,9 @@ import graft.rules.ConstructParser
 class StrayScriptsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def res(dir: String, name: String): String = {
-    val in = getClass.getResourceAsStream(s"/$dir/$name")
-    require(in != null, s"missing resource /$dir/$name")
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
+  // the one shared classpath loader (RelationalSuite) — no second copy
+  private def res(dir: String, name: String): String =
+    graft.ops.RelationalSuite.refResource(name, dir)
 
   private def withProp[A](key: String, value: String)(f: => A): A = {
     val old = sys.props.get(key)
