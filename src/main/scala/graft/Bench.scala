@@ -350,7 +350,12 @@ object Bench {
     val spark = session(cpus)
     // drift-check knobs: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
     // battery; SPARK_GRAFT_BENCH_REPS=N times each query N times and
-    // reports the min (the quiet-window best-of protocol, BASELINE.md)
+    // reports the min (the quiet-window best-of protocol, BASELINE.md).
+    // CAVEAT: entries with session memos (kg_canonical_triples' shared
+    // materialization, the RML fixtures) return cache hits from rep 2 on
+    // — REPS>1 totals are steady-state numbers, NOT comparable to the
+    // driver's single-run protocol; use REPS for per-query drift checks
+    // of non-memoized entries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt

@@ -274,6 +274,25 @@ class PathSpec extends AnyFunSuite {
       ("<g2>", "<a>", "<x>")))
   }
 
+  test("GRAPH scoping reaches subselects (SPARQL 13.3): patterns match " +
+      "the active graph only, aggregates compute per graph") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<g1>", "<a>", "<" + EX + "p>", "\"1\""),
+      ("<g1>", "<b>", "<" + EX + "p>", "\"2\""),
+      ("<g2>", "<c>", "<" + EX + "p>", "\"3\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?g ?n WHERE { GRAPH ?g { SELECT (COUNT(*) AS ?n) WHERE {
+         |  ?s ex:p ?o . } } }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"))).toSet
+    // one row per active graph, counting only that graph's triples —
+    // NOT one global count of 3
+    assert(got === Set("<g1>" -> 2L, "<g2>" -> 1L))
+  }
+
   test("MINUS vs NOT EXISTS with disjoint domains (SPARQL 8.3)") {
     // MINUS sharing no variable removes NOTHING; FILTER NOT EXISTS over
     // the same disjoint pattern removes EVERYTHING (plain satisfiability)
