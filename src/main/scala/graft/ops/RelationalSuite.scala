@@ -356,7 +356,10 @@ object RelationalSuite {
         |FROM (VALUES ('alfa'),('bravo'),('charlie'),('delta'),('echo'),
         |             ('foxtrot'),('golf'),('hotel'),('india')) t(g)""".stripMargin,
     // js-query-3.srj holds ONE binding X="10"^^xsd:integer; SUM's value
-    // domain is double (documented engine reduction)
+    // domain is double (documented engine reduction). NOTE: this oracle
+    // pins the ENGINE'S reduction, not SPARQL §18.5.1's xsd:integer sum
+    // for integer input — if SUM ever regains a typed integer domain,
+    // this CAST must change to CAST(10 AS BIGINT) in lockstep.
     "sbs_js_sum_const" ->
       """SELECT CAST(10 AS DOUBLE) AS sum, '<foo>' AS Y""".stripMargin,
     "sbs_srj_scan" ->

@@ -1319,7 +1319,15 @@ object ConstructParser {
       // row PER GRAPH, not one row total)
       subGraphCtx match {
         case Some(VarT(gv)) if sawPattern =>
-          if (!items.exists {
+          val hasStar = items.exists { case Star => true; case _ => false }
+          if (hasStar) {
+            // `SELECT *` expands from bgpVarTerm below — make sure the
+            // graph var is in it (the GRAPH keyword was parsed in the
+            // OUTER scope, so the subselect's own var map doesn't have
+            // it yet). Appending PlainVar(gv) instead would make the
+            // projection an illegal Star/named mix.
+            if (!bgpVarTerm.contains(gv)) bgpVarTerm(gv) = true
+          } else if (!items.exists {
             case PlainVar(v) => v == gv
             case Derived(v, _, _, _) => v == gv
             case _ => false

@@ -293,6 +293,31 @@ class PathSpec extends AnyFunSuite {
     assert(got === Set("<g1>" -> 2L, "<g2>" -> 1L))
   }
 
+  test("GRAPH ?g over a SELECT * subselect exposes the graph var through " +
+      "star expansion (regression: Star must not mix with named items)") {
+    import spark.implicits._
+    val quads = Seq(
+      ("<g1>", "<a>", "<" + EX + "p>", "\"1\""),
+      ("<g1>", "<b>", "<" + EX + "p>", "\"2\""),
+      ("<g2>", "<c>", "<" + EX + "p>", "\"3\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val q =
+      s"""PREFIX ex: <$EX>
+         |SELECT ?g ?s WHERE { GRAPH ?g { { SELECT * WHERE {
+         |  ?s ex:p ?o . } } } }""".stripMargin
+    val got = ConstructParser.parseSelect(q).run(quads).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("s"))).toSet
+    assert(got === Set(
+      "<g1>" -> "<a>", "<g1>" -> "<b>", "<g2>" -> "<c>"))
+    // outer SELECT * too: every subselect var plus the graph var surfaces
+    val qStar =
+      s"""PREFIX ex: <$EX>
+         |SELECT * WHERE { GRAPH ?g { { SELECT * WHERE { ?s ex:p ?o . } } } }""".stripMargin
+    val df = ConstructParser.parseSelect(qStar).run(quads)
+    assert(Set("g", "s", "o").subsetOf(df.columns.toSet))
+    assert(df.count() === 3)
+  }
+
   test("MINUS vs NOT EXISTS with disjoint domains (SPARQL 8.3)") {
     // MINUS sharing no variable removes NOTHING; FILTER NOT EXISTS over
     // the same disjoint pattern removes EVERYTHING (plain satisfiability)

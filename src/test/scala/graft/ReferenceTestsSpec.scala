@@ -198,6 +198,35 @@ class ReferenceTestsSpec extends AnyFunSuite {
     assert(out.toSet === Set(("<urn:g1>", "<urn:g1>", "\"b\"")))
   }
 
+  test("documented divergence PINNED: a constant-GRAPH template emitting " +
+      "the SAME quad from several records collapses under the global " +
+      "DISTINCT; projecting the record graph into the quad preserves " +
+      "per-record multiplicity (the workaround)") {
+    import spark.implicits._
+    // two records, each containing a triple that the template maps to
+    // the IDENTICAL constant output quad
+    val quads = Seq(
+      ("<urn:g1>", "<urn:s1>", "<urn:p>", "\"x\""),
+      ("<urn:g2>", "<urn:s2>", "<urn:p>", "\"y\""))
+      .toDF("graph", "subj", "pred", "obj")
+    // divergent case: the reference's `ngs map` stream carries one copy
+    // of <urn:out>{<urn:hit> <urn:is> <urn:hit>} PER RECORD (its unit is
+    // a per-record Model); this engine's contract is that a CONSTRUCT
+    // result is a quad SET, so the two identical quads collapse to ONE
+    val collapsed = NgsOps.mapSparql(quads,
+      "CONSTRUCT { GRAPH <urn:out> { <urn:hit> <urn:is> <urn:hit> } } " +
+        "WHERE { ?s <urn:p> ?o }").collect()
+    assert(collapsed.length === 1)
+    assert(collapsed.head.getAs[String]("graph") === "<urn:out>")
+    // workaround: make the record graph part of the emitted quad (here
+    // as the subject) — one row per record survives the set semantics
+    val perRecord = NgsOps.mapSparql(quads,
+      "CONSTRUCT { GRAPH <urn:out> { ?v <urn:is> <urn:hit> } } " +
+        "WHERE { GRAPH ?v { ?s <urn:p> ?o } }")
+      .collect().map(_.getAs[String]("subj")).toSet
+    assert(perRecord === Set("<urn:g1>", "<urn:g2>"))
+  }
+
   // ---- TestSparqlBindingStreamOperators.java:12-28 ----------------------
 
   private def js3: DataFrame = ResultSetIO.readSrj(spark, path("js-query-3.srj"))
