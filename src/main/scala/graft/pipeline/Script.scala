@@ -67,6 +67,42 @@ object Script {
     */
   def runSparql(spark: SparkSession, text: String,
       initial: Option[DataFrame] = None): SparqlRun = {
+    var ds = emptyQuads(spark, initial)
+    var last: Option[DataFrame] = None
+    graft.rules.ConstructParser.parseScript(text).foreach { stmt =>
+      val (next, out) = applyStmt(spark, ds, stmt)
+      ds = next
+      out.foreach(o => last = Some(o.df))
+    }
+    SparqlRun(ds, last)
+  }
+
+  /** A query statement's output: quads (CONSTRUCT/DESCRIBE — route to the
+    * RDF sink) vs a binding table (SELECT/ASK — route to the result-set
+    * sink). The split mirrors the reference's output-mode selection
+    * (SPARQLResultExProcessorBuilder: quad vs bindings mode).
+    */
+  sealed trait StmtOutput { def df: DataFrame }
+  final case class QuadsOutput(df: DataFrame) extends StmtOutput
+  final case class TableOutput(df: DataFrame) extends StmtOutput
+
+  private def emptyQuads(spark: SparkSession,
+      initial: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    initial.getOrElse(
+      Seq.empty[(String, String, String, String)]
+        .toDF("graph", "subj", "pred", "obj"))
+  }
+
+  /** Execute ONE script statement against the current dataset state.
+    * Returns the new state and, for query statements, the output frame —
+    * the single execution step [[runSparql]] folds and the integrate CLI
+    * streams per statement (SparqlIntegrateCmdImpls.java:865-884 streams
+    * each statement's result to the sink as it executes).
+    */
+  def applyStmt(spark: SparkSession, dsIn: DataFrame,
+      stmt: graft.rules.ConstructParser.ScriptStmt)
+      : (DataFrame, Option[StmtOutput]) = {
     import graft.rules.ConstructParser._
     import spark.implicits._
     val QuadCols = Seq("graph", "subj", "pred", "obj")
@@ -76,49 +112,65 @@ object Script {
       ds.join(del.select(QuadCols.map(col): _*), QuadCols, "left_anti")
     def ckpt(df: DataFrame): DataFrame = df.truncateLineage(true)
 
-    var ds = initial.getOrElse(
-      Seq.empty[(String, String, String, String)].toDF(QuadCols: _*))
-    var last: Option[DataFrame] = None
-    parseScript(text).foreach {
+    val ds = dsIn
+    // a query whose WHERE has no triple patterns evaluates over the UNIT
+    // solution (SPARQL §18.2's Z = {μ0}; e.g. example.sparql's url:text +
+    // json:unnest chain) — the quad table would wrongly multiply (or, if
+    // empty, kill) a pattern-less BIND/property-function chain
+    def seedC(q: graft.rules.ConstructParser.ParsedConstruct): DataFrame =
+      if (q.usesQuads) ds else graft.rules.ConstructParser.unitFrame(spark)
+    def seedS(q: graft.rules.ConstructParser.ParsedSelect): DataFrame =
+      if (q.usesQuads) ds else graft.rules.ConstructParser.unitFrame(spark)
+    stmt match {
       case LoadStmt(path, g) =>
-        val loaded = graft.sources.RdfIO.readRdfAuto(spark, path)
-        ds = ckpt(ds.unionByName(
-          g.fold(loaded)(gi => loaded.withColumn("graph", lit(gi)))))
+        // resolve like every other file IRI in the engine: relative paths
+        // against graft.sparql.base, graft.fileAliases prefix remap
+        val loaded = graft.sources.RdfIO.readRdfAuto(spark,
+          graft.rules.ConstructParser.resolveFileIri(path))
+        (ckpt(ds.unionByName(
+          g.fold(loaded)(gi => loaded.withColumn("graph", lit(gi))))), None)
       case InsertDataStmt(rows) =>
-        ds = ckpt(ds.unionByName(quadsDf(rows)))
+        (ckpt(ds.unionByName(quadsDf(rows))), None)
       case DeleteDataStmt(rows) =>
-        ds = ckpt(anti(ds, quadsDf(rows))) // constant side: broadcast anti
+        (ckpt(anti(ds, quadsDf(rows))), None) // constant side: broadcast anti
       case InsertWhereStmt(q) =>
-        ds = ckpt(ds.unionByName(q.run(ds).select(QuadCols.map(col): _*)))
+        (ckpt(ds.unionByName(
+          q.run(seedC(q)).select(QuadCols.map(col): _*))), None)
       case DeleteWhereStmt(q) =>
-        ds = ckpt(anti(ds, q.run(ds)))
+        (ckpt(anti(ds, q.run(seedC(q)))), None)
       case ModifyStmt(del, ins) =>
         // one WHERE binds both templates against the PRE-update dataset;
         // the group is evaluated once and shared (lazy localCheckpoint)
         val (dels, inss) = graft.rules.ConstructParser.runModify(del, ins, ds)
-        ds = ckpt(anti(ds, dels).unionByName(inss.select(QuadCols.map(col): _*)))
+        (ckpt(anti(ds, dels).unionByName(inss.select(QuadCols.map(col): _*))),
+          None)
       case ClearGraphStmt(g) =>
-        ds = ckpt(ds.filter(col("graph") =!= g))
+        (ckpt(ds.filter(col("graph") =!= g)), None)
       // graph management (SPARQL Update §3.2.5-3.2.7) as pure relational
       // rewrites over the quad frame: filter + relabel + union — no
       // row-at-a-time copying, the same shape at any scale
       case AddGraphStmt(src, dst) =>
         // RDF graphs are sets: the rebuilt destination dedupes, so a quad
         // already present in dst (or a repeated ADD) does not double up
-        if (src != dst) ds = ckpt(ds.where(col("graph") =!= dst).unionByName(
-          ds.where(col("graph") === dst).unionByName(
-            ds.where(col("graph") === src).withColumn("graph", lit(dst)))
-            .distinct()))
+        (if (src == dst) ds
+         else ckpt(ds.where(col("graph") =!= dst).unionByName(
+           ds.where(col("graph") === dst).unionByName(
+             ds.where(col("graph") === src).withColumn("graph", lit(dst)))
+             .distinct())), None)
       case CopyGraphStmt(src, dst) =>
-        if (src != dst) ds = ckpt(ds.where(col("graph") =!= dst).unionByName(
-          ds.where(col("graph") === src).withColumn("graph", lit(dst))))
+        (if (src == dst) ds
+         else ckpt(ds.where(col("graph") =!= dst).unionByName(
+           ds.where(col("graph") === src).withColumn("graph", lit(dst)))),
+          None)
       case MoveGraphStmt(src, dst) =>
-        if (src != dst) ds = ckpt(
-          ds.where(col("graph") =!= dst && col("graph") =!= src).unionByName(
-            ds.where(col("graph") === src).withColumn("graph", lit(dst))))
-      case QueryStmt(q) => last = Some(q.run(ds))
-      case SelectQueryStmt(q) => last = Some(q.run(ds))
+        (if (src == dst) ds
+         else ckpt(
+           ds.where(col("graph") =!= dst && col("graph") =!= src).unionByName(
+             ds.where(col("graph") === src).withColumn("graph", lit(dst)))),
+          None)
+      case QueryStmt(q) => (ds, Some(QuadsOutput(q.run(seedC(q)))))
+      case DescribeQueryStmt(q) => (ds, Some(QuadsOutput(q.run(ds))))
+      case SelectQueryStmt(q) => (ds, Some(TableOutput(q.run(seedS(q)))))
     }
-    SparqlRun(ds, last)
   }
 }

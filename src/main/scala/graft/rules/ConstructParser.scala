@@ -71,7 +71,15 @@ object ConstructParser {
   final case class ParsedConstruct(
       rules: Seq[Rule],
       where: Option[DataFrame => DataFrame],
-      needsRowId: Boolean = false) {
+      needsRowId: Boolean = false,
+      /** Does `run`'s input frame act as the QUAD DATASET (BGP mode)?
+        * False = binding-stream/pipeline mode: the input is a solution
+        * stream, so a DATASET context (Script/integrate) must seed with
+        * the unit solution — SPARQL §18.2's Z = {μ0} for a pattern-less
+        * group — not the quad table (one row per quad would multiply a
+        * BIND-only template; an empty dataset would wrongly kill it).
+        */
+      usesQuads: Boolean = true) {
     def run(input: DataFrame): DataFrame =
       applyTo(where.map(_(input)).getOrElse(input))
 
@@ -295,9 +303,19 @@ object ConstructParser {
     */
   private[graft] def resolveFileIriAgainst(iri: String, base: String,
       aliases: Seq[(String, String)] = fileAliases): String = {
+    // Jena-LocationMapper-style URL remap: an alias whose `from` prefix
+    // covers a SCHEME'D IRI (https://example.org/x=/local/x) rewrites it
+    // to a local path BEFORE the network-scheme reject — published query
+    // texts carrying network URLs (example.sparql's github fetch) run
+    // verbatim against local copies, same as the path-prefix remap for
+    // machine-specific absolute paths
+    val pre =
+      if (iri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") &&
+        !iri.startsWith("file:")) applyAliases(iri, aliases)
+      else iri
     val p =
-      if (iri.startsWith("file:")) serviceFilePath(iri)
-      else stripIriQuery(iri, iri)
+      if (pre.startsWith("file:")) serviceFilePath(pre)
+      else stripIriQuery(pre, pre)
     require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
       s"<$iri> is not a resolvable local file IRI (network schemes are " +
         "scoped out)")
@@ -336,7 +354,10 @@ object ConstructParser {
     */
   def runModify(del: ParsedConstruct, ins: ParsedConstruct,
       dataset: DataFrame): (DataFrame, DataFrame) = {
-    val bound = del.where.map(_(dataset)).getOrElse(dataset)
+    // pattern-less WHERE = the unit solution (see ParsedConstruct
+    // .usesQuads), not one binding per quad of the dataset
+    val in = if (del.usesQuads) dataset else unitFrame(dataset.sparkSession)
+    val bound = del.where.map(_(in)).getOrElse(in)
       .truncateLineage(false)
     (del.applyTo(bound), ins.applyTo(bound))
   }
@@ -359,7 +380,12 @@ object ConstructParser {
     * aggregation + modifiers over the binding stream (sbs mode) or the
     * BGP match against a quad table (BGP mode).
     */
-  final case class ParsedSelect(run: DataFrame => DataFrame)
+  final case class ParsedSelect(run: DataFrame => DataFrame,
+      /** See [[ParsedConstruct.usesQuads]] — false = the WHERE has no
+        * triple patterns, so a dataset context seeds with the unit
+        * solution instead of the quad table.
+        */
+      usesQuads: Boolean = true)
 
   /** SPARQL SELECT text — the reference's `sbs map -s 'SELECT … GROUP BY
     * …'` short form (SbsCmdImpls.java:210-217, README-SBS.md) and plain
@@ -494,6 +520,10 @@ object ConstructParser {
   sealed trait ScriptStmt
   final case class QueryStmt(q: ParsedConstruct) extends ScriptStmt
   final case class SelectQueryStmt(q: ParsedSelect) extends ScriptStmt
+  /** DESCRIBE in a script: evaluates like a select form but its OUTPUT is
+    * RDF (the CBD quad subset), so integrate routes it to the quad sink.
+    */
+  final case class DescribeQueryStmt(q: ParsedSelect) extends ScriptStmt
   /** Constant quads as (graph, subj, pred, obj) canonical term strings. */
   final case class InsertDataStmt(rows: Seq[(String, String, String, String)]) extends ScriptStmt
   final case class DeleteDataStmt(rows: Seq[(String, String, String, String)]) extends ScriptStmt
@@ -522,6 +552,25 @@ object ConstructParser {
     * statements separated by optional `;`, PREFIX declarations carry over.
     */
   def parseScript(text: String): Seq[ScriptStmt] = new P(text).scriptStatements()
+
+  /** Parse a MULTI-SOURCE script: `parts` are the texts of the arguments
+    * in order (RDF file args already rewritten to `LOAD <…>` statements
+    * by the caller). The parts are parsed as ONE statement sequence so
+    * PREFIX/BASE declarations carry across files exactly as in the
+    * reference's integrate command (its namespace-test/test-used-prefixes
+    * pair relies on this); each statement is attributed back to the part
+    * whose text it starts in — the provenance `--split` clusters on.
+    */
+  def parseScriptParts(parts: Seq[String]): Seq[(Int, ScriptStmt)] = {
+    val sep = "\n"
+    val offsets = parts.scanLeft(0)((off, t) => off + t.length + sep.length)
+    val combined = parts.mkString(sep)
+    new P(combined).scriptStatementsAt().map { case (at, stmt) =>
+      // the part whose [start, end) span contains the statement start
+      val part = offsets.lastIndexWhere(_ <= at, offsets.length - 2)
+      (part, stmt)
+    }
+  }
 
   private[rules] final class P(s: String, ctx: EvalCtx = EvalCtx(),
       termInputVars: Boolean = false) {
@@ -733,7 +782,7 @@ object ConstructParser {
           }))
         return ParsedConstruct(rules,
           Some(input => compileGroup(els, input, NoDataset, seedWithInput = true)),
-          needsRowId = mintsBnodes)
+          needsRowId = mintsBnodes, usesQuads = false)
       }
       if (!sawPattern) {
         // binding-stream mode: WHERE may only hold BIND/FILTER
@@ -747,7 +796,7 @@ object ConstructParser {
         ParsedConstruct(Seq(Rule("construct", where,
           templates.map { case (st, pt, ot, gt) =>
             TripleTemplate(termOf(st), termOf(pt), termOf(ot), termOf(gt))
-          })), None, needsRowId = mintsBnodes)
+          })), None, needsRowId = mintsBnodes, usesQuads = false)
       } else {
         // BGP mode: the where-compiler turns the input quad table into a
         // binding frame; FILTERs live inside the group compilation
@@ -762,8 +811,16 @@ object ConstructParser {
 
     // --------------------------------------------------------- script
 
-    def scriptStatements(): Seq[ScriptStmt] = {
+    def scriptStatements(): Seq[ScriptStmt] = scriptStatementsAt().map(_._2)
+
+    /** [[scriptStatements]] plus each statement's start offset in the
+      * source text — provenance for the integrate CLI's `--split` mode
+      * (the reference clusters statement outputs by source file,
+      * SparqlIntegrateCmdImpls.java:382-392).
+      */
+    def scriptStatementsAt(): Seq[(Int, ScriptStmt)] = {
       val out = scala.collection.mutable.ArrayBuffer[ScriptStmt]()
+      val starts = scala.collection.mutable.ArrayBuffer[Int]()
 
       // `USING [NAMED] <g>`… between an update template and WHERE — the
       // update-scoped dataset clause (SPARQL Update §3.1.3: USING is FROM
@@ -855,6 +912,7 @@ object ConstructParser {
         resetState()
         prefixLoop()
         skipWs()
+        starts += i // each loop pass appends exactly one statement
         if (kw("CONSTRUCT")) {
           skipWs()
           val short = peek != '{'
@@ -872,6 +930,12 @@ object ConstructParser {
           // rewind so selectQuery re-reads the keyword
           i -= "SELECT".length
           out += SelectQueryStmt(selectQuery(expectEnd = false))
+        } else if (kw("ASK")) {
+          i -= "ASK".length
+          out += SelectQueryStmt(askQuery(expectEnd = false))
+        } else if (kw("DESCRIBE")) {
+          i -= "DESCRIBE".length
+          out += DescribeQueryStmt(describeQuery(expectEnd = false))
         } else if (kw("INSERT")) {
           out += insertTail()
         } else if (kw("DELETE")) {
@@ -910,12 +974,13 @@ object ConstructParser {
           skipWs()
           out += ClearGraphStmt("<" + iriRef() + ">")
         } else fail(
-          "expected CONSTRUCT/SELECT/INSERT/DELETE/WITH/LOAD/CLEAR/ADD/COPY/MOVE")
+          "expected CONSTRUCT/SELECT/ASK/DESCRIBE/INSERT/DELETE/WITH/LOAD/" +
+            "CLEAR/ADD/COPY/MOVE")
         skipWs()
         if (peek == ';') { i += 1; skipWs() }
       }
       require(out.nonEmpty, "empty script")
-      out.toSeq
+      starts.toSeq.zip(out.toSeq)
     }
 
     /** DATA-block templates must be constant quads. */
@@ -944,7 +1009,7 @@ object ConstructParser {
 
     // ----------------------------------------------------------------- ask
 
-    def askQuery(): ParsedSelect = {
+    def askQuery(expectEnd: Boolean = true): ParsedSelect = {
       resetState()
       prefixLoop()
       if (!kw("ASK")) fail("expected ASK")
@@ -956,7 +1021,7 @@ object ConstructParser {
       skipWs()
       if (peek == ';') i += 1
       skipWs()
-      if (i < n) fail("trailing input after ASK query")
+      if (expectEnd && i < n) fail("trailing input after ASK query")
       val bgp = sawPattern
       val pipeline = !bgp && containsPropFn(els)
       ParsedSelect { input =>
@@ -970,7 +1035,7 @@ object ConstructParser {
               s"${elName(other)} requires triple patterns in WHERE")
           }
         bindings.agg((count(lit(1)) > 0).as("ask"))
-      }
+      }.copy(usesQuads = bgp)
     }
 
     def graphAskQuery(): ParsedSelect = {
@@ -1025,7 +1090,7 @@ object ConstructParser {
       finishConstruct(tpl, els)
     }
 
-    def describeQuery(): ParsedSelect = {
+    def describeQuery(expectEnd: Boolean = true): ParsedSelect = {
       resetState()
       prefixLoop()
       if (!kw("DESCRIBE")) fail("expected DESCRIBE")
@@ -1054,7 +1119,7 @@ object ConstructParser {
       skipWs()
       if (peek == ';') i += 1
       skipWs()
-      if (i < n) fail("trailing input after DESCRIBE query")
+      if (expectEnd && i < n) fail("trailing input after DESCRIBE query")
       ParsedSelect { quads =>
         val spark = quads.sparkSession
         val constDf =
@@ -1515,7 +1580,7 @@ object ConstructParser {
           }
         val off = offsetN.map(ordered.offset).getOrElse(ordered)
         limitN.map(off.limit).getOrElse(off)
-      }
+      }.copy(usesQuads = bgp)
     }
 
     /** Possibly-aggregating projection expression: arithmetic (`+ - * /`)
