@@ -146,6 +146,24 @@ object TrainingSuite {
          |SELECT CAST(node AS BIGINT) AS doc_id,
          |       CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY node""".stripMargin,
+    // r9 (VERDICT r8 task 2): full-green oracle — NOT the minhash trick
+    // (no exact-verify step exists to piggyback on) but a complete
+    // independent recomputation: a from-scratch XXH64 in DuckDB SQL
+    // (xxHash public spec, seed 42 = Spark's xxhash64 bit-for-bit;
+    // HUGEINT modular arithmetic, list_reduce loops), the 64-bit
+    // sign-of-bit-sums fingerprint, and the chunk-blocked pair join —
+    // which is LOSSLESS for hamming<=3 (pigeonhole: 3 differing bits
+    // leave >=1 of 4 chunks identical), so blocked == brute-force by
+    // construction, not by corpus luck. Generated single-statement SQL
+    // (the driver gate's multi-statement handling is unverified):
+    // tools/gen_simhash_oracle.py regenerates + cross-checks it.
+    "dedup_simhash" -> {
+      val in = getClass.getResourceAsStream("/oracles/dedup_simhash.sql")
+      require(in != null, "missing resource oracles/dedup_simhash.sql")
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    },
     "dedup_embed" ->
       """SELECT a, b, cos FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
@@ -204,8 +222,10 @@ object TrainingSuite {
         |        unnest(generate_series(0,
         |          greatest((octet_length(encode(text)) + 4 - 1) // 256, 0))) AS f
         |      FROM documents)""".stripMargin
-    // dedup_minhash / dedup_simhash / text_fingerprint / embed_ann:
-    // hash-seeded internals not reproducible in ANSI SQL — rows-only check;
-    // semantics covered by TrainingSpec against exact baselines.
+    // text_fingerprint / embed_ann / embed_ivf: hash-seeded or
+    // data-dependent internals not reproduced in the oracle — rows-only
+    // check; semantics covered by TrainingSpec against exact baselines.
+    // (dedup_minhash went green in r8 via the shared exact-jaccard SQL;
+    // dedup_simhash in r9 via the XXH64-in-DuckDB recomputation above.)
   )
 }

@@ -16,7 +16,7 @@ class RegistrySpec extends AnyFunSuite {
     * hash-seeded or data-dependent, and each bridged by an
     * exact-baseline ScalaTest (TrainingSpec / KgSpec / FnSpec).
     */
-  private val RowsOnly = Set("dedup_simhash",
+  private val RowsOnly = Set(
     "text_fingerprint", "embed_ann", "embed_ivf", "kg_fuzzy_mentions")
 
   test(s"registry holds exactly $ExpectedQueries queries") {
