@@ -86,6 +86,18 @@ object SportalSuite {
     "sportal_script_qb2" -> ((s, dir) => {
       scriptFixture(s, dir)
       Sportal.runScript("sportal-qb2", trip(s, dir)).distinct()
+    }),
+    // the battery-as-a-pipeline (VERDICT r8 task 7): all 16 queries over
+    // ONE persisted scan (the reference's publish()+subscribe fan-out,
+    // MainCliVoidGenerator.java:536-555), each member's distinct output
+    // cardinality pinned by the oracle. Only 16 (id, count) scalars ever
+    // reach the driver; the unpersist is safe because runBattery's
+    // counts are eager.
+    "sportal_battery" -> ((s, dir) => {
+      import s.implicits._
+      val mat = trip(s, dir).persist()
+      try Sportal.runBattery(mat).toDF("query_id", "n")
+      finally mat.unpersist(blocking = false)
     })
   )
 
@@ -109,7 +121,10 @@ object SportalSuite {
   /** Strip the <angle brackets> off a term column. */
   private def bare(c: String) = s"substr($c, 2, length($c) - 2)"
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    baseOracles + ("sportal_battery" -> batteryCountSql)
+
+  private val baseOracles: Map[String, String] = Map(
     "sportal_qb_all" ->
       s"""WITH $cte, agg AS (
          |  SELECT COUNT(subj) AS x, COUNT(DISTINCT subj) AS a,
@@ -222,4 +237,48 @@ object SportalSuite {
          |SELECT '<http://my.data/sot>' AS subj, '<${V}classes>' AS pred,
          |       ${intLit("x")} AS obj, $G FROM agg""".stripMargin
   )
+
+  /** `sportal_battery` oracle: per-query DISTINCT output-row counts for
+    * the whole 16-query battery. Result VALUES are already value-exact
+    * under the per-query entries (qb_all/qc5/qd_all/qe_all/qf6/qf9/
+    * qf_fused); this entry puts the battery-as-a-pipeline FORM itself
+    * under the gate, pinning that every member runs and emits the right
+    * cardinality. Counts reuse the full per-query oracles where one
+    * exists (nested as a subquery) and close-form cardinalities where
+    * the template makes them exact: a whole-corpus aggregate CONSTRUCT
+    * is always exactly 1 triple (qf1–qf8); qc3/qcAllBut35 emit 3/5
+    * distinct triples per class; raw qf9/qf10 mint fresh bnodes per
+    * (property, class) group — 5 triples each.
+    */
+  private def batteryCountSql: String = {
+    def cnt(id: String, inner: String) =
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM (\n$inner\n)) AS BIGINT) AS n"
+    def classTimes(id: String, k: Int) =
+      s"""SELECT '$id' AS query_id, CAST($k * (
+         |  SELECT COUNT(DISTINCT obj) FROM sportal WHERE pred = '$TypeP'
+         |) AS BIGINT) AS n""".stripMargin
+    def one(id: String) =
+      s"SELECT '$id' AS query_id, CAST(1 AS BIGINT) AS n"
+    def groupTimes(id: String, joinKey: String) =
+      s"""SELECT '$id' AS query_id, CAST(5 * (
+         |  SELECT COUNT(*) FROM (
+         |    SELECT DISTINCT t.pred, ty.obj FROM sportal t
+         |    JOIN sportal ty ON ty.subj = t.$joinKey AND ty.pred = '$TypeP')
+         |) AS BIGINT) AS n""".stripMargin
+    val parts = Seq(
+      cnt("qbAllBut2", baseOracles("sportal_qb_all")),
+      classTimes("qc3", 3),
+      cnt("qc5", baseOracles("sportal_qc5")),
+      // 4, not 5: the verbatim query GROUPs BY ?t but does NOT project
+      // it out of the subselect, so the template's `?k v:class ?t`
+      // triple has an unbound ?t and is dropped (SPARQL §16.2) — the
+      // reference under Jena behaves identically
+      classTimes("qcAllBut35", 4),
+      cnt("qdAll", baseOracles("sportal_qd_all")),
+      cnt("qeAll", baseOracles("sportal_qe_all"))) ++
+      (1 to 8).map(i => one(s"qf$i")) ++ Seq(
+      groupTimes("qf9", "subj"),
+      groupTimes("qf10", "obj"))
+    s"WITH $cte\n" + parts.mkString("\nUNION ALL\n")
+  }
 }
