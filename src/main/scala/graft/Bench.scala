@@ -34,7 +34,10 @@ object Bench {
       // the multi-shuffle LSH query 10x SLOWER at this scale — more stages
       // x more tiny tasks; plain cores-sized shuffles win.)
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false isolates AQE's contribution (the salt
+      // bench uses it to measure the no-AQE regime)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -315,6 +318,67 @@ object Bench {
       System.err.println(f"[trig] bytes=$bytes quads=$seqN " +
         f"wholetext=$seqT%.1fs chunked=$chunkT%.1fs speedup=${seqT / chunkT}%.2fx")
       println(s"""{"metric":"trig_chunk_speedup","value":${seqT / chunkT},"unit":"x","queries":{"wholetext_sec":$seqT,"chunked_sec":$chunkT,"quads":$seqN,"bytes":$bytes},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("salt")) {
+      // SaltedJoin vs plain-shuffle(+AQE) vs broadcast on a PLANTED-SKEW
+      // mention join (VERDICT r8 task 4): one "stop-word" surface occurs
+      // in `hotFrac` of all turns, the gazetteer is sized past the
+      // broadcast cutoff, and all three join forms must return the same
+      // count. Broadcast is the truth baseline (and the engine's default
+      // while the gazetteer fits); the question measured here is which
+      // SHUFFLE form carries the hot key better once it doesn't.
+      import org.apache.spark.sql.functions._
+      val spark = session(cpus)
+      import spark.implicits._
+      // Defaults = the regime the strategy is FOR (fact >> dim x buckets,
+      // extreme skew). At small volume (2M turns) salting loses ~2x to
+      // the dim replication — both regimes recorded in BASELINE.md.
+      val turns = sys.env.getOrElse("SPARK_GRAFT_SALT_TURNS", "40000000").toLong
+      val gazN = sys.env.getOrElse("SPARK_GRAFT_SALT_GAZ", "2500000").toLong
+      val hotPct = sys.env.getOrElse("SPARK_GRAFT_SALT_HOTPCT", "80").toInt
+      // every turn is one token so ngramSpans emits exactly one 1-gram;
+      // hotPct% carry the hot surface, the rest unique cold tokens
+      val t = spark.range(turns).select(
+        concat(lit("c"), (col("id") % 1000).cast("string")).as("conv_id"),
+        col("id").cast("int").as("turn_idx"),
+        when(col("id") % 100 < hotPct, lit("hotword"))
+          .otherwise(concat(lit("cold"), col("id").cast("string")))
+          .as("text")).localCheckpoint()
+      // gazetteer: the hot surface + (gazN-1) cold ones (mostly no match)
+      val gaz = spark.range(gazN).select(
+        when(col("id") === 0, lit("hotword"))
+          .otherwise(concat(lit("cold"), col("id").cast("string")))
+          .as("surface"),
+        concat(lit("http://graft.io/alias/S"), col("id").cast("string"))
+          .as("alias_iri")).localCheckpoint()
+      def run(mode: String): (Double, Long) = {
+        val buckets = sys.env.getOrElse("SPARK_GRAFT_SALT_BUCKETS", "8")
+        mode match {
+          case "broadcast" => ()
+          case "shuffle" => spark.conf.set("graft.gazetteer.saltBuckets", "1")
+          case "salted" => spark.conf.set("graft.gazetteer.saltBuckets", buckets)
+        }
+        val forced = if (mode == "broadcast") Some(true) else Some(false)
+        val t0 = System.nanoTime()
+        val n = graft.linking.Gazetteer.mentionsRaw(t, gaz, Seq(1), forced)
+          .count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      run("broadcast") // warm JIT/codegen on the cheapest form
+      val results = Seq("broadcast", "shuffle", "salted").map(m => m -> run(m))
+      val counts = results.map(_._2._2).distinct
+      require(counts.size == 1, s"join forms disagree: $results")
+      results.foreach { case (m, (s, n)) =>
+        System.err.println(f"[salt] $m%-10s $s%7.2fs rows=$n")
+      }
+      val times = results.toMap
+      val speedup = times("shuffle")._1 / times("salted")._1
+      val qs = results.map { case (m, (s, _)) => s""""${m}_sec":$s""" }
+        .mkString("{", ",", s""","rows":${counts.head},"turns":$turns,"gaz":$gazN,"hot_pct":$hotPct}""")
+      println(s"""{"metric":"salted_vs_shuffle_speedup","value":$speedup,"unit":"x","queries":$qs,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
