@@ -311,13 +311,16 @@ object Integrate {
           // bindings-only script: the TSV IS the main output
           cfg.outFile match {
             case Some(f) =>
-              val tmpOut = new java.io.ByteArrayOutputStream()
-              val ps = new PrintStream(tmpOut, true, "UTF-8")
-              tables.foreach { case (_, df) => printTsv(df, ps) }
+              // stream rows straight to the tmp file (toLocalIterator via
+              // printTsv) — buffering the whole TSV on the driver would
+              // break the no-driver-collect contract for large results
               val p = Paths.get(f)
               Option(p.getParent).foreach(Files.createDirectories(_))
               val tmp = p.resolveSibling("." + p.getFileName + ".tmp")
-              Files.write(tmp, tmpOut.toByteArray)
+              val ps = new PrintStream(Files.newOutputStream(tmp),
+                false, "UTF-8")
+              try tables.foreach { case (_, df) => printTsv(df, ps) }
+              finally ps.close()
               Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
             case None => tables.foreach { case (_, df) => printTsv(df, out) }
