@@ -38,8 +38,11 @@ import graft.sources.RdfIO
   *    [[graft.materialize.Materializer]] — a single file IS the
   *    bottleneck at 100 TB, so that path is not offered here.
   *
-  * Scoped out loudly (sandbox/scope ledger in SURVEY.md): `--server`,
-  * non-`mem` engines, network IRIs.
+  * `--server` stands up the SPARQL 1.1 Protocol endpoint over the final
+  * dataset state ([[graft.server.SparqlHttpServer]]; the reference's
+  * serving sink, SparqlIntegrateCmdImpls.java:801-863). Scoped out
+  * loudly (sandbox/scope ledger in SURVEY.md): non-`mem` engines,
+  * network IRIs.
   */
 object Integrate {
 
@@ -52,6 +55,10 @@ object Integrate {
       macros: Seq[String] = Nil,
       split: Option[String] = None,
       unionDefaultGraph: Boolean = false,
+      server: Boolean = false,
+      serverPort: Int = graft.server.SparqlHttpServer.DefaultPort,
+      readOnly: Boolean = false,
+      unsafe: Boolean = false,
       args: Seq[String] = Nil)
 
   def usage: String =
@@ -68,6 +75,11 @@ object Integrate {
       |      --macro FILE.ttl  load udf:simpleDefinition macros
       |      --split DIR       one output file per source argument
       |  -u                    union default graph (engine default; no-op)
+      |      --server          serve the final dataset over HTTP
+      |                        (SPARQL 1.1 Protocol at /sparql, /graphql)
+      |      --port N          server port (default 8642; 0 = ephemeral)
+      |      --read-only       disable SPARQL update on the server
+      |      --unsafe          allow LOAD (file access) over the protocol
       |""".stripMargin
 
   def parseArgs(argv: Seq[String]): Config = {
@@ -93,9 +105,10 @@ object Integrate {
           "(tdb2/difs are native-store engines; this engine's persistent " +
           "form is the bucketed parquet Materializer)")
         loop(t, c)
-      case "--server" :: _ =>
-        throw new IllegalArgumentException(
-          "--server is scoped out (serving layer; see SURVEY.md ledger)")
+      case "--server" :: t => loop(t, c.copy(server = true))
+      case "--port" :: v :: t => loop(t, c.copy(serverPort = v.toInt))
+      case "--read-only" :: t => loop(t, c.copy(readOnly = true))
+      case "--unsafe" :: t => loop(t, c.copy(unsafe = true))
       case a :: _ if a.startsWith("-") && a.length > 1 =>
         // every option is matched above; SPARQL text never starts with '-'
         throw new IllegalArgumentException(s"unknown option $a\n$usage")
@@ -245,10 +258,16 @@ object Integrate {
   /** The testable whole-CLI path: parse argv, classify + execute the
     * workloads, route outputs. Returns the exit code.
     */
+  /** The server started by the last `--server` run (ephemeral-port tests
+    * need the bound port; the CLI itself blocks in [[run]]).
+    */
+  @volatile var lastServer: Option[graft.server.SparqlHttpServer] = None
+
   def run(argv: Array[String], spark: SparkSession,
-      out: PrintStream, err: PrintStream): Int = {
+      out: PrintStream, err: PrintStream,
+      awaitServer: Boolean = true): Int = {
     val cfg = parseArgs(argv.toIndexedSeq)
-    if (cfg.args.isEmpty) { err.print(usage); return 2 }
+    if (cfg.args.isEmpty && !cfg.server) { err.print(usage); return 2 }
     if (cfg.unionDefaultGraph)
       err.println("[integrate] -u: note — plain patterns over a quad " +
         "dataset already match all graphs in this engine (union default " +
@@ -326,6 +345,19 @@ object Integrate {
             case None => tables.foreach { case (_, df) => printTsv(df, out) }
           }
         } else tables.foreach { case (_, df) => printTsv(df, err) }
+    }
+    if (cfg.server) {
+      // serve the FINAL dataset state — the reference starts its server
+      // over the same connection the workloads just mutated
+      // (SparqlIntegrateCmdImpls.java:801-863)
+      val srv = graft.server.SparqlHttpServer.start(spark, ds,
+        port = cfg.serverPort, readOnly = cfg.readOnly, unsafe = cfg.unsafe)
+      lastServer = Some(srv)
+      err.println("[integrate] SPARQL service running at " +
+        s"http://localhost:${srv.port}/sparql")
+      if (awaitServer)
+        try new java.util.concurrent.CountDownLatch(1).await()
+        catch { case _: InterruptedException => srv.stop() }
     }
     0
   }

@@ -38,7 +38,8 @@ object SparkEntry {
     "kg_canonical_triples" -> ((s, dir) => pipeline.Kg.canonicalTriplesShared(s, dir)),
     "kg_graph_stats" -> ((s, dir) => pipeline.Kg.graphStats(s, dir))
   ) ++ ops.RelationalSuite.queries ++ ops.TrainingSuite.queries ++
-    ops.AlgebraSuite.queries ++ ops.RmlSuite.queries ++ ops.SportalSuite.queries
+    ops.AlgebraSuite.queries ++ ops.RmlSuite.queries ++
+    ops.SportalSuite.queries ++ ops.ServerSuite.queries
 
   /** DuckDB-equivalent SQL per query key (same column names!). */
   def oracleSql: Map[String, String] = Map(
@@ -57,5 +58,6 @@ object SparkEntry {
     "kg_canonical_triples" -> pipeline.Kg.canonicalTriplesOracle,
     "kg_graph_stats" -> pipeline.Kg.graphStatsOracle
   ) ++ ops.RelationalSuite.oracles ++ ops.TrainingSuite.oracles ++
-    ops.AlgebraSuite.oracles ++ ops.RmlSuite.oracles ++ ops.SportalSuite.oracles
+    ops.AlgebraSuite.oracles ++ ops.RmlSuite.oracles ++
+    ops.SportalSuite.oracles ++ ops.ServerSuite.oracles
 }
