@@ -3,6 +3,8 @@ package graft
 import java.io.PrintStream
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -40,7 +42,7 @@ import graft.sources.RdfIO
   *
   * `--server` stands up the SPARQL 1.1 Protocol endpoint over the final
   * dataset state ([[graft.server.SparqlHttpServer]]; the reference's
-  * serving sink, SparqlIntegrateCmdImpls.java:801-863). Scoped out
+  * serving sink, SparqlIntegrateCmdImpls.java:801-863). Still scoped out
   * loudly (sandbox/scope ledger in SURVEY.md): non-`mem` engines,
   * network IRIs.
   */
@@ -136,16 +138,25 @@ object Integrate {
   final case class Workload(name: String, text: String)
 
   def classify(arg: String): Workload = {
-    val resolved = scala.util.Try(
-      ConstructParser.resolveFileIri(arg)).getOrElse(arg)
-    val p = Paths.get(resolved)
+    // Only consult the file-IRI resolver for args that could plausibly
+    // BE a path: inline SPARQL always contains whitespace, and feeding it
+    // through resolveFileIri would trip the query-strip pass on the '?'
+    // of the first variable, printing a spurious "ignoring IRI parameter"
+    // warning for the CLI's primary documented usage.
+    val pathLike = arg.nonEmpty && !arg.exists(_.isWhitespace)
+    val resolved =
+      if (pathLike) scala.util.Try(
+        ConstructParser.resolveFileIri(arg)).getOrElse(arg)
+      else arg
+    val pOpt =
+      if (pathLike) scala.util.Try(Paths.get(resolved)).toOption else None
     def base = {
-      val fn = p.getFileName.toString
+      val fn = pOpt.get.getFileName.toString
       val dot = fn.indexOf('.')
       if (dot > 0) fn.substring(0, dot) else fn
     }
-    if (Files.isRegularFile(p)) {
-      if (arg.matches(SparqlExt)) Workload(base, Files.readString(p))
+    if (pOpt.exists(Files.isRegularFile(_))) {
+      if (arg.matches(SparqlExt)) Workload(base, Files.readString(pOpt.get))
       else if (arg.matches(RdfExt) || RdfIO.probeRdfLocal(resolved))
         Workload(base, s"LOAD <$arg>")
       else throw new IllegalArgumentException(
@@ -171,11 +182,13 @@ object Integrate {
 
   /** Distributed single-file write: parts staged by executors, then
     * concatenated in part order and atomically moved into place.
+    * `mkdirs = false` preserves the reference's fail-without-flag
+    * semantics for `-o` paths whose parent does not exist.
     */
   private[graft] def writeSingleFile(lines: DataFrame, out: Path,
-      gzip: Boolean): Unit = {
+      gzip: Boolean, mkdirs: Boolean = true): Unit = {
     val parent = Option(out.getParent).getOrElse(Paths.get("."))
-    Files.createDirectories(parent)
+    ensureParentDir(out, mkdirs)
     val staging = parent.resolve("." + out.getFileName + ".staging")
     val tmp = parent.resolve("." + out.getFileName + ".tmp")
     val w = lines.write.mode("overwrite")
@@ -183,14 +196,29 @@ object Integrate {
     val os = Files.newOutputStream(tmp, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      Files.list(staging).iterator().asScala
+      val s = Files.list(staging)
+      try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-"))
         .toSeq.sortBy(_.getFileName.toString)
         .foreach(part => Files.copy(part, os))
+      finally s.close()
     } finally os.close()
     Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     deleteRec(staging)
+  }
+
+  /** Fail loudly when the output's parent directory is missing unless
+    * directory creation was requested (`--out-mkdirs`).
+    */
+  private def ensureParentDir(out: Path, mkdirs: Boolean): Unit = {
+    val parent = Option(out.getParent).getOrElse(Paths.get("."))
+    if (!Files.isDirectory(parent)) {
+      require(mkdirs,
+        s"$out: parent directory $parent does not exist " +
+          "(pass --out-mkdirs to create it)")
+      Files.createDirectories(parent)
+    }
   }
 
   private def deleteRec(p: Path): Unit =
@@ -201,13 +229,6 @@ object Integrate {
       }
       Files.deleteIfExists(p)
     }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
-  }
 
   /** Quad frame → serialized text lines in the requested format. */
   private def quadLines(quads: DataFrame, fmt: String): DataFrame = {
@@ -255,14 +276,14 @@ object Integrate {
 
   // -------------------------------------------------------------- run
 
-  /** The testable whole-CLI path: parse argv, classify + execute the
-    * workloads, route outputs. Returns the exit code.
-    */
   /** The server started by the last `--server` run (ephemeral-port tests
     * need the bound port; the CLI itself blocks in [[run]]).
     */
   @volatile var lastServer: Option[graft.server.SparqlHttpServer] = None
 
+  /** The testable whole-CLI path: parse argv, classify + execute the
+    * workloads, route outputs. Returns the exit code.
+    */
   def run(argv: Array[String], spark: SparkSession,
       out: PrintStream, err: PrintStream,
       awaitServer: Boolean = true): Int = {
@@ -275,8 +296,12 @@ object Integrate {
     cfg.macros.foreach(m => graft.functions.Macros.loadTtlFile(m))
 
     val workloads = cfg.args.map(classify)
-    val parts = ConstructParser.parseScriptParts(
-      workloads.map(w => substEnv(w.text, cfg.env)))
+    // `--server` with no positional args is legal: serve an empty dataset
+    // (the parser would reject a zero-statement script)
+    val parts =
+      if (workloads.isEmpty) Seq.empty[(Int, ConstructParser.ScriptStmt)]
+      else ConstructParser.parseScriptParts(
+        workloads.map(w => substEnv(w.text, cfg.env)))
 
     // execute in order over one dataset; attribute query outputs to their
     // source argument (the --split provenance cluster)
@@ -315,10 +340,8 @@ object Integrate {
       case None =>
         val mainSink: DataFrame => Unit = lines => cfg.outFile match {
           case Some(f) =>
-            if (cfg.outMkDirs) Option(Paths.get(f).getParent)
-              .foreach(Files.createDirectories(_))
             writeSingleFile(lines, Paths.get(f),
-              gzip = f.matches("(?i).*\\.gz$"))
+              gzip = f.matches("(?i).*\\.gz$"), mkdirs = cfg.outMkDirs)
           case None =>
             lines.toLocalIterator().asScala
               .foreach(r => out.println(r.getString(0)))
@@ -334,7 +357,7 @@ object Integrate {
               // printTsv) — buffering the whole TSV on the driver would
               // break the no-driver-collect contract for large results
               val p = Paths.get(f)
-              Option(p.getParent).foreach(Files.createDirectories(_))
+              ensureParentDir(p, cfg.outMkDirs)
               val tmp = p.resolveSibling("." + p.getFileName + ".tmp")
               val ps = new PrintStream(Files.newOutputStream(tmp),
                 false, "UTF-8")
