@@ -24,6 +24,60 @@ object AlgebraSuite {
   private def unit(s: SparkSession) =
     graft.rules.ConstructParser.unitFrame(s)
 
+  /** Deterministic on-disk git repo for `ngs_git`: config-isolated
+    * (`GIT_CONFIG_GLOBAL/SYSTEM=/dev/null`), fixed identity and epoch
+    * author/committer dates make the two commit ids — and so the graph
+    * names — byte-stable across machines, so the oracle pins them as
+    * constants. Built once per JVM; a marker file skips rebuilds.
+    */
+  private[graft] lazy val gitFixtureFile: String = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_git_fixture")
+    val data = base.resolve("data.ttl")
+    val marker = base.resolve(".graft_done")
+    if (!java.nio.file.Files.exists(marker)) {
+      def rm(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try s.iterator().forEachRemaining(rm) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+      rm(base)
+      java.nio.file.Files.createDirectories(base)
+      def git(date: Option[String], args: String*): Unit = {
+        val pb = new ProcessBuilder(
+          (Seq("git", "-C", base.toString) ++ args): _*)
+        val env = pb.environment()
+        env.put("GIT_CONFIG_GLOBAL", "/dev/null")
+        env.put("GIT_CONFIG_SYSTEM", "/dev/null")
+        date.foreach { d =>
+          env.put("GIT_AUTHOR_DATE", d); env.put("GIT_COMMITTER_DATE", d)
+        }
+        val p = pb.start()
+        p.getOutputStream.close()
+        val out = new String(p.getInputStream.readAllBytes())
+        val err = new String(p.getErrorStream.readAllBytes())
+        require(p.waitFor() == 0,
+          s"git fixture: ${args.mkString(" ")} failed: ${err.trim} $out")
+      }
+      git(None, "init", "-q", ".")
+      git(None, "config", "user.name", "graft")
+      git(None, "config", "user.email", "graft@example.org")
+      git(None, "config", "commit.gpgsign", "false")
+      java.nio.file.Files.writeString(data, "<urn:a> <urn:p> \"one\" .\n")
+      git(None, "add", "data.ttl")
+      git(Some("1700000000 +0000"), "commit", "-q", "-m", "r1")
+      java.nio.file.Files.writeString(data,
+        "<urn:a> <urn:p> \"one\" .\n<urn:b> <urn:p> \"two\" .\n")
+      git(None, "add", "data.ttl")
+      git(Some("1700000100 +0000"), "commit", "-q", "-m", "r2")
+      java.nio.file.Files.createFile(marker)
+    }
+    data.toString
+  }
+
   /** Deterministic customers CSV on tmp (shared by csv_scan, csv_scan_pf
     * and url_text — ONE writer, one layout).
     */
@@ -856,6 +910,10 @@ object AlgebraSuite {
       RdfIO.writeTrigFixture(s, dir, path)
       RdfIO.probe(s, path)
     }),
+    "ngs_git" -> ((s, _) =>
+      // `ngs git` (NgsGitCmdImpls.java:44-160) over the deterministic
+      // two-revision fixture repo; graph names pin the fixed commit ids
+      NgsOps.gitRevisions(s, gitFixtureFile)),
     "stream_dedup_quads" -> ((s, dir) => {
       // streaming exact dedup (append mode, each distinct quad once);
       // the transcript quads contain no duplicates, so distinct = all —
@@ -1389,6 +1447,31 @@ object AlgebraSuite {
          |WHERE graph = '<http://example.org/g3>'
          |  AND pred = '<http://example.org/comment>'""".stripMargin,
     "ngs_probe" -> "SELECT 'trig' AS syntax, 'none' AS compression",
+    // pinned by the deterministic fixture repo (fixed identity + dates →
+    // fixed commit ids); 2 meta quads per revision + the payload at each
+    "ngs_git" ->
+      """SELECT * FROM (VALUES
+        |  ('<urn:git:43d58f0f669de593e81c0ac7c23cf47fc8c3b4e6-2023-11-14T22:13:20Z>',
+        |   '<urn:git:43d58f0f669de593e81c0ac7c23cf47fc8c3b4e6-2023-11-14T22:13:20Z>',
+        |   '<urn:git:timestamp>',
+        |   '"2023-11-14T22:13:20Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        |  ('<urn:git:43d58f0f669de593e81c0ac7c23cf47fc8c3b4e6-2023-11-14T22:13:20Z>',
+        |   '<urn:git:43d58f0f669de593e81c0ac7c23cf47fc8c3b4e6-2023-11-14T22:13:20Z>',
+        |   '<urn:git:name>', '"43d58f0f669de593e81c0ac7c23cf47fc8c3b4e6"'),
+        |  ('<urn:git:43d58f0f669de593e81c0ac7c23cf47fc8c3b4e6-2023-11-14T22:13:20Z>',
+        |   '<urn:a>', '<urn:p>', '"one"'),
+        |  ('<urn:git:4fa486d280de952cf3e9397fe9750ea138cbef57-2023-11-14T22:15:00Z>',
+        |   '<urn:git:4fa486d280de952cf3e9397fe9750ea138cbef57-2023-11-14T22:15:00Z>',
+        |   '<urn:git:timestamp>',
+        |   '"2023-11-14T22:15:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        |  ('<urn:git:4fa486d280de952cf3e9397fe9750ea138cbef57-2023-11-14T22:15:00Z>',
+        |   '<urn:git:4fa486d280de952cf3e9397fe9750ea138cbef57-2023-11-14T22:15:00Z>',
+        |   '<urn:git:name>', '"4fa486d280de952cf3e9397fe9750ea138cbef57"'),
+        |  ('<urn:git:4fa486d280de952cf3e9397fe9750ea138cbef57-2023-11-14T22:15:00Z>',
+        |   '<urn:a>', '<urn:p>', '"one"'),
+        |  ('<urn:git:4fa486d280de952cf3e9397fe9750ea138cbef57-2023-11-14T22:15:00Z>',
+        |   '<urn:b>', '<urn:p>', '"two"')
+        |) t(graph, subj, pred, obj)""".stripMargin,
     "stream_dedup_quads" ->
       s"""$tripCte
          |SELECT DISTINCT graph, subj, pred, obj FROM trip""".stripMargin,

@@ -210,4 +210,82 @@ object NgsOps {
       .select("graph")
     quads.join(keep, Seq("graph"), "left_semi")
   }
+
+  /** `ngs git` — every committed revision of an RDF file as a named-graph
+    * stream (NgsGitCmdImpls.java:44-160): one graph per commit touching
+    * the file, named `urn:git:<commitId>-<authorInstant>`, carrying the
+    * file's triples AT that revision plus two metadata triples on the
+    * graph IRI itself (`<urn:git:timestamp>` xsd:dateTime of the author
+    * time, `<urn:git:name>` the commit id — NgsGitCmdImpls.java:139-146).
+    *
+    * The reference walks the repository with JGit; this engine shells the
+    * `git` porcelain instead (no JGit offline): the revision WALK and the
+    * blob reads are driver-side — revision-count scale, the same bounded-
+    * metadata contract as the file-SERVICE endpoint — while the RDF
+    * parsing of each revision's payload runs DISTRIBUTED, one task per
+    * revision through the engine's own TriG/Turtle parser, so a file with
+    * thousands of revisions fans its parse out across executors.
+    *
+    * Reductions vs the reference, both deliberate: (1) author timestamps
+    * normalize to UTC (`Instant` lexical form) where JGit's XSDDateTime
+    * carries the committer's zone offset — this engine is UTC everywhere;
+    * (2) a TriG payload's named graphs collapse into the revision graph
+    * (the reference reads payloads into a single Jena Model, which
+    * likewise keeps only one graph's worth of triples).
+    */
+  def gitRevisions(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val file = new java.io.File(path).getAbsoluteFile
+    require(file.isFile, s"ngs git: no such file: $path")
+    val dir = file.getParentFile
+    val root = scala.util.Try(gitOut(dir, "rev-parse", "--show-toplevel"))
+      .map(_.trim).getOrElse("")
+    require(root.nonEmpty, s"ngs git: no git repo detected for file: $file")
+    val rel = java.nio.file.Paths.get(root).toRealPath()
+      .relativize(file.toPath.toRealPath()).toString
+    val revs = gitOut(dir, "log", "--format=%H\t%at", "--", rel)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val cut = l.indexOf('\t')
+        (l.substring(0, cut), l.substring(cut + 1).toLong)
+      }.toSeq
+    val payloads = revs.map { case (sha, at) =>
+      (sha, at, gitOut(dir, "show", s"$sha:$rel"))
+    }
+    val nParts = math.max(1, math.min(payloads.size, 32))
+    spark.createDataset(payloads).repartition(nParts)
+      .flatMap { case (sha, at, text) =>
+        val g = "<urn:git:" + sha + "-" +
+          java.time.Instant.ofEpochSecond(at).toString + ">"
+        val meta = Iterator(
+          (g, g, "<urn:git:timestamp>",
+            "\"" + java.time.Instant.ofEpochSecond(at).toString +
+              "\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"),
+          (g, g, "<urn:git:name>", "\"" + sha + "\""))
+        // bnode labels are revision-scoped: prefix by the short sha so
+        // labels never collide across revisions of the same document
+        val body = graft.sources.TrigParser
+          .parse(text, g, genPrefix = "r" + sha.take(12) + "g")
+          .map(q => (g, q.subj, q.pred, q.obj))
+        meta ++ body
+      }
+      .toDF("graph", "subj", "pred", "obj")
+  }
+
+  /** Run a git subcommand against the repo containing `dir`; stdout on
+    * success, loud failure with git's stderr otherwise. Driver-side only.
+    */
+  private def gitOut(dir: java.io.File, args: String*): String = {
+    val pb = new ProcessBuilder(
+      (Seq("git", "-C", dir.getAbsolutePath) ++ args): _*)
+    val p = pb.start()
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val err = new String(p.getErrorStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(p.waitFor() == 0,
+      s"git ${args.headOption.getOrElse("")} failed: ${err.trim}")
+    out
+  }
 }

@@ -151,4 +151,78 @@ class OpsSpec extends AnyFunSuite {
     assert(u.columns.toSeq === Seq("id", "name", "score"))
     assert(u.filter($"id" === 2 && $"name".isNull).count() === 1)
   }
+
+  /** Run git in `dir` with a pinned identity + date (deterministic ids). */
+  private def gitAt(dir: java.nio.file.Path, date: String, args: String*): Unit = {
+    val pb = new ProcessBuilder((Seq("git", "-C", dir.toString) ++ args): _*)
+    val env = pb.environment()
+    env.put("GIT_CONFIG_GLOBAL", "/dev/null")
+    env.put("GIT_CONFIG_SYSTEM", "/dev/null")
+    env.put("GIT_AUTHOR_DATE", date); env.put("GIT_COMMITTER_DATE", date)
+    val p = pb.start()
+    p.getOutputStream.close()
+    p.getInputStream.readAllBytes(); val err = p.getErrorStream.readAllBytes()
+    assert(p.waitFor() === 0, new String(err))
+  }
+
+  test("gitRevisions: one graph per commit, metadata + payload at each rev") {
+    val repo = java.nio.file.Files.createTempDirectory("graft-git")
+    gitAt(repo, "1600000000 +0000", "init", "-q", ".")
+    gitAt(repo, "1600000000 +0000", "config", "user.name", "t")
+    gitAt(repo, "1600000000 +0000", "config", "user.email", "t@example.org")
+    val f = repo.resolve("d.ttl")
+    // rev 1: turtle with a prefix + an anonymous bnode
+    java.nio.file.Files.writeString(f,
+      "@prefix ex: <http://ex.org/> .\nex:a ex:p [ ex:q \"v\" ] .\n")
+    gitAt(repo, "1600000000 +0000", "add", "d.ttl")
+    gitAt(repo, "1600000000 +0000", "commit", "-q", "-m", "one")
+    // rev 2: trig payload — named graph collapses into the revision graph
+    java.nio.file.Files.writeString(f,
+      "<urn:g> { <urn:s> <urn:p> \"w\" . }\n<urn:s> <urn:p> \"d\" .\n")
+    gitAt(repo, "1600000100 +0000", "add", "d.ttl")
+    gitAt(repo, "1600000100 +0000", "commit", "-q", "-m", "two")
+
+    val out = NgsOps.gitRevisions(spark, f.toString)
+    assert(out.columns.toSeq === Seq("graph", "subj", "pred", "obj"))
+    val graphs = out.select("graph").distinct().as[String].collect().sorted
+    assert(graphs.length === 2)
+    // graph name = urn:git:<sha>-<authorInstant>, instant in UTC Z form
+    assert(graphs.forall(_.matches(
+      "<urn:git:[0-9a-f]{40}-2020-09-13T[0-9:]+Z>")))
+    // each revision carries its two metadata quads on the graph IRI
+    val meta = out.filter($"pred" === "<urn:git:name>")
+      .select("graph", "subj", "obj").collect()
+    assert(meta.length === 2)
+    assert(meta.forall(r => r.getString(0) === r.getString(1)))
+    assert(meta.forall(r =>
+      r.getString(0).contains(r.getString(2).replaceAll("\"", ""))))
+    val ts = out.filter($"pred" === "<urn:git:timestamp>").as[(String, String, String, String)].collect()
+    assert(ts.length === 2)
+    assert(ts.forall(_._4.endsWith(
+      "\"^^<http://www.w3.org/2001/XMLSchema#dateTime>")))
+    // rev-1 payload: prefix expanded, bnode label revision-scoped
+    val rev1 = out.filter($"obj" === "\"v\"").collect()
+    assert(rev1.length === 1)
+    assert(rev1(0).getString(1).startsWith("_:r")) // sha-prefixed bnode
+    // rev-2 payload: BOTH quads (named-graph + default) in the rev graph
+    val rev2g = out.filter($"subj" === "<urn:s>")
+      .select("graph").distinct().as[String].collect()
+    assert(rev2g.length === 1)
+    assert(out.filter($"subj" === "<urn:s>").count() === 2)
+    // 2 revisions × 2 metadata quads + 2 payload triples at each
+    assert(out.count() === 8)
+  }
+
+  test("gitRevisions: non-repo path and untracked file fail loudly") {
+    val lone = java.nio.file.Files.createTempDirectory("graft-nogit")
+      .resolve("x.ttl")
+    java.nio.file.Files.writeString(lone, "<urn:a> <urn:p> \"1\" .\n")
+    val e = intercept[IllegalArgumentException] {
+      NgsOps.gitRevisions(spark, lone.toString)
+    }
+    assert(e.getMessage.contains("no git repo"))
+    assert(intercept[IllegalArgumentException] {
+      NgsOps.gitRevisions(spark, "/definitely/not/here.ttl")
+    }.getMessage.contains("no such file"))
+  }
 }
