@@ -24,7 +24,9 @@ object Bench {
     "kg_canonical_triples", "kg_triples", "kg_mentions", "kg_graph_stats",
     "ngs_hash", "ngs_filter_even", "sbs_groupby",
     "dedup_exact", "dedup_minhash", "text_quality", "embed_topk",
-    "rml_exec", "graphql_query", "sportal_qd_all")
+    "rml_exec", "graphql_query", "sportal_qd_all",
+    // r9: the HDT encode→decode loop — binary-source regression canary
+    "rdf_hdt_scan")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -771,6 +771,15 @@ object AlgebraSuite {
       RdfIO.writeNQuads(SyntheticQuads(s, dir).drop("idx"), path)
       RdfIO.readNQuads(s, path)
     }),
+    "rdf_hdt_scan" -> ((s, dir) => {
+      // HDT binary round-trip under the oracle: encode the transcript
+      // triples as .hdt, scan it back through the auto-probe front door
+      // (HDT is a triple SET — the oracle dedups to match)
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_hdt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.hdt"
+      graft.sources.HdtIO.writeHdt(trip(s, dir), path)
+      RdfIO.readRdfAuto(s, path)
+    }),
     // --- whole-script execution from text: LOAD + updates + query over
     // one mutable dataset (docs/integrate/index.md:17-60) ----------------
     "script_update_text" -> ((s, dir) => {
@@ -1563,6 +1572,10 @@ object AlgebraSuite {
     "rdf_roundtrip" ->
       s"""WITH ${SyntheticQuads.oracleCte}
          |SELECT graph, subj, pred, obj FROM quads""".stripMargin,
+    "rdf_hdt_scan" ->
+      s"""$tripCte
+         |SELECT DISTINCT '<urn:x-arq:DefaultGraph>' AS graph, subj, pred, obj
+         |FROM trip""".stripMargin,
     "void_profile" ->
       s"""$tripCte
          |SELECT count(*) AS n_triples,

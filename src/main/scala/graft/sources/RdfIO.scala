@@ -146,8 +146,24 @@ object RdfIO {
     */
   def readRdfAuto(spark: SparkSession, path: String,
       defaultGraph: String = "<urn:x-arq:DefaultGraph>"): DataFrame =
-    if (probeSyntax(spark, path) == "nquads") readNQuads(spark, path, defaultGraph)
+    if (path.endsWith(".hdt") || isHdtMagic(path))
+      HdtIO.readHdt(spark, path, defaultGraph)
+    else if (probeSyntax(spark, path) == "nquads") readNQuads(spark, path, defaultGraph)
     else readTrig(spark, path, defaultGraph)
+
+  /** Does the LOCAL file open with the `$HDT` control cookie? (binary —
+    * must be sniffed before the text probe, which would mangle it)
+    */
+  private def isHdtMagic(path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length < 4) return false
+    val in = new java.io.FileInputStream(f)
+    try {
+      val buf = new Array[Byte](4)
+      in.read(buf) == 4 && buf(0) == '$' && buf(1) == 'H' &&
+        buf(2) == 'D' && buf(3) == 'T'
+    } finally in.close()
+  }
 
   /** The sniff behind [[readRdfAuto]]: "nquads" (line-parseable, no TriG
     * markers in the first 200 content lines) or "trig".
