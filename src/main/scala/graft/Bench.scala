@@ -405,6 +405,11 @@ object Bench {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.DataFrame
       val factor = sys.env.getOrElse("SPARK_GRAFT_VOLUME_FACTOR", "16").toInt
+      require(factor <= 20,
+        s"SPARK_GRAFT_VOLUME_FACTOR=$factor: above 20 the scaled doc_id " +
+          "domain collides with dupCorpus's planted-dup offsets " +
+          "(+100000/+200000) and the dedup entries run on a corrupted " +
+          "corpus — the NOTE above")
       val volDir = sys.env.getOrElse("SPARK_GRAFT_VOLUME_DIR",
         s"/tmp/graft-volume-${new java.io.File(sfDir).getName}-x$factor")
       val spark = session(cpus)

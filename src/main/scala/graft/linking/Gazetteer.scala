@@ -20,6 +20,10 @@ object Gazetteer {
 
   val AliasNs = "http://graft.io/alias/"
 
+  /** Broadcast-cutoff probe results per canonical gazetteer plan. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Deterministic gazetteer from the `nation` dimension: three surface
     * variants per entity, each its own alias IRI (the alias graph links
     * them; CC canonicalization picks the least IRI).
@@ -153,7 +157,19 @@ object Gazetteer {
     val bc = broadcastGaz.getOrElse {
       val max = conf.get("graft.gazetteer.broadcastMaxRows",
         DefaultBroadcastMaxRows.toString).toLong
-      gaz.count() <= max
+      // memoized per canonical gazetteer plan: the probe count would
+      // otherwise re-evaluate the full gazetteer lineage on EVERY call,
+      // once for the probe and again for the join build (review-found).
+      // Files mutating mid-session are out of scope, as everywhere else.
+      val key = gaz.queryExecution.logical.canonicalized.toString + "|" + max
+      val cached = probeCache.get(key)
+      if (cached != null) cached.booleanValue
+      else {
+        val fits = gaz.count() <= max
+        if (probeCache.size < 1024)
+          probeCache.put(key, java.lang.Boolean.valueOf(fits))
+        fits
+      }
     }
     val joined =
       if (bc) spans.join(broadcast(g), "__ng")

@@ -242,15 +242,19 @@ object NgsOps {
     val root = scala.util.Try(gitOut(dir, "rev-parse", "--show-toplevel"))
       .map(_.trim).getOrElse("")
     require(root.nonEmpty, s"ngs git: no git repo detected for file: $file")
+    // ALL git calls run -C <root>: pathspecs are cwd-relative, so running
+    // log from the file's own subdirectory with a root-relative path
+    // would silently match nothing (review-found; pinned by OpsSpec)
+    val rootDir = new java.io.File(root)
     val rel = java.nio.file.Paths.get(root).toRealPath()
       .relativize(file.toPath.toRealPath()).toString
-    val revs = gitOut(dir, "log", "--format=%H\t%at", "--", rel)
+    val revs = gitOut(rootDir, "log", "--format=%H\t%at", "--", rel)
       .linesIterator.filter(_.nonEmpty).map { l =>
         val cut = l.indexOf('\t')
         (l.substring(0, cut), l.substring(cut + 1).toLong)
       }.toSeq
     val payloads = revs.map { case (sha, at) =>
-      (sha, at, gitOut(dir, "show", s"$sha:$rel"))
+      (sha, at, gitOut(rootDir, "show", s"$sha:$rel"))
     }
     val nParts = math.max(1, math.min(payloads.size, 32))
     spark.createDataset(payloads).repartition(nParts)

@@ -178,31 +178,24 @@ final class SparqlHttpServer private (
           s"""{"head":{},"boolean":$b}""")
     case Script.TableOutput(df) =>
       if (accept.contains("sparql-results+xml"))
-        streamBody(ex, 200, "application/sparql-results+xml")(
-          srxStream(df, _))
+        streamBody(ex, 200, "application/sparql-results+xml")(srxBody(df))
       else if (accept.contains("tab-separated-values"))
-        streamBody(ex, 200, "text/tab-separated-values")(tsvStream(df, _))
+        streamBody(ex, 200, "text/tab-separated-values")(tsvBody(df))
       else
-        streamBody(ex, 200, "application/sparql-results+json")(
-          srjStream(df, _))
+        streamBody(ex, 200, "application/sparql-results+json")(srjBody(df))
     case Script.QuadsOutput(df) =>
       val quads = if (df.columns.contains("graph")) df
         else df.withColumn("graph", lit(DefaultGraph))
       if (accept.contains("trig"))
-        streamBody(ex, 200, "application/trig")(
-          streamLines(RdfIO.trigLines(
-            quads.select(col("graph"), col("subj"), col("pred"),
-              col("obj"))), _))
-      else {
-        // N-Quads: default-graph quads emit as 3-term lines (concat_ws
-        // skips the nulled graph term), per the N-Quads grammar
-        val g = when(col("graph") === DefaultGraph, lit(null: String))
-          .otherwise(col("graph"))
-        streamBody(ex, 200, "application/n-quads")(
-          streamLines(RdfIO.nquadLines(
-            quads.select(g.as("graph"), col("subj"), col("pred"),
-              col("obj"))), _))
-      }
+        streamBody(ex, 200, "application/trig")(quadBody(
+          RdfIO.trigLines(quads.select(col("graph"), col("subj"),
+            col("pred"), col("obj")))))
+      else
+        // N-Quads: default-graph quads emit as 3-term lines, per the
+        // grammar (nquadLines strips the sentinel itself)
+        streamBody(ex, 200, "application/n-quads")(quadBody(
+          RdfIO.nquadLines(quads.select(col("graph"), col("subj"),
+            col("pred"), col("obj")))))
   }
 
   private def handleGraphQl(ex: HttpExchange): Unit = {
@@ -243,55 +236,78 @@ final class SparqlHttpServer private (
 
   // --------------------------------------------------------- streaming
 
+  /** A streamed response: constant prefix/suffix around a line iterator
+    * (lines carry their own terminators; `sep` goes BETWEEN lines).
+    */
+  private final case class BodyStream(prefix: String,
+      lines: Iterator[String], sep: String, suffix: String)
+
   private def streamBody(ex: HttpExchange, code: Int, mime: String)(
-      write: OutputStream => Unit): Unit = {
+      body: BodyStream): Unit = {
+    // Force the FIRST partition before committing to 200/chunked: a
+    // planning error or a first-task failure answers a clean 500 instead
+    // of a truncated-but-valid-looking 200 (review-found). A failure in a
+    // LATER partition still truncates mid-stream — inherent to chunked
+    // HTTP once headers are out; the driver logs it either way.
+    body.lines.hasNext
     ex.getResponseHeaders.set("Content-Type", s"$mime; charset=utf-8")
     ex.sendResponseHeaders(code, 0) // 0 = chunked
     val os = ex.getResponseBody
-    try write(os) finally { os.close(); ex.close() }
-  }
-
-  /** Stream a one-string-column frame as newline-joined text. */
-  private def streamLines(lines: DataFrame, os: OutputStream): Unit = {
-    val it = lines.toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      if (!r.isNullAt(0)) {
-        os.write(r.getString(0).getBytes(UTF_8)); os.write('\n')
+    try {
+      os.write(body.prefix.getBytes(UTF_8))
+      var first = true
+      while (body.lines.hasNext) {
+        if (!first) os.write(body.sep.getBytes(UTF_8))
+        first = false
+        os.write(body.lines.next().getBytes(UTF_8))
       }
+      os.write(body.suffix.getBytes(UTF_8))
+    } finally { os.close(); ex.close() }
+  }
+
+  /** One-string-column frame → driver-streamed line iterator. */
+  private def lineIterator(lines: DataFrame): Iterator[String] = {
+    val it = lines.toLocalIterator()
+    new Iterator[String] {
+      private var nextLine: String = advance()
+      private def advance(): String = {
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(0)) return r.getString(0)
+        }
+        null
+      }
+      def hasNext: Boolean = nextLine != null
+      def next(): String = { val l = nextLine; nextLine = advance(); l }
     }
   }
 
-  private def srjStream(df: DataFrame, os: OutputStream): Unit = {
+  private def srjBody(df: DataFrame): BodyStream = {
     val vars = df.columns.toSeq
-    os.write(("{\"head\":{\"vars\":[" +
-      vars.map(jsonString).mkString(",") +
-      "]},\"results\":{\"bindings\":[\n").getBytes(UTF_8))
-    val it = bindingJsonLines(df, vars).toLocalIterator()
-    var first = true
-    while (it.hasNext) {
-      if (!first) os.write(",\n".getBytes(UTF_8))
-      first = false
-      os.write(it.next().getString(0).getBytes(UTF_8))
-    }
-    os.write("\n]}}".getBytes(UTF_8))
+    BodyStream(
+      "{\"head\":{\"vars\":[" + vars.map(jsonString).mkString(",") +
+        "]},\"results\":{\"bindings\":[\n",
+      lineIterator(bindingJsonLines(df, vars)), ",\n", "\n]}}")
   }
 
-  private def srxStream(df: DataFrame, os: OutputStream): Unit = {
+  private def srxBody(df: DataFrame): BodyStream = {
     val vars = df.columns.toSeq
-    os.write(("<?xml version=\"1.0\"?>\n<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
-      "<head>" + vars.map(v => s"""<variable name="$v"/>""").mkString +
-      "</head><results>\n").getBytes(UTF_8))
-    streamLines(resultXmlLines(df, vars), os)
-    os.write("</results></sparql>".getBytes(UTF_8))
+    BodyStream(
+      "<?xml version=\"1.0\"?>\n<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+        "<head>" + vars.map(v => s"""<variable name="$v"/>""").mkString +
+        "</head><results>\n",
+      lineIterator(resultXmlLines(df, vars)).map(_ + "\n"), "",
+      "</results></sparql>")
   }
 
-  private def tsvStream(df: DataFrame, os: OutputStream): Unit = {
-    os.write((df.columns.map("?" + _).mkString("\t") + "\n").getBytes(UTF_8))
-    streamLines(df.select(concat_ws("\t",
-      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-      .as("line")), os)
-  }
+  private def tsvBody(df: DataFrame): BodyStream =
+    BodyStream(df.columns.map("?" + _).mkString("\t") + "\n",
+      lineIterator(df.select(concat_ws("\t",
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+        .as("line"))).map(_ + "\n"), "", "")
+
+  private def quadBody(lines: DataFrame): BodyStream =
+    BodyStream("", lineIterator(lines).map(_ + "\n"), "", "")
 
   private def serve(path: String)(h: HttpExchange => Unit): Unit =
     http.createContext(path, (ex: HttpExchange) =>
@@ -460,11 +476,13 @@ object SparqlHttpServer {
                 case 'n' => sb.append('\n'); k += 2
                 case 't' => sb.append('\t'); k += 2
                 case 'r' => sb.append('\r'); k += 2
+                case 'b' => sb.append('\b'); k += 2
+                case 'f' => sb.append('\f'); k += 2
                 case 'u' if k + 5 < body.length =>
                   sb.append(Integer.parseInt(
                     body.substring(k + 2, k + 6), 16).toChar)
                   k += 6
-                case c => sb.append(c); k += 2
+                case c => sb.append(c); k += 2 // \" \\ \/ decode to themselves
               }
             } else { sb.append(body.charAt(k)); k += 1 }
           }

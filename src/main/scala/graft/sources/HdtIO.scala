@@ -128,6 +128,33 @@ object HdtIO {
     val c = new Crc32c; c.update(bs, from, until); c.value
   }
 
+  /** Output buffer exposing its backing array (valid up to `size`) so
+    * section CRCs read it in place — `toByteArray` would clone the whole
+    * accumulated file once per CRC, O(sections × fileSize) in copies.
+    */
+  private final class Buf(cap: Int) extends ByteArrayOutputStream(cap) {
+    def bytes: Array[Byte] = buf
+  }
+
+  /** HDT dictionaries sort by UTF-8 BYTE order (what a conforming
+    * reader's byte-wise binary search assumes) — NOT Java's UTF-16
+    * code-unit order; the two disagree for supplementary code points vs
+    * [U+E000,U+FFFF].
+    */
+  private[sources] val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   // -------------------------------------------------- control information
 
   private val Cookie = "$HDT".getBytes(UTF_8)
@@ -140,15 +167,14 @@ object HdtIO {
   private val FormatDictFour = "<http://purl.org/HDT/hdt#dictionaryFour>"
   private val FormatBitmapTriples = "<http://purl.org/HDT/hdt#triplesBitmap>"
 
-  private def writeControl(out: ByteArrayOutputStream, tpe: Int,
+  private def writeControl(out: Buf, tpe: Int,
       format: String, props: String): Unit = {
     val start = out.size
     out.write(Cookie, 0, 4)
     out.write(tpe)
     val f = format.getBytes(UTF_8); out.write(f, 0, f.length); out.write(0)
     val p = props.getBytes(UTF_8); out.write(p, 0, p.length); out.write(0)
-    val bs = out.toByteArray
-    val c = new Crc16; c.update(bs, start, bs.length)
+    val c = new Crc16; c.update(out.bytes, start, out.size)
     out.write(c.value & 0xff); out.write((c.value >> 8) & 0xff)
   }
 
@@ -179,14 +205,14 @@ object HdtIO {
   /** Write a SequenceLog64: type 1, numbits, VByte count, CRC8 header,
     * LSB-first packed 64-bit little-endian words, CRC32 data.
     */
-  private def writeSeqLog64(out: ByteArrayOutputStream, vals: Array[Long]): Unit = {
+  private def writeSeqLog64(out: Buf, vals: Array[Long]): Unit = {
     val max = if (vals.isEmpty) 0L else vals.max
     val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(max))
     val start = out.size
     out.write(1)
     out.write(bits)
     writeVByte(out, vals.length.toLong)
-    out.write(crc8Of(out.toByteArray, start, out.size))
+    out.write(crc8Of(out.bytes, start, out.size))
     val nWords = ((vals.length.toLong * bits + 63) / 64).toInt
     val words = new Array[Long](nWords)
     var i = 0
@@ -201,8 +227,7 @@ object HdtIO {
     words.foreach { w =>
       var j = 0; while (j < 8) { out.write(((w >>> (8 * j)) & 0xff).toInt); j += 1 }
     }
-    val bs = out.toByteArray
-    val crc = crc32Of(bs, dataStart, bs.length)
+    val crc = crc32Of(out.bytes, dataStart, out.size)
     var j = 0; while (j < 4) { out.write((crc >>> (8 * j)) & 0xff); j += 1 }
   }
 
@@ -241,11 +266,11 @@ object HdtIO {
   }
 
   /** Bitmap: type 1, VByte numbits, CRC8 header, 64-bit LE words, CRC32. */
-  private def writeBitmap(out: ByteArrayOutputStream, bits: Array[Boolean]): Unit = {
+  private def writeBitmap(out: Buf, bits: Array[Boolean]): Unit = {
     val start = out.size
     out.write(1)
     writeVByte(out, bits.length.toLong)
-    out.write(crc8Of(out.toByteArray, start, out.size))
+    out.write(crc8Of(out.bytes, start, out.size))
     val nWords = (bits.length + 63) / 64
     val words = new Array[Long](nWords)
     var i = 0
@@ -254,8 +279,7 @@ object HdtIO {
     words.foreach { w =>
       var j = 0; while (j < 8) { out.write(((w >>> (8 * j)) & 0xff).toInt); j += 1 }
     }
-    val bs = out.toByteArray
-    val crc = crc32Of(bs, dataStart, bs.length)
+    val crc = crc32Of(out.bytes, dataStart, out.size)
     var j = 0; while (j < 4) { out.write((crc >>> (8 * j)) & 0xff); j += 1 }
   }
 
@@ -331,7 +355,7 @@ object HdtIO {
     * blocks (first string full, then VByte common-prefix + suffix, all
     * null-terminated); CRC32 over the packed bytes.
     */
-  private def writePfc(out: ByteArrayOutputStream, sorted: Array[String]): Unit = {
+  private def writePfc(out: Buf, sorted: Array[String]): Unit = {
     val packed = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
@@ -358,12 +382,11 @@ object HdtIO {
     writeVByte(out, sorted.length.toLong)
     writeVByte(out, data.length.toLong)
     writeVByte(out, BlockSize.toLong)
-    out.write(crc8Of(out.toByteArray, start, out.size))
+    out.write(crc8Of(out.bytes, start, out.size))
     writeSeqLog64(out, offsets.toArray)
     val dataStart = out.size
     out.write(data, 0, data.length)
-    val bs = out.toByteArray
-    val crc = crc32Of(bs, dataStart, bs.length)
+    val crc = crc32Of(out.bytes, dataStart, out.size)
     var j = 0; while (j < 4) { out.write((crc >>> (8 * j)) & 0xff); j += 1 }
   }
 
@@ -403,15 +426,6 @@ object HdtIO {
       new String(cur, UTF_8)
     }
 
-    /** Decode every string of one block — the distributed-dictionary scan
-      * path (one task decodes a run of blocks).
-      */
-    def block(b: Long): IndexedSeq[(Long, String)] = {
-      val first = b * blockSize + 1
-      val last = math.min(n, first + blockSize - 1)
-      (first to last).map(id => id -> extract(id))
-    }
-    def numBlocks: Long = (n + blockSize - 1) / blockSize
   }
 
   private def readPfc(in: In): PfcSection = {
@@ -473,13 +487,13 @@ object HdtIO {
           "the single-file HDT encode is driver-side; use the distributed " +
           "parquet/N-Quads sinks at scale")
       val subs = t.select("subj").distinct().as[String].collect()
-        .map(toDictForm).sorted
+        .map(toDictForm).sorted(Utf8Order)
       val objs = t.select("obj").distinct().as[String].collect()
-        .map(toDictForm).sorted
+        .map(toDictForm).sorted(Utf8Order)
       val preds = t.select("pred").distinct().as[String].collect()
-        .map(toDictForm).sorted
+        .map(toDictForm).sorted(Utf8Order)
       val subSet = subs.toSet
-      val shared = objs.filter(subSet.contains).sorted
+      val shared = objs.filter(subSet.contains) // already Utf8Order-sorted
       val sharedSet = shared.toSet
       val subOnly = subs.filterNot(sharedSet.contains)
       val objOnly = objs.filterNot(sharedSet.contains)
@@ -507,7 +521,7 @@ object HdtIO {
           bObj.value(toDictForm(o)))
       }.orderBy("_1", "_2", "_3").collect()
 
-      val out = new ByteArrayOutputStream(1 << 20)
+      val out = new Buf(1 << 20)
       writeControl(out, TypeGlobal, FormatGlobal, "Software=graft;")
       // minimal N-Triples header documenting the dataset shape
       val header =

@@ -367,9 +367,15 @@ object RdfIO {
   }
 
   /** Serialize (graph, subj, pred, obj) to N-Quads text lines. */
+  /** Default-graph quads serialize as 3-term lines per the N-Quads
+    * grammar — the internal `<urn:x-arq:DefaultGraph>` sentinel must
+    * never leak into output a third-party store would read as a named
+    * graph (concat_ws skips the nulled term).
+    */
   def nquadLines(quads: DataFrame): DataFrame =
     quads.select(concat_ws(" ", col("subj"), col("pred"), col("obj"),
-      col("graph"), lit(".")).as("value"))
+      when(col("graph") === "<urn:x-arq:DefaultGraph>", lit(null: String))
+        .otherwise(col("graph")), lit(".")).as("value"))
 
   /** Write N-Quads text (one part per partition, like any Spark sink);
     * `compression` = any Hadoop codec name (gzip/bzip2/…), like the

@@ -111,8 +111,8 @@ class IntegrateSpec extends AnyFunSuite {
       "CONSTRUCT { ?s <urn:q> ?o } WHERE { ?s <urn:p> ?o }")
     assert(code === 0, err)
     assert(out.trim.split("\n").toSet === Set(
-      "<urn:a> <urn:q> \"x\" <urn:x-arq:DefaultGraph> .",
-      "<urn:b> <urn:q> \"y\" <urn:x-arq:DefaultGraph> ."))
+      "<urn:a> <urn:q> \"x\" .",
+      "<urn:b> <urn:q> \"y\" ."))
   }
 
   test("quads + SELECT mix: quads own stdout, the SELECT table goes to " +
@@ -124,7 +124,7 @@ class IntegrateSpec extends AnyFunSuite {
       "SELECT ?s WHERE { ?s <urn:p> ?o }",
       "CONSTRUCT { ?s <urn:q> ?o } WHERE { ?s <urn:p> ?o }")
     assert(code === 0)
-    assert(out.trim === "<urn:a> <urn:q> \"1\" <urn:x-arq:DefaultGraph> .")
+    assert(out.trim === "<urn:a> <urn:q> \"1\" .")
     assert(err.contains("?s\n") || err.contains("?s\r\n") ||
       err.startsWith("?s"))
     assert(err.contains("<urn:a>"))
@@ -143,9 +143,9 @@ class IntegrateSpec extends AnyFunSuite {
     val (code, _, err) = cli("--split", split, a.toString, b.toString)
     assert(code === 0, err)
     assert(Files.readAllLines(Paths.get(split, "alpha.nq")).get(0)
-      === "<urn:a> <urn:q1> <urn:o> <urn:x-arq:DefaultGraph> .")
+      === "<urn:a> <urn:q1> <urn:o> .")
     assert(Files.readAllLines(Paths.get(split, "beta.nq")).get(0)
-      === "<urn:a> <urn:q2> <urn:o> <urn:x-arq:DefaultGraph> .")
+      === "<urn:a> <urn:q2> <urn:o> .")
   }
 
   test("--io FILE: the file is both first input and output, replaced " +
@@ -157,7 +157,7 @@ class IntegrateSpec extends AnyFunSuite {
       "CONSTRUCT { ?s <urn:rewritten> ?o } WHERE { GRAPH <urn:g> { ?s <urn:p> ?o } }")
     assert(code === 0, err)
     assert(Files.readAllLines(f).get(0)
-      === "<urn:a> <urn:rewritten> \"v\" <urn:x-arq:DefaultGraph> .")
+      === "<urn:a> <urn:rewritten> \"v\" .")
   }
 
   test("-o file.trig picks the TriG serialization from the extension") {
@@ -182,7 +182,7 @@ class IntegrateSpec extends AnyFunSuite {
     assert(out1.trim.split("\n").toSeq === Seq("?ask", "true"))
     val (c2, out2, _) = cli(nt.toString, "DESCRIBE <urn:a>")
     assert(c2 === 0)
-    assert(out2.trim === "<urn:a> <urn:p> \"1\" <urn:x-arq:DefaultGraph> .")
+    assert(out2.trim === "<urn:a> <urn:p> \"1\" .")
   }
 
   test("<env:VAR> substitution: --env first, process env fallback, " +
@@ -194,7 +194,7 @@ class IntegrateSpec extends AnyFunSuite {
       s"LOAD <env:SRC>",
       "CONSTRUCT { ?s <urn:seen> ?o } WHERE { ?s <urn:p> ?o }")
     assert(code === 0, err)
-    assert(out.trim === "<urn:e> <urn:seen> \"z\" <urn:x-arq:DefaultGraph> .")
+    assert(out.trim === "<urn:e> <urn:seen> \"z\" .")
     val ex = intercept[IllegalArgumentException] {
       cli("SELECT ?x WHERE { <env:NOPE_UNSET_VAR> <urn:p> ?x }")
     }
@@ -226,7 +226,7 @@ class IntegrateSpec extends AnyFunSuite {
       Files.newInputStream(outFile))
     val text = new String(in.readAllBytes(), "UTF-8")
     assert(text.trim.split("\n").toSet === Set(
-      "<urn:a> <urn:p> \"1\" <urn:x-arq:DefaultGraph> .",
-      "<urn:b> <urn:p> \"2\" <urn:x-arq:DefaultGraph> ."))
+      "<urn:a> <urn:p> \"1\" .",
+      "<urn:b> <urn:p> \"2\" ."))
   }
 }

@@ -213,6 +213,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() === 8)
   }
 
+  test("gitRevisions: file in a repo SUBDIRECTORY resolves its revisions " +
+      "(pathspecs are cwd-relative — review-found silent-empty bug)") {
+    val repo = java.nio.file.Files.createTempDirectory("graft-git-sub")
+    gitAt(repo, "1600000000 +0000", "init", "-q", ".")
+    gitAt(repo, "1600000000 +0000", "config", "user.name", "t")
+    gitAt(repo, "1600000000 +0000", "config", "user.email", "t@example.org")
+    val sub = java.nio.file.Files.createDirectories(repo.resolve("a/b"))
+    val f = sub.resolve("d.ttl")
+    java.nio.file.Files.writeString(f, "<urn:a> <urn:p> \"1\" .\n")
+    gitAt(repo, "1600000000 +0000", "add", "a/b/d.ttl")
+    gitAt(repo, "1600000000 +0000", "commit", "-q", "-m", "one")
+    val out = NgsOps.gitRevisions(spark, f.toString)
+    assert(out.select("graph").distinct().count() === 1)
+    assert(out.count() === 3) // 2 metadata + 1 payload triple
+  }
+
   test("gitRevisions: non-repo path and untracked file fail loudly") {
     val lone = java.nio.file.Files.createTempDirectory("graft-nogit")
       .resolve("x.ttl")
