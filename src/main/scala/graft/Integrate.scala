@@ -127,8 +127,17 @@ object Integrate {
     }
   }
 
+  /** Extensions of formats this engine actually parses: N-Triples/
+    * N-Quads/Turtle/TriG (plus codecs) and HDT. `.rdf`/`.owl` (RDF/XML)
+    * and `.jsonld` are NOT here — no parser exists for them, so classify
+    * must reject them up front (see [[UnsupportedRdfExt]]) instead of
+    * letting readRdfAuto fail with a confusing TriG syntax error deep in
+    * execution.
+    */
   private val RdfExt =
-    "(?i).*\\.(nt|nq|ttl|trig|rdf|owl|jsonld)(\\.(gz|bz2))?$"
+    "(?i).*\\.(nt|nq|ttl|trig|hdt)(\\.(gz|bz2))?$"
+  private val UnsupportedRdfExt =
+    "(?i).*\\.(rdf|rdfxml|owl|jsonld|json-ld)(\\.(gz|bz2))?$"
   private val SparqlExt = "(?i).*\\.(sparql|rq|ru)$"
 
   /** One positional argument resolved to its statement text. `name` is
@@ -152,11 +161,17 @@ object Integrate {
       if (pathLike) scala.util.Try(Paths.get(resolved)).toOption else None
     def base = {
       val fn = pOpt.get.getFileName.toString
-      val dot = fn.indexOf('.')
+      // strip only the real extension: report.v1.sparql and
+      // report.v2.sparql must stay DISTINCT --split provenance clusters
+      val dot = fn.lastIndexOf('.')
       if (dot > 0) fn.substring(0, dot) else fn
     }
     if (pOpt.exists(Files.isRegularFile(_))) {
       if (arg.matches(SparqlExt)) Workload(base, Files.readString(pOpt.get))
+      else if (arg.matches(UnsupportedRdfExt))
+        throw new IllegalArgumentException(
+          s"$arg: RDF/XML and JSON-LD are not supported by this engine " +
+            "(supported: N-Triples/N-Quads/Turtle/TriG [.gz/.bz2], HDT)")
       else if (arg.matches(RdfExt) || RdfIO.probeRdfLocal(resolved))
         Workload(base, s"LOAD <$arg>")
       else throw new IllegalArgumentException(

@@ -253,8 +253,12 @@ object NgsOps {
         val cut = l.indexOf('\t')
         (l.substring(0, cut), l.substring(cut + 1).toLong)
       }.toSeq
-    val payloads = revs.map { case (sha, at) =>
-      (sha, at, gitOut(rootDir, "show", s"$sha:$rel"))
+    // a DELETING commit appears in the log but carries no blob at this
+    // path (and so no triples) — probe with cat-file and skip it rather
+    // than aborting the stream (review-found; pinned by OpsSpec)
+    val payloads = revs.flatMap { case (sha, at) =>
+      if (gitCode(rootDir, "cat-file", "-e", s"$sha:$rel") != 0) None
+      else Some((sha, at, gitOut(rootDir, "show", s"$sha:$rel")))
     }
     val nParts = math.max(1, math.min(payloads.size, 32))
     spark.createDataset(payloads).repartition(nParts)
@@ -278,18 +282,34 @@ object NgsOps {
 
   /** Run a git subcommand against the repo containing `dir`; stdout on
     * success, loud failure with git's stderr otherwise. Driver-side only.
+    * stderr goes through a temp file, not a second pipe — reading two
+    * pipes sequentially can deadlock when the unread one fills.
     */
   private def gitOut(dir: java.io.File, args: String*): String = {
+    val errFile = java.nio.file.Files.createTempFile("graft-git-err", null)
+    try {
+      val pb = new ProcessBuilder(
+        (Seq("git", "-C", dir.getAbsolutePath) ++ args): _*)
+      pb.redirectError(errFile.toFile)
+      val p = pb.start()
+      p.getOutputStream.close()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(p.waitFor() == 0,
+        s"git ${args.headOption.getOrElse("")} failed: " +
+          java.nio.file.Files.readString(errFile).trim)
+      out
+    } finally java.nio.file.Files.deleteIfExists(errFile)
+  }
+
+  /** Exit code of a git subcommand, output discarded (existence probes). */
+  private def gitCode(dir: java.io.File, args: String*): Int = {
     val pb = new ProcessBuilder(
       (Seq("git", "-C", dir.getAbsolutePath) ++ args): _*)
+    pb.redirectErrorStream(true)
     val p = pb.start()
     p.getOutputStream.close()
-    val out = new String(p.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val err = new String(p.getErrorStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    require(p.waitFor() == 0,
-      s"git ${args.headOption.getOrElse("")} failed: ${err.trim}")
-    out
+    p.getInputStream.readAllBytes()
+    p.waitFor()
   }
 }

@@ -131,15 +131,23 @@ final class SparqlHttpServer private (
         try {
           val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
             .getOrElse("")
-          if (hasUpdate) updateLock.synchronized {
-            var ds = dataset
-            var last: Option[Script.StmtOutput] = None
-            stmts.foreach { st =>
-              val (next, o) = Script.applyStmt(spark, ds, st)
-              ds = next
-              o.foreach(x => last = Some(x))
+          if (hasUpdate) {
+            // the lock covers ONLY statement application + the state
+            // swap; the HTTP response streams AFTER release (frames are
+            // immutable snapshots) — holding it across toLocalIterator
+            // plus socket writes would let one slow client starve every
+            // other update (review-found)
+            val last = updateLock.synchronized {
+              var ds = dataset
+              var l: Option[Script.StmtOutput] = None
+              stmts.foreach { st =>
+                val (next, o) = Script.applyStmt(spark, ds, st)
+                ds = next
+                o.foreach(x => l = Some(x))
+              }
+              dataset = ds
+              l
             }
-            dataset = ds
             last match {
               case Some(out) => writeOutput(ex, out, accept)
               case None => respond(ex, 204, "text/plain", "")

@@ -136,25 +136,6 @@ object HdtIO {
     def bytes: Array[Byte] = buf
   }
 
-  /** HDT dictionaries sort by UTF-8 BYTE order (what a conforming
-    * reader's byte-wise binary search assumes) — NOT Java's UTF-16
-    * code-unit order; the two disagree for supplementary code points vs
-    * [U+E000,U+FFFF].
-    */
-  private[sources] val Utf8Order: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
-  }
-
   // -------------------------------------------------- control information
 
   private val Cookie = "$HDT".getBytes(UTF_8)
@@ -350,18 +331,20 @@ object HdtIO {
 
   private val BlockSize = 16
 
-  /** Plain-Front-Coding section over a SORTED string array: type 2,
-    * VByte numstrings/bytes/blocksize, CRC8; Log64 block offsets; packed
-    * blocks (first string full, then VByte common-prefix + suffix, all
-    * null-terminated); CRC32 over the packed bytes.
+  /** Plain-Front-Coding section over a byte-order-SORTED term array
+    * (already UTF-8-encoded — terms encode ONCE in writeHdtLocal, not per
+    * comparison/write): type 2, VByte numstrings/bytes/blocksize, CRC8;
+    * Log64 block offsets; packed blocks (first string full, then VByte
+    * common-prefix + suffix, all null-terminated); CRC32 over the packed
+    * bytes.
     */
-  private def writePfc(out: Buf, sorted: Array[String]): Unit = {
+  private def writePfc(out: Buf, sorted: Array[Array[Byte]]): Unit = {
     val packed = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     var prev: Array[Byte] = null
     while (i < sorted.length) {
-      val cur = sorted(i).getBytes(UTF_8)
+      val cur = sorted(i)
       if (i % BlockSize == 0) {
         offsets += packed.size.toLong
         packed.write(cur, 0, cur.length)
@@ -511,22 +494,31 @@ object HdtIO {
         objSet.add(toDictForm(o))
       }
       import scala.jdk.CollectionConverters._
-      val preds = predSet.iterator.asScala.toArray.sorted(Utf8Order)
-      val shared = subSet.iterator.asScala.filter(objSet.contains)
-        .toArray.sorted(Utf8Order)
-      val sharedSet = new java.util.HashSet[String]()
-      shared.foreach(sharedSet.add)
-      val subOnly = subSet.iterator.asScala
-        .filterNot(sharedSet.contains).toArray.sorted(Utf8Order)
-      val objOnly = objSet.iterator.asScala
-        .filterNot(sharedSet.contains).toArray.sorted(Utf8Order)
+      // terms encode to UTF-8 ONCE; the byte-order sort compares arrays
+      // in place (a String ordering would re-encode both sides on every
+      // one of the O(n log n) comparisons — review-found)
+      val byteOrd: java.util.Comparator[Array[Byte]] =
+        java.util.Arrays.compareUnsigned(_, _)
+      def sortedBytes(it: Iterator[String]): Array[Array[Byte]] = {
+        val arr = it.map(_.getBytes(UTF_8)).toArray
+        java.util.Arrays.sort(arr, byteOrd)
+        arr
+      }
+      val preds = sortedBytes(predSet.iterator.asScala)
+      val shared = sortedBytes(
+        subSet.iterator.asScala.filter(objSet.contains))
+      val subOnly = sortedBytes(
+        subSet.iterator.asScala.filterNot(objSet.contains))
+      val objOnly = sortedBytes(
+        objSet.iterator.asScala.filterNot(subSet.contains))
 
-      def idMap(sharedArr: Array[String], own: Array[String]): java.util.HashMap[String, Long] = {
+      def idMap(sharedArr: Array[Array[Byte]],
+          own: Array[Array[Byte]]): java.util.HashMap[String, Long] = {
         val m = new java.util.HashMap[String, Long](
           (sharedArr.length + own.length) * 2)
         var i = 0L
-        sharedArr.foreach { s => i += 1; m.put(s, i) }
-        own.foreach { s => i += 1; m.put(s, i) }
+        sharedArr.foreach { s => i += 1; m.put(new String(s, UTF_8), i) }
+        own.foreach { s => i += 1; m.put(new String(s, UTF_8), i) }
         m
       }
       val subjIds = idMap(shared, subOnly)

@@ -229,6 +229,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() === 3) // 2 metadata + 1 payload triple
   }
 
+  test("gitRevisions: a deleting commit in the history is skipped, not " +
+      "fatal (git log lists it; no blob exists at that revision)") {
+    val repo = java.nio.file.Files.createTempDirectory("graft-git-del")
+    gitAt(repo, "1600000000 +0000", "init", "-q", ".")
+    gitAt(repo, "1600000000 +0000", "config", "user.name", "t")
+    gitAt(repo, "1600000000 +0000", "config", "user.email", "t@example.org")
+    val f = repo.resolve("d.ttl")
+    java.nio.file.Files.writeString(f, "<urn:a> <urn:p> \"1\" .\n")
+    gitAt(repo, "1600000000 +0000", "add", "d.ttl")
+    gitAt(repo, "1600000000 +0000", "commit", "-q", "-m", "add")
+    gitAt(repo, "1600000100 +0000", "rm", "-q", "d.ttl")
+    gitAt(repo, "1600000100 +0000", "commit", "-q", "-m", "del")
+    java.nio.file.Files.writeString(f, "<urn:a> <urn:p> \"2\" .\n")
+    gitAt(repo, "1600000200 +0000", "add", "d.ttl")
+    gitAt(repo, "1600000200 +0000", "commit", "-q", "-m", "readd")
+    val out = NgsOps.gitRevisions(spark, f.toString)
+    // two graphs (add + re-add); the deleting commit contributes nothing
+    assert(out.select("graph").distinct().count() === 2)
+    assert(out.count() === 6) // 2 × (2 metadata + 1 payload)
+  }
+
   test("gitRevisions: non-repo path and untracked file fail loudly") {
     val lone = java.nio.file.Files.createTempDirectory("graft-nogit")
       .resolve("x.ttl")
