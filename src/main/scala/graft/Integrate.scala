@@ -282,11 +282,14 @@ object Integrate {
     cfg.outFormat.map(_.toLowerCase) match {
       case Some("nq" | "nquads" | "n-quads") => "nq"
       case Some("trig") => "trig"
+      case Some("hdt") => "hdt"
       case Some(other) => throw new IllegalArgumentException(
-        s"--out-format $other: supported formats are nq, trig")
+        s"--out-format $other: supported formats are nq, trig, hdt")
       case None =>
         if (cfg.outFile.exists(f =>
-          f.matches("(?i).*\\.trig(\\.gz)?$"))) "trig" else "nq"
+          f.matches("(?i).*\\.trig(\\.gz)?$"))) "trig"
+        else if (cfg.outFile.exists(_.matches("(?i).*\\.hdt$"))) "hdt"
+        else "nq"
     }
 
   // -------------------------------------------------------------- run
@@ -341,6 +344,9 @@ object Integrate {
       case Some(dir) =>
         // one output file per source argument, clustered by local name
         // (SparqlIntegrateCmdImpls.java:382-392 + 414-436)
+        require(fmt != "hdt",
+          "--split with --of hdt is not supported (one binary encode per " +
+            "cluster; write nq/trig splits or a single -o file.hdt)")
         Files.createDirectories(Paths.get(dir))
         quads.groupBy { case (p, _) => workloads(p).name }.foreach {
           case (name, group) =>
@@ -361,9 +367,21 @@ object Integrate {
             lines.toLocalIterator().asScala
               .foreach(r => out.println(r.getString(0)))
         }
-        if (quads.nonEmpty)
-          mainSink(quads.map { case (_, df) => quadLines(df, fmt) }
+        if (quads.nonEmpty) {
+          if (fmt == "hdt") {
+            // binary single-file encode: triple view (graph names do not
+            // exist in HDT's triple stream — the union of all graphs,
+            // like the engine's -u union default-graph mode)
+            val f = cfg.outFile.getOrElse(throw new IllegalArgumentException(
+              "--of hdt requires -o FILE (binary output cannot stream " +
+                "to stdout)"))
+            ensureParentDir(Paths.get(f), cfg.outMkDirs)
+            graft.sources.HdtIO.writeHdt(
+              quads.map(_._2.selectExpr("subj", "pred", "obj"))
+                .reduce(_ unionByName _), f)
+          } else mainSink(quads.map { case (_, df) => quadLines(df, fmt) }
             .reduce(_ unionByName _))
+        }
         if (bindingsMode) {
           // bindings-only script: the TSV IS the main output
           cfg.outFile match {

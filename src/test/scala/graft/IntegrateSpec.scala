@@ -213,6 +213,31 @@ class IntegrateSpec extends AnyFunSuite {
     }.getMessage.contains("no such file"))
   }
 
+  test("HDT loop through the CLI: -o file.hdt encodes, a second " +
+      "invocation LOADs the .hdt back") {
+    val dir = tmpDir()
+    val nt = dir.resolve("d.nt")
+    Files.writeString(nt, "<urn:a> <urn:p> \"1\" .\n<urn:b> <urn:p> \"2\" .\n")
+    val hdt = dir.resolve("o.hdt")
+    // extension picks the format; no --of needed
+    val (c1, _, e1) = cli(nt.toString,
+      "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }", "-o", hdt.toString)
+    assert(c1 === 0, e1)
+    assert(Files.readAllBytes(hdt).take(4).toSeq ===
+      "$HDT".getBytes("UTF-8").toSeq)
+    val (c2, out2, e2) = cli(hdt.toString,
+      "CONSTRUCT { ?s <urn:q> ?o } WHERE { ?s <urn:p> ?o }")
+    assert(c2 === 0, e2)
+    assert(out2.trim.split("\n").toSet === Set(
+      "<urn:a> <urn:q> \"1\" .",
+      "<urn:b> <urn:q> \"2\" ."))
+    // binary to stdout rejects loudly
+    assert(intercept[IllegalArgumentException] {
+      cli(nt.toString, "--of", "hdt",
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    }.getMessage.contains("-o"))
+  }
+
   test("gzip output by extension: .nq.gz parts concatenate to a valid " +
       "multi-member gzip") {
     val dir = tmpDir()
