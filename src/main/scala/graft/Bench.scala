@@ -496,6 +496,58 @@ object Bench {
       return
     }
 
+    if (args.headOption.contains("hdt")) {
+      // HDT decode scaling: a cap-scale (5 M triple) file decoded at two
+      // parallelism levels — the zero-shuffle broadcast-decode claim,
+      // measured. The fixture encodes once (deterministic synthetic
+      // triples: 8-predicate runs per subject, the BitmapTriples shape).
+      import org.apache.spark.sql.functions._
+      val path = "/tmp/graft-hdt-bench.hdt"
+      if (!new java.io.File(path).exists) {
+        val s = session(cpus)
+        val n = graft.sources.HdtIO.MaxWriteTriples
+        val df = s.range(n).select(
+          concat(lit("<urn:s"), (col("id") / 8), lit(">")).as("subj"),
+          concat(lit("<urn:p"), col("id") % 8, lit(">")).as("pred"),
+          concat(lit("\"v"), col("id"), lit("\"")).as("obj"))
+        graft.sources.HdtIO.writeHdt(df, path)
+        s.stop()
+        System.err.println(s"[hdt] wrote $n-triple fixture at $path")
+      }
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val times = Seq(2, 8).map { c =>
+        val s = session(c)
+        try {
+          graft.sources.HdtIO.readHdt(s, path).count() // warm (JIT)
+          (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            graft.sources.HdtIO.readHdt(s, path).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } finally s.stop()
+      }
+      // decompose: every readHdt pays a FIXED driver-side load (file
+      // parse + broadcast) before the distributed decode — report both
+      // the end-to-end ratio and the decode-only ratio so the fixed cost
+      // is visible instead of silently deflating the scaling number
+      val loadSec = {
+        val t0 = System.nanoTime()
+        graft.sources.HdtIO.load(path)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val n = graft.sources.HdtIO.MaxWriteTriples.toDouble
+      val eff = (times(0) / times(1)) / 4.0
+      val decodeEff =
+        ((times(0) - loadSec) / (times(1) - loadSec)) / 4.0
+      println(s"""{"metric":"hdt_decode_scaling_2_to_8","value":$eff,""" +
+        s""""unit":"ratio","queries":{"lo_sec":${times(0)},""" +
+        s""""hi_sec":${times(1)},"fixed_load_sec":$loadSec,""" +
+        s""""decode_only_eff":$decodeEff,"triples":${n.toLong},""" +
+        s""""lo_triples_per_sec":${n / times(0)},""" +
+        s""""hi_triples_per_sec":${n / times(1)}},"sf":"synthetic-5M"}""")
+      return
+    }
+
     if (args.headOption.contains("gaz")) {
       // mention-scan cost vs gazetteer size: the token-ngram broadcast
       // hash join must be ~flat in surface count (the build side is a

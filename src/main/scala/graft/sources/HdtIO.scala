@@ -666,12 +666,16 @@ object HdtIO {
         private var run = from
         private var runOpen = false
         private var curSubj: String = null
+        private var curSubjId = -1L
         private var pred: String = null
         private val predMemo = new java.util.HashMap[Long, String]()
         def hasNext: Boolean = runOpen || run < until
         def next(): (String, String, String, String) = {
           if (!runOpen) {
-            curSubj = d.subjectTerm(subj)
+            // consecutive runs usually share the subject — extract once
+            if (subj != curSubjId) {
+              curSubj = d.subjectTerm(subj); curSubjId = subj
+            }
             val pid = d.seqY(run)
             pred = predMemo.get(pid)
             if (pred == null) { pred = d.predicateTerm(pid); predMemo.put(pid, pred) }

@@ -112,6 +112,43 @@ class HdtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cookie"), e.getMessage)
   }
 
+  test("round-trip property: random term sets (unicode, escapes, shared " +
+      "roles, supplementary code points) -> hdt -> read == identity") {
+    import org.scalacheck.Gen
+    val alnum = Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty)
+    val iri = alnum.map(s => s"<urn:x:$s>")
+    val bnode = alnum.map(s => s"_:b$s")
+    // include a supplementary code point (U+10000) and a BMP char above
+    // U+E000 — the pair whose relative order differs between UTF-16
+    // code-unit sort and the UTF-8 byte sort the dictionary requires
+    val rawText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("\"", "\\", "\n", "\t", " ", "ü", "中",
+        "", "𐀀")))
+      .map { parts =>
+        val s = parts.mkString.take(24)
+        // char-truncation must not strand half a surrogate pair (an
+        // unpaired surrogate is not UTF-8-representable)
+        if (s.nonEmpty && Character.isHighSurrogate(s.last)) s.dropRight(1)
+        else s
+      }
+    val literal = for {
+      body <- rawText
+      suffix <- Gen.oneOf("", "@en", "^^<urn:dt>")
+    } yield "\"" + graft.sources.TrigParser.ntEscape(body) + "\"" + suffix
+    val triple = for {
+      s <- Gen.oneOf(iri, bnode)
+      p <- iri
+      o <- Gen.oneOf(iri, bnode, literal)
+    } yield (s, p, o)
+    val tripleSets = Gen.listOfN(60, triple)
+    (1 to 15).foreach { seedI =>
+      val ts = tripleSets(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seedI.toLong)).get.distinct
+      assert(roundTrip(ts) === ts.toSet, s"seed=$seedI")
+    }
+  }
+
   test("big round-trip equals the TriG parse of the same corpus") {
     // the transcript triple rules at sf0.001 — thousands of triples with
     // shared terms, datatyped literals and IRIs; HDT must reproduce the
