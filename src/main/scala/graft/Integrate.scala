@@ -305,6 +305,24 @@ object Integrate {
   def run(argv: Array[String], spark: SparkSession,
       out: PrintStream, err: PrintStream,
       awaitServer: Boolean = true): Int = {
+    // `cpcat NAME` — print a canned classpath resource, the reference's
+    // `rpt cpcat` subcommand (CmdCatClasspathResource in CmdRptMain;
+    // docs/integrate/canned-queries.md). The embedded .rq files are
+    // byte-identical reference copies (resources/reference/canned).
+    if (argv.headOption.contains("cpcat")) {
+      require(argv.length == 2, "usage: cpcat RESOURCE (e.g. cpcat spo.rq)")
+      val name = argv(1)
+      require(name.matches("[A-Za-z0-9_.-]+"), s"unsafe resource name: $name")
+      val in = getClass.getResourceAsStream(s"/reference/canned/$name")
+      if (in == null) {
+        err.println(s"cpcat: no such classpath resource: $name")
+        return 1
+      }
+      try out.print(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+      return 0
+    }
     val cfg = parseArgs(argv.toIndexedSeq)
     if (cfg.args.isEmpty && !cfg.server) { err.print(usage); return 2 }
     if (cfg.unionDefaultGraph)

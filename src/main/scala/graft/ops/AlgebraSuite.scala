@@ -613,6 +613,16 @@ object AlgebraSuite {
       CannedQueries.tree(cannedSeed(s, dir)
         .filter(col("graph") === "<urn:x-arq:DefaultGraph>")
         .select("subj", "pred", "obj"))),
+    "canned_property_joins" -> ((s, dir) =>
+      // property-joins.rq VERBATIM from the embedded reference bytes:
+      // distributed self-join (object of ?p1 = subject of ?p2) under a
+      // SubSelect-filled group with nested anonymous bnodes
+      graft.rules.ConstructParser.parseConstruct(
+        CannedQueries.resource("property-joins.rq")).run(trip(s, dir))),
+    "canned_transpose" -> ((s, _) =>
+      // test-transpose.rq VERBATIM: VALUES rows + OPTIONAL{BIND}
+      graft.rules.ConstructParser.parseSelect(
+        CannedQueries.resource("test-transpose.rq")).run(unit(s))),
     "lambda_call" -> ((s, dir) => {
       // norse:fn.of / fn.call lambdas from query TEXT (docs/examples/
       // README.md:522-550): free-var capture of a pattern var, params
@@ -1339,6 +1349,17 @@ object AlgebraSuite {
         |UNION ALL
         |SELECT '_:n'||md5('<http://ex.org/n/'||n_nationkey||'>'),
         |       '<http://ex.org/name>', '"'||n_name||'"' FROM nation""".stripMargin,
+    "canned_property_joins" ->
+      s"""$tripCte
+         |SELECT DISTINCT '<urn:x-arq:DefaultGraph>' AS graph,
+         |       t1.pred AS subj,
+         |       '<http://www.example.org/joinsWith>' AS pred,
+         |       t2.pred AS obj
+         |FROM trip t1 JOIN trip t2 ON t1.obj = t2.subj""".stripMargin,
+    "canned_transpose" ->
+      """SELECT * FROM (VALUES
+        |  ('"a"', '"b"', '"a"'),
+        |  ('"c"', '"d"', '"c"')) t(x, y, v)""".stripMargin,
     "construct_sequence" ->
       """SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
         |       '<http://ex.org/name>' AS pred, '"' || c_name || '"' AS obj,

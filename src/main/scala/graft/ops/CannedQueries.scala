@@ -55,6 +55,25 @@ object CannedQueries {
     throw new IllegalArgumentException(
       s"unknown canned query '$name' — available: ${texts.keys.toSeq.sorted.mkString(", ")}"))
 
+  /** The VERBATIM embedded reference resource (byte-identical copy under
+    * resources/reference/canned — what `Integrate cpcat` prints, and what
+    * the runnable canned entries parse so conformance is against the
+    * reference's own bytes, not a re-typed copy). Per-file status:
+    * spo/gspo/spogspo/count/s/property-joins/test-transpose/path-test run
+    * verbatim; rename runs via the documented [[texts]] variant (upstream
+    * binds ?y through a FILTER over an unbound var); tree/gtree run as
+    * the distributed [[tree]] (norse:bnode.asGiven + scalar EXISTS);
+    * env-test runs verbatim with a LOCAL file
+    * endpoint (CannedRqSpec); bnode-test hardcodes a network SPARQL
+    * endpoint — scoped out with the other egress forms.
+    */
+  def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/reference/canned/$name")
+    require(in != null, s"no embedded canned resource '$name'")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** tree.rq / gtree.rq: replace every INTERMEDIATE node (a term that
     * appears both as a subject and as an object — per graph when
     * `perGraph`) with a deterministic blank node `_:n<md5(term)>`.

@@ -1188,7 +1188,8 @@ object ConstructParser {
       selectQueryCtx(expectEnd, None)
 
     private def selectQueryCtx(expectEnd: Boolean,
-        subGraphCtx: Option[Tok]): ParsedSelect = {
+        subGraphCtx: Option[Tok],
+        lateralExpose: Set[String] = Set.empty): ParsedSelect = {
       // NOTE: deliberately does NOT resetState() — a subquery parse must
       // keep the enclosing dsCtx; the per-query fields are reset here and
       // the enclosing group saves/restores its own state around the call
@@ -1404,6 +1405,37 @@ object ConstructParser {
           if ((groupBys.nonEmpty || hasAggItems) && !groupBys.exists(_._1 == gv))
             groupBys += ((gv, None))
         case _ => ()
+      }
+
+      // LATERAL subselect (Jena's per-left-binding evaluation,
+      // docs/query/lateral.md; the canned shacl-targetClass.rq): every
+      // outer-bound var the inner WHERE mentions is exposed through the
+      // projection — and any GROUP BY — so the DECORRELATED equi-join on
+      // those vars reproduces the substitution semantics. DISTINCT then
+      // dedups PER correlation key, exactly the lateral contract.
+      val lateralExposed = lateralExpose.filter(v =>
+        sawPattern && mentionsVar(els, v))
+      if (lateralExposed.nonEmpty) {
+        require(limitN.isEmpty && offsetN.isEmpty && orders.isEmpty,
+          "LATERAL with LIMIT/OFFSET/ORDER BY is not supported: the " +
+            "reference applies them PER left binding, which has no " +
+            "decorrelated join form here")
+        val hasStar = items.exists { case Star => true; case _ => false }
+        val hasAggItems = items.exists {
+          case Derived(_, _, true, _) => true
+          case _ => false
+        }
+        lateralExposed.toSeq.sorted.foreach { v =>
+          if (hasStar) {
+            if (!bgpVarTerm.contains(v)) bgpVarTerm(v) = true
+          } else if (!items.exists {
+            case PlainVar(x) => x == v
+            case Derived(x, _, _, _) => x == v
+            case _ => false
+          }) items = items :+ PlainVar(v)
+          if ((groupBys.nonEmpty || hasAggItems) && !groupBys.exists(_._1 == v))
+            groupBys += ((v, None))
+        }
       }
 
       val bgp = sawPattern
@@ -2127,7 +2159,8 @@ object ConstructParser {
       * subselect's own WHERE close (depth 0) re-parses ITS filters with
       * ITS registrations, then the outer list resumes.
       */
-    private def subSelectEl(graphCtx: Option[Tok] = None): WhereEl = {
+    private def subSelectEl(graphCtx: Option[Tok] = None,
+        lateralExpose: Set[String] = Set.empty): WhereEl = {
       val savedBinds = binds
       val savedFilters = filters
       val savedSaw = sawPattern
@@ -2138,7 +2171,8 @@ object ConstructParser {
       pendingFilters.clear()
       val savedDepth = groupDepth
       groupDepth = 0
-      val sub = selectQueryCtx(expectEnd = false, subGraphCtx = graphCtx)
+      val sub = selectQueryCtx(expectEnd = false, subGraphCtx = graphCtx,
+        lateralExpose = lateralExpose)
       groupDepth = savedDepth
       pendingFilters.clear()
       pendingFilters ++= savedPending
@@ -2257,6 +2291,22 @@ object ConstructParser {
         } else if (kw("OPTIONAL")) {
           skipWs()
           out += OptionalE(groupBlock(graphCtx))
+        } else if (kw("LATERAL")) {
+          // Jena's LATERAL (docs/query/lateral.md; shacl-targetClass.rq):
+          // the group evaluates per LEFT solution. Supported shape is a
+          // subselect — the correlated outer vars (everything bound so
+          // far in this query) decorrelate into its projection + join;
+          // other group contents reject loudly rather than silently
+          // running with join-not-lateral semantics.
+          skipWs()
+          expect('{')
+          skipWs()
+          if (!selectAhead) fail(
+            "LATERAL supports a subselect group: LATERAL { SELECT … } " +
+              "(a plain-group LATERAL is a join here only when shared " +
+              "variables correlate it — write the join directly)")
+          out += subSelectEl(graphCtx, lateralExpose = bgpVarTerm.keySet.toSet)
+          skipWs(); expect('}')
         } else if (kw("MINUS")) {
           skipWs()
           out += MinusE(groupBlock(graphCtx))
@@ -2867,6 +2917,43 @@ object ConstructParser {
           val u = compiled.map(_._1).reduce(Bgp.union)
           if (seedWithInput) { acc = u; maybeNull ++= unionNulls }
           else joinIn(u, unionNulls)
+        case OptionalE(inner)
+            if inner.nonEmpty && inner.forall(el =>
+              el.isInstanceOf[BindE] || el.isInstanceOf[FilterE]) &&
+              inner.exists(_.isInstanceOf[BindE]) =>
+          // pattern-free OPTIONAL (only BINDs + FILTERs — the canned
+          // test-transpose.rq shape `OPTIONAL { BIND(?x AS ?v) }`):
+          // evaluated per LEFT solution like the reference's ARQ
+          // OpConditional (which substitutes the left bindings into the
+          // right side), so each BIND extends the CURRENT frame with
+          // error→NULL, and a failing group FILTER leaves the row alive
+          // with the binds unbound (§6.1 left join). Compiling the group
+          // independently instead would crash on the outer var — and
+          // under strict bottom-up semantics would always bind NULL,
+          // which is not what the reference produces.
+          require(acc != null, "OPTIONAL with no preceding pattern")
+          val binds = inner.collect { case b: BindE => b }
+          val filters = inner.collect { case f: FilterE => f.c }
+          var cur = acc
+          val bound = scala.collection.mutable.Set(cur.columns: _*)
+          binds.foreach { b =>
+            val missing = refNames(b.e.c).diff(bound.toSet)
+            val cc = if (missing.isEmpty) b.e.c
+              else org.apache.spark.sql.graft.bridge.nullifyRefs(b.e.c, missing)
+            cur = cur.withColumn(b.v, cc)
+            bound += b.v
+            maybeNull += b.v
+          }
+          filters.reduceOption(_ && _).foreach { c0 =>
+            val missing = refNames(c0).diff(bound.toSet)
+            val c = if (missing.isEmpty) c0
+              else org.apache.spark.sql.graft.bridge.nullifyRefs(c0, missing)
+            val keep = coalesce(c.cast("boolean"), lit(false))
+            binds.foreach { b =>
+              cur = cur.withColumn(b.v, when(keep, col(b.v)))
+            }
+          }
+          acc = cur
         case OptionalE(inner) =>
           require(acc != null, "OPTIONAL with no preceding pattern")
           require(!containsPropFn(inner),
@@ -3865,6 +3952,19 @@ object ConstructParser {
             // FILTER(fs:probeRdf(?file)) — docs/examples/README.md:608;
             // see [[ConstructParser.probeRdfCol]] for the UDF rationale
             E(ConstructParser.probeRdfCol(arg1().c), term = false)
+          } else if (iri == ConstructParser.FsNs + "get") {
+            // fs:get(path-or-file-IRI) — the canned path-test.rq:
+            // normalize a path string / file: IRI (any slash arity) to an
+            // absolute `<file://…>` term; relative paths resolve against
+            // the driver's working directory at plan build. Reduction vs
+            // the reference (JenaX returns a typed path object): this
+            // engine's filesystem currency IS the file IRI — fs:find
+            // emits them and every consumer accepts them.
+            val lex = raw(arg1())
+            val p = regexp_replace(lex, "^file:(//)?", "")
+            val abs = when(p.startsWith("/"), p)
+              .otherwise(concat(lit(sys.props("user.dir") + "/"), p))
+            E(concat(lit("<file://"), abs, lit(">")), term = true)
           } else if (iri == ConstructParser.SysNs + "getenv") {
             // sys:getenv('NAME') — the canned rename.rq parameterization;
             // a DRIVER-side plan-build constant (env first, system
