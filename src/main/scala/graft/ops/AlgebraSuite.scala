@@ -443,6 +443,18 @@ object AlgebraSuite {
           |}""".stripMargin
       graft.rules.ConstructParser.parseSelect(q).run(customer(s, dir))
     }),
+    "lateral_text" -> ((s, dir) => {
+      // text-level LATERAL (Jena docs/query/lateral.md; the canned
+      // shacl-targetClass.rq shape): a correlated AGGREGATE subselect —
+      // quad count per predicate — decorrelated into an exposed-var
+      // equi-join with per-key grouping
+      val q =
+        """SELECT ?p ?n WHERE {
+          |  { SELECT DISTINCT ?p { ?s ?p ?o } }
+          |  LATERAL { SELECT (COUNT(*) AS ?n) { ?s2 ?p ?o2 } }
+          |}""".stripMargin
+      graft.rules.ConstructParser.parseSelect(q).run(trip(s, dir))
+    }),
     "select_having" -> ((s, dir) => {
       // aggregate-level filter (SPARQL 1.1 §11.3): keep only roles with
       // more than 1500 turns
@@ -1166,6 +1178,9 @@ object AlgebraSuite {
          |SELECT obj AS role, count(*) AS n FROM trip
          |WHERE pred = '<${P}role>'
          |GROUP BY obj HAVING count(*) > 1500""".stripMargin,
+    "lateral_text" ->
+      s"""$tripCte
+         |SELECT pred AS p, count(*) AS n FROM trip GROUP BY pred""".stripMargin,
     "path_seq" ->
       s"""$tripCte
          |SELECT n.obj AS b, r.obj AS r

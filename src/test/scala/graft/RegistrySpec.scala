@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   /** Total `SparkEntry.queries` entries (= rows the driver verifies). */
-  private val ExpectedQueries = 144
+  private val ExpectedQueries = 145
 
   /** Registry keys that intentionally have NO DuckDB oracle — each one
     * hash-seeded or data-dependent, and each bridged by an
