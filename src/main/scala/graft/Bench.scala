@@ -506,8 +506,10 @@ object Bench {
       if (!new java.io.File(path).exists) {
         val s = session(cpus)
         val n = graft.sources.HdtIO.MaxWriteTriples
+        // INTEGER division — Column./ is floating-point and would mint 5M
+        // fractional single-triple subjects instead of 8-predicate runs
         val df = s.range(n).select(
-          concat(lit("<urn:s"), (col("id") / 8), lit(">")).as("subj"),
+          concat(lit("<urn:s"), expr("id div 8"), lit(">")).as("subj"),
           concat(lit("<urn:p"), col("id") % 8, lit(">")).as("pred"),
           concat(lit("\"v"), col("id"), lit("\"")).as("obj"))
         graft.sources.HdtIO.writeHdt(df, path)

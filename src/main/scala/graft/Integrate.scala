@@ -135,9 +135,9 @@ object Integrate {
     * execution.
     */
   private val RdfExt =
-    "(?i).*\\.(nt|nq|ttl|trig|hdt)(\\.(gz|bz2))?$"
+    "(?i).*\\.((nt|nq|ttl|trig)(\\.(gz|bz2))?|hdt)$"
   private val UnsupportedRdfExt =
-    "(?i).*\\.(rdf|rdfxml|owl|jsonld|json-ld)(\\.(gz|bz2))?$"
+    "(?i).*\\.((rdf|rdfxml|owl|jsonld|json-ld)(\\.(gz|bz2))?|hdt\\.(gz|bz2))$"
   private val SparqlExt = "(?i).*\\.(sparql|rq|ru)$"
 
   /** One positional argument resolved to its statement text. `name` is
@@ -170,8 +170,9 @@ object Integrate {
       if (arg.matches(SparqlExt)) Workload(base, Files.readString(pOpt.get))
       else if (arg.matches(UnsupportedRdfExt))
         throw new IllegalArgumentException(
-          s"$arg: RDF/XML and JSON-LD are not supported by this engine " +
-            "(supported: N-Triples/N-Quads/Turtle/TriG [.gz/.bz2], HDT)")
+          s"$arg: RDF/XML, JSON-LD and compressed HDT are not supported " +
+            "by this engine (supported: N-Triples/N-Quads/Turtle/TriG " +
+            "[.gz/.bz2], uncompressed HDT)")
       else if (arg.matches(RdfExt) || RdfIO.probeRdfLocal(resolved))
         Workload(base, s"LOAD <$arg>")
       else throw new IllegalArgumentException(
@@ -313,14 +314,11 @@ object Integrate {
       require(argv.length == 2, "usage: cpcat RESOURCE (e.g. cpcat spo.rq)")
       val name = argv(1)
       require(name.matches("[A-Za-z0-9_.-]+"), s"unsafe resource name: $name")
-      val in = getClass.getResourceAsStream(s"/reference/canned/$name")
-      if (in == null) {
+      if (getClass.getResource(s"/reference/canned/$name") == null) {
         err.println(s"cpcat: no such classpath resource: $name")
         return 1
       }
-      try out.print(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
+      out.print(graft.ops.CannedQueries.resource(name))
       return 0
     }
     val cfg = parseArgs(argv.toIndexedSeq)

@@ -1383,59 +1383,66 @@ object ConstructParser {
       // projection, and make it a grouping key so aggregates compute per
       // active graph (a whole-stream aggregate inside GRAPH ?gv is one
       // row PER GRAPH, not one row total)
+      // Expose an outer-scope var through this query's projection (+ any
+      // GROUP BY, so aggregates compute per exposed key). Shared by the
+      // GRAPH-?gv threading (§13.3) and the LATERAL decorrelation below —
+      // one definition so the exposure rules cannot diverge.
+      def exposeVar(v: String): Unit = {
+        val hasStar = items.exists { case Star => true; case _ => false }
+        if (hasStar) {
+          // `SELECT *` expands from bgpVarTerm below — make sure the var
+          // is in it (it was bound in the OUTER scope, so the subselect's
+          // own var map doesn't have it yet). Appending PlainVar instead
+          // would make the projection an illegal Star/named mix.
+          if (!bgpVarTerm.contains(v)) bgpVarTerm(v) = true
+        } else if (!items.exists {
+          case PlainVar(x) => x == v
+          case Derived(x, _, _, _) => x == v
+          case _ => false
+        }) items = items :+ PlainVar(v)
+        val hasAggItems = items.exists {
+          case Derived(_, _, true, _) => true
+          case _ => false
+        }
+        if ((groupBys.nonEmpty || hasAggItems) && !groupBys.exists(_._1 == v))
+          groupBys += ((v, None))
+      }
       subGraphCtx match {
-        case Some(VarT(gv)) if sawPattern =>
-          val hasStar = items.exists { case Star => true; case _ => false }
-          if (hasStar) {
-            // `SELECT *` expands from bgpVarTerm below — make sure the
-            // graph var is in it (the GRAPH keyword was parsed in the
-            // OUTER scope, so the subselect's own var map doesn't have
-            // it yet). Appending PlainVar(gv) instead would make the
-            // projection an illegal Star/named mix.
-            if (!bgpVarTerm.contains(gv)) bgpVarTerm(gv) = true
-          } else if (!items.exists {
-            case PlainVar(v) => v == gv
-            case Derived(v, _, _, _) => v == gv
-            case _ => false
-          }) items = items :+ PlainVar(gv)
-          val hasAggItems = items.exists {
-            case Derived(_, _, true, _) => true
-            case _ => false
-          }
-          if ((groupBys.nonEmpty || hasAggItems) && !groupBys.exists(_._1 == gv))
-            groupBys += ((gv, None))
+        case Some(VarT(gv)) if sawPattern => exposeVar(gv)
         case _ => ()
       }
 
       // LATERAL subselect (Jena's per-left-binding evaluation,
       // docs/query/lateral.md; the canned shacl-targetClass.rq): every
-      // outer-bound var the inner WHERE mentions is exposed through the
-      // projection — and any GROUP BY — so the DECORRELATED equi-join on
-      // those vars reproduces the substitution semantics. DISTINCT then
-      // dedups PER correlation key, exactly the lateral contract.
+      // outer-bound var the inner WHERE pattern-mentions is exposed
+      // through the projection — and any GROUP BY — so the DECORRELATED
+      // equi-join on those vars reproduces the substitution semantics.
+      // DISTINCT then dedups PER correlation key, the lateral contract.
+      // Documented divergence: an outer row whose correlated group is
+      // EMPTY drops (inner equi-join), where the reference's per-left
+      // evaluation yields a zero/empty aggregate row — the reference's
+      // own lateral uses (shacl-targetClass) correlate on keys drawn
+      // from the same data, where the two agree.
       val lateralExposed = lateralExpose.filter(v =>
         sawPattern && mentionsVar(els, v))
+      if (lateralExpose.nonEmpty) {
+        // an outer var referenced ONLY in expression / EXISTS / MINUS
+        // position has no decorrelated form — loud reject, never silent
+        // join-not-lateral semantics
+        val hard = lateralExpose.filter(v =>
+          !lateralExposed.contains(v) && refsVarDeep(els, v))
+        require(hard.isEmpty,
+          s"LATERAL: outer ${hard.toSeq.sorted.map("?" + _).mkString(", ")} " +
+            "referenced only inside a FILTER/BIND expression or an " +
+            "EXISTS/MINUS group — decorrelation needs a pattern-bound " +
+            "position; rewrite the correlation as a pattern or join")
+      }
       if (lateralExposed.nonEmpty) {
         require(limitN.isEmpty && offsetN.isEmpty && orders.isEmpty,
           "LATERAL with LIMIT/OFFSET/ORDER BY is not supported: the " +
             "reference applies them PER left binding, which has no " +
             "decorrelated join form here")
-        val hasStar = items.exists { case Star => true; case _ => false }
-        val hasAggItems = items.exists {
-          case Derived(_, _, true, _) => true
-          case _ => false
-        }
-        lateralExposed.toSeq.sorted.foreach { v =>
-          if (hasStar) {
-            if (!bgpVarTerm.contains(v)) bgpVarTerm(v) = true
-          } else if (!items.exists {
-            case PlainVar(x) => x == v
-            case Derived(x, _, _, _) => x == v
-            case _ => false
-          }) items = items :+ PlainVar(v)
-          if ((groupBys.nonEmpty || hasAggItems) && !groupBys.exists(_._1 == v))
-            groupBys += ((v, None))
-        }
+        lateralExposed.toSeq.sorted.foreach(exposeVar)
       }
 
       val bgp = sawPattern
@@ -2037,7 +2044,12 @@ object ConstructParser {
     private case class TpE(g: Option[Tok], s: Tok, p: Tok, o: Tok) extends WhereEl
     private case class GroupE(els: Seq[WhereEl]) extends WhereEl
     private case class UnionE(groups: Seq[Seq[WhereEl]]) extends WhereEl
-    private case class OptionalE(els: Seq[WhereEl]) extends WhereEl
+    /** `termSnap`: parse-time snapshot of each preceding var's term-ness
+      * (bgpVarTerm mutates across statements, so the pattern-free
+      * OPTIONAL-BIND compile path cannot read it lazily at run time).
+      */
+    private case class OptionalE(els: Seq[WhereEl],
+        termSnap: Map[String, Boolean] = Map.empty) extends WhereEl
     private case class MinusE(els: Seq[WhereEl]) extends WhereEl
     private case class ExistsE(els: Seq[WhereEl], negated: Boolean) extends WhereEl
     private case class BindE(v: String, e: E) extends WhereEl
@@ -2129,7 +2141,7 @@ object ConstructParser {
         }
         case GroupE(in) => mentionsVar(in, v)
         case UnionE(gs) => gs.exists(mentionsVar(_, v))
-        case OptionalE(in) => mentionsVar(in, v)
+        case OptionalE(in, _) => mentionsVar(in, v)
         case ServiceE(_, in, _) => mentionsVar(in, v)
         case ServiceVarE(x, in, _) => x == v || mentionsVar(in, v)
         case BindE(x, _) => x == v
@@ -2142,6 +2154,29 @@ object ConstructParser {
         case UrlTextE(src, x) => x == v || src.exists(_ == v)
         case PropFnE(subj, objVar, pos) => objVar == v ||
           subj.exists(_._1 == v) || pos.exists(_.swap.exists(_ == v))
+        case _ => false
+      }
+
+    /** Does any EXPRESSION or non-outward-binding position inside `els`
+      * reference `v`? The LATERAL decorrelation can only correlate on
+      * PATTERN-bound positions ([[mentionsVar]]); a correlated reference
+      * in a FILTER/BIND expression or inside EXISTS/MINUS has no
+      * decorrelated form here and must reject loudly rather than run
+      * with join-not-lateral semantics (review-found).
+      */
+    private def refsVarDeep(els: Seq[WhereEl], v: String): Boolean =
+      els.exists {
+        case f: FilterE => refNames(f.c).contains(v)
+        case BindE(_, e) => refNames(e.c).contains(v)
+        case MapComputeE(_, _, keyVar, body) =>
+          keyVar == v || refNames(body.c).contains(v)
+        case ExistsE(in, _) => mentionsVar(in, v) || refsVarDeep(in, v)
+        case MinusE(in) => mentionsVar(in, v) || refsVarDeep(in, v)
+        case GroupE(in) => refsVarDeep(in, v)
+        case UnionE(gs) => gs.exists(refsVarDeep(_, v))
+        case OptionalE(in, _) => refsVarDeep(in, v)
+        case ServiceE(_, in, _) => refsVarDeep(in, v)
+        case ServiceVarE(_, in, _) => refsVarDeep(in, v)
         case _ => false
       }
 
@@ -2290,7 +2325,13 @@ object ConstructParser {
           out += ValuesE(vars.toSeq, rows.toSeq)
         } else if (kw("OPTIONAL")) {
           skipWs()
-          out += OptionalE(groupBlock(graphCtx))
+          // snapshot BEFORE the group parses: a BIND inside the optional
+          // re-registers its target var (term-ness of the EXPR), which
+          // must not mask the LEFT binding's term-ness
+          out += {
+            val termSnap = bgpVarTerm.toMap
+            OptionalE(groupBlock(graphCtx), termSnap)
+          }
         } else if (kw("LATERAL")) {
           // Jena's LATERAL (docs/query/lateral.md; shacl-targetClass.rq):
           // the group evaluates per LEFT solution. Supported shape is a
@@ -2601,7 +2642,7 @@ object ConstructParser {
           val common = parts.map(_._1).reduce(_ intersect _)
           bound ++= all
           maybe ++= parts.flatMap(_._2).toSet ++ (all diff common)
-        case OptionalE(inner) =>
+        case OptionalE(inner, _) =>
           val (b, m) = staticNulls(inner)
           maybe ++= m ++ (b diff bound)
           bound ++= b
@@ -2649,7 +2690,7 @@ object ConstructParser {
       case _: FsFindE => true
       case GroupE(in) => containsPropFn(in)
       case UnionE(gs) => gs.exists(containsPropFn)
-      case OptionalE(in) => containsPropFn(in)
+      case OptionalE(in, _) => containsPropFn(in)
       case MinusE(in) => containsPropFn(in)
       case ExistsE(in, _) => containsPropFn(in)
       case _ => false
@@ -2917,7 +2958,7 @@ object ConstructParser {
           val u = compiled.map(_._1).reduce(Bgp.union)
           if (seedWithInput) { acc = u; maybeNull ++= unionNulls }
           else joinIn(u, unionNulls)
-        case OptionalE(inner)
+        case OptionalE(inner, termSnap)
             if inner.nonEmpty && inner.forall(el =>
               el.isInstanceOf[BindE] || el.isInstanceOf[FilterE]) &&
               inner.exists(_.isInstanceOf[BindE]) =>
@@ -2936,25 +2977,68 @@ object ConstructParser {
           val filters = inner.collect { case f: FilterE => f.c }
           var cur = acc
           val bound = scala.collection.mutable.Set(cur.columns: _*)
+          val preBound = acc.columns.toSet
+          // §6.1 compatibility for a var ALREADY bound on the left: the
+          // left binding is never overwritten — the optional value fills
+          // only where the left is unbound, and a bound-left row whose
+          // value differs from the optional's makes the WHOLE optional
+          // solution incompatible (its other binds drop for that row).
+          // Expression values land in temp columns first so the compat
+          // test sees the EXPR value, not the merged one.
           binds.foreach { b =>
             val missing = refNames(b.e.c).diff(bound.toSet)
-            val cc = if (missing.isEmpty) b.e.c
+            val cc0 = if (missing.isEmpty) b.e.c
               else org.apache.spark.sql.graft.bridge.nullifyRefs(b.e.c, missing)
-            cur = cur.withColumn(b.v, cc)
+            // merging into a TERM-typed left var: the expression VALUE
+            // converts to its plain-literal term form (termOf's rule for
+            // value vars) so compat compares like with like; numeric
+            // values merge as plain literals here — acceptable for the
+            // constant-BIND shapes this path exists for
+            val cc =
+              if (preBound.contains(b.v) && !b.e.term &&
+                  termSnap.getOrElse(b.v, false))
+                RdfTerms.strLit(cc0.cast("string"))
+              else cc0
+            if (preBound.contains(b.v)) {
+              cur = cur.withColumn("#ob_" + b.v, cc)
+                .withColumn("#obOrig_" + b.v, col(b.v))
+                .withColumn(b.v, coalesce(col(b.v), col("#ob_" + b.v)))
+            } else {
+              cur = cur.withColumn(b.v, cc)
+              maybeNull += b.v
+            }
             bound += b.v
-            maybeNull += b.v
           }
-          filters.reduceOption(_ && _).foreach { c0 =>
+          val compat = binds.filter(b => preBound.contains(b.v)).map { b =>
+            col("#obOrig_" + b.v).isNull ||
+              col("#obOrig_" + b.v) === col("#ob_" + b.v)
+          }.reduceOption(_ && _)
+          val filterOk = filters.reduceOption(_ && _).map { c0 =>
             val missing = refNames(c0).diff(bound.toSet)
             val c = if (missing.isEmpty) c0
               else org.apache.spark.sql.graft.bridge.nullifyRefs(c0, missing)
-            val keep = coalesce(c.cast("boolean"), lit(false))
+            coalesce(c.cast("boolean"), lit(false))
+          }
+          (compat ++ filterOk).reduceOption(_ && _).foreach { keepExpr =>
+            // keep materializes ONCE against the pre-mask frame — masking
+            // a bind and then re-evaluating the condition against the
+            // masked column would be inconsistent for non-monotone
+            // filters (review-found)
+            cur = cur.withColumn("#optKeep", keepExpr)
             binds.foreach { b =>
-              cur = cur.withColumn(b.v, when(keep, col(b.v)))
+              cur =
+                if (preBound.contains(b.v)) cur.withColumn(b.v,
+                  coalesce(col("#obOrig_" + b.v),
+                    when(col("#optKeep"), col("#ob_" + b.v))))
+                else cur.withColumn(b.v, when(col("#optKeep"), col(b.v)))
             }
+            cur = cur.drop("#optKeep")
+          }
+          binds.filter(b => preBound.contains(b.v)).foreach { b =>
+            cur = cur.drop("#ob_" + b.v, "#obOrig_" + b.v)
           }
           acc = cur
-        case OptionalE(inner) =>
+        case OptionalE(inner, _) =>
           require(acc != null, "OPTIONAL with no preceding pattern")
           require(!containsPropFn(inner),
             "property functions inside OPTIONAL are not supported")

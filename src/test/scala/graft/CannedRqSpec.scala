@@ -123,6 +123,41 @@ class CannedRqSpec extends AnyFunSuite {
     assert(inserted.count() === 1)
   }
 
+  test("pattern-free OPTIONAL-BIND never overwrites a left binding " +
+      "(§6.1 compat); incompatible rows drop the WHOLE optional solution") {
+    import org.apache.spark.sql.functions._
+    val quads = Seq(
+      ("<urn:s1>", "<urn:p>", "\"x\""),
+      ("<urn:s2>", "<urn:p>", "\"y\"")
+    ).toDF("subj", "pred", "obj")
+      .withColumn("graph", lit("<urn:x-arq:DefaultGraph>"))
+    val q =
+      """SELECT ?s ?v ?w WHERE {
+        |  ?s <urn:p> ?v .
+        |  OPTIONAL { BIND("x" AS ?v) BIND(1 AS ?w) }
+        |}""".stripMargin
+    val rows = graft.rules.ConstructParser.parseSelect(q).run(quads)
+      .orderBy("s").as[(String, String, String)].collect().toSeq
+    // s1: left v="x" compatible -> w bound; s2: left v="y" INCOMPATIBLE
+    // with the optional's v="x" -> v stays "y", w unbound
+    assert(rows === Seq(
+      ("<urn:s1>", "\"x\"", "1"),
+      ("<urn:s2>", "\"y\"", null)))
+  }
+
+  test("LATERAL rejects loudly when the correlation is only expressible " +
+      "in a FILTER/BIND expression (no decorrelated form)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.rules.ConstructParser.parseSelect(
+        """SELECT ?s ?o2 WHERE {
+          |  ?s <urn:p> ?o .
+          |  LATERAL { SELECT ?o2 { ?s2 <urn:q> ?o2 FILTER(?o2 > ?o) } }
+          |}""".stripMargin)
+    }
+    assert(e.getMessage.contains("LATERAL"), e.getMessage)
+    assert(e.getMessage.contains("?o"), e.getMessage)
+  }
+
   test("every reference .rq resource is embedded and accounted for") {
     val all = Seq("bnode-test.rq", "count.rq", "env-test.rq", "gspo.rq",
       "gtree.rq", "path-test.rq", "property-joins.rq", "rename.rq", "s.rq",
