@@ -93,6 +93,7 @@ object Integrate {
     @annotation.tailrec
     def loop(rest: List[String], c: Config): Config = rest match {
       case Nil => c
+      case ("-h" | "--help") :: _ => throw new HelpRequested
       case ("-o" | "--out-file") :: v :: t => loop(t, c.copy(outFile = Some(v)))
       case "--io" :: v :: t => loop(t, c.copy(ioFile = Some(v)))
       case ("--of" | "--out-format") :: v :: t =>
@@ -145,6 +146,11 @@ object Integrate {
     * like the reference's Provenance.getSourceLocalName).
     */
   final case class Workload(name: String, text: String)
+
+  /** `-h`/`--help` — routed as control flow so [[run]] can print usage to
+    * the requested stream and exit 0 (the reference's picocli behavior).
+    */
+  private final class HelpRequested extends RuntimeException
 
   def classify(arg: String): Workload = {
     // Only consult the file-IRI resolver for args that could plausibly
@@ -321,7 +327,9 @@ object Integrate {
       out.print(graft.ops.CannedQueries.resource(name))
       return 0
     }
-    val cfg = parseArgs(argv.toIndexedSeq)
+    val cfg =
+      try parseArgs(argv.toIndexedSeq)
+      catch { case _: HelpRequested => out.print(usage); return 0 }
     if (cfg.args.isEmpty && !cfg.server) { err.print(usage); return 2 }
     if (cfg.unionDefaultGraph)
       err.println("[integrate] -u: note — plain patterns over a quad " +

@@ -201,6 +201,13 @@ class IntegrateSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("NOPE_UNSET_VAR"))
   }
 
+  test("-h/--help prints usage to stdout and exits 0") {
+    val (code, out, _) = cli("-h")
+    assert(code === 0)
+    assert(out.contains("usage: graft.Integrate"))
+    assert(cli("--help", "ignored.nt")._1 === 0)
+  }
+
   test("unknown option and unclassifiable file fail loudly") {
     val ex = intercept[IllegalArgumentException] { cli("--frobnicate") }
     assert(ex.getMessage.contains("unknown option"))
