@@ -2333,21 +2333,42 @@ object ConstructParser {
             OptionalE(groupBlock(graphCtx), termSnap)
           }
         } else if (kw("LATERAL")) {
-          // Jena's LATERAL (docs/query/lateral.md; shacl-targetClass.rq):
-          // the group evaluates per LEFT solution. Supported shape is a
-          // subselect — the correlated outer vars (everything bound so
-          // far in this query) decorrelate into its projection + join;
-          // other group contents reject loudly rather than silently
-          // running with join-not-lateral semantics.
+          // Jena's LATERAL (docs/query/lateral.md): the group evaluates
+          // per LEFT solution. Two supported shapes:
+          //  - LATERAL { SELECT … }: the correlated outer vars
+          //    (everything bound so far) decorrelate into the subselect's
+          //    projection + join (shacl-targetClass.rq);
+          //  - LATERAL { patterns/UNION/paths … } with no subquery inside
+          //    (the leaflet-graphql demo's query-countries.rq): for
+          //    pattern-only contents, per-left evaluation IS the
+          //    correlated join on shared vars — compiled as a plain
+          //    group. A nested subquery inside such a group would need
+          //    its own decorrelation — loud reject, never silent
+          //    join-not-lateral semantics.
           skipWs()
+          val save = i
           expect('{')
           skipWs()
-          if (!selectAhead) fail(
-            "LATERAL supports a subselect group: LATERAL { SELECT … } " +
-              "(a plain-group LATERAL is a join here only when shared " +
-              "variables correlate it — write the join directly)")
-          out += subSelectEl(graphCtx, lateralExpose = bgpVarTerm.keySet.toSet)
-          skipWs(); expect('}')
+          if (selectAhead) {
+            out += subSelectEl(graphCtx,
+              lateralExpose = bgpVarTerm.keySet.toSet)
+            skipWs(); expect('}')
+          } else {
+            i = save
+            val inner = groupBlock(graphCtx)
+            def hasSubSelect(els: Seq[WhereEl]): Boolean = els.exists {
+              case _: SubSelectE => true
+              case GroupE(in) => hasSubSelect(in)
+              case UnionE(gs) => gs.exists(hasSubSelect)
+              case OptionalE(in, _) => hasSubSelect(in)
+              case _ => false
+            }
+            if (hasSubSelect(inner)) fail(
+              "LATERAL over a group CONTAINING a subquery is not " +
+                "supported: lift the subquery to LATERAL { SELECT … } " +
+                "so its correlation can decorrelate")
+            out += GroupE(inner)
+          }
         } else if (kw("MINUS")) {
           skipWs()
           out += MinusE(groupBlock(graphCtx))
