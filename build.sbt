@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC measured ~2x faster than G1 on the string-heavy stages
   "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // pre-size the heap: growing 512 MB -> 8 GB mid-run costs full-GC
+  // pauses exactly in the first (timed) query of a fresh JVM
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+      .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

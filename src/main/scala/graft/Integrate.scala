@@ -186,8 +186,11 @@ object Integrate {
           "parseable RDF")
     } else {
       // not a file: inline SPARQL — but a thing that LOOKS like a file
-      // path should fail loudly, not parse-fail confusingly
-      require(!arg.matches(RdfExt) && !arg.matches(SparqlExt),
+      // path should fail loudly, not parse-fail confusingly (ADVICE r9:
+      // unsupported RDF extensions too — a missing `data.jsonld` must
+      // say "no such file", not die in the SPARQL parser)
+      require(!arg.matches(RdfExt) && !arg.matches(SparqlExt) &&
+        !arg.matches(UnsupportedRdfExt),
         s"$arg: looks like a file argument but no such file exists")
       Workload("stdin", arg)
     }

@@ -163,7 +163,12 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
       numHashes: Int = 32, rowsPerBand: Int = 4,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    val ex = exact(docs) // (doc_id, rep_id, group_size)
+    // (doc_id, rep_id, group_size) — referenced by FOUR downstream
+    // subtrees (rep filter, two member expansions, the intra self-join);
+    // without the lineage cut the md5+window+scan pipeline re-executes
+    // for each of them (the r10 before-plan shows 4 copies of the
+    // exact() subtree). Metadata-scale rows (3 narrow cols per doc).
+    val ex = exact(docs).truncateLineage(false)
     val reps = docs.join(
       ex.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
     val sh = hashedShingles(reps, n).truncateLineage(false)
@@ -222,7 +227,9 @@ object Dedup {
       .select(least(col("ma"), col("mb")).as("a"),
         greatest(col("ma"), col("mb")).as("b"), col("jaccard"))
     val intra = if (threshold > 1.0) cross.limit(0) else {
-      val shDocs = sh.select(col("doc_id").as("__srep")).distinct()
+      // `sizes` is already one row per doc_id with ≥1 shingle — reuse it
+      // instead of a second distinct aggregation over the shingle table
+      val shDocs = sizes.select(col("doc_id").as("__srep"))
       val m = ex.filter(col("group_size") > 1)
         .select(col("rep_id").as("rep"), col("doc_id"))
       m.as("x").join(m.as("y"),

@@ -44,9 +44,14 @@ object ConnectedComponents {
     // Hybrid solve: an alias graph far below cluster scale is cheaper on
     // the driver (one collect + union-find) than as log-n shuffle rounds —
     // the iterative path below exists for edge lists that do NOT fit.
-    val nEdges = e.count()
-    if (nEdges <= localSolveThreshold) {
-      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    // The threshold probe is a LIMIT threshold+1 collect, not a separate
+    // count(): one job instead of two, and the driver never holds more
+    // than threshold+1 rows — if the limit truncated, the edge list is
+    // over budget and the distributed loop runs instead.
+    val capped = e.limit(
+      math.min(localSolveThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+    if (capped.length <= localSolveThreshold) {
+      val pairs = capped.map(r => (r.getString(0), r.getString(1)))
       val parent = scala.collection.mutable.HashMap[String, String]()
       def find(x0: String): String = { // iterative w/ path compression
         var x = x0

@@ -461,13 +461,28 @@ object GraphQl {
     val q = parse(text)
     val qPrefixes = prefixesOf(q.directives)
     require(q.roots.nonEmpty, "GraphQL query has no root fields")
+    // every @pattern field evaluates its own SELECT over `quads` — a
+    // query with P patterns would otherwise re-derive the quad table P
+    // times (the r10 before-plan showed 5 copies of the scan→window→
+    // extract subtree). Materialize the scan ONCE when more than one
+    // pattern reads it: Spark's publish()-equivalent of the reference's
+    // shared record stream (MainCliVoidGenerator fans one scan into all
+    // subscribers). Lazy lineage cut — blocks die with the result.
+    def patterns(f: Field): Int =
+      f.directives.count(_.name == "pattern") + f.children.map(patterns).sum
+    val nPat = q.roots.map(patterns).sum
+    val src =
+      if (nPat > 1) {
+        import graft.Checkpoints.TruncateOps
+        quads.truncateLineage(false)
+      } else quads
     q.roots.map { root =>
       val rc = cfg(root, None, qPrefixes)
       require(rc.pattern.nonEmpty,
         s"root field ${root.name}: needs @pattern")
       require(rc.indexBy.isEmpty,
         s"root field ${root.name}: @index is only supported on child fields")
-      val sols = solutions(rc, quads, None)
+      val sols = solutions(rc, src, None)
       sols.select(lit(root.name).as("field"),
         rawTerm(col(rc.to.head)).as("id"), col("#js").as("js"))
     }.reduce(_ unionByName _)

@@ -85,11 +85,28 @@ object Gazetteer {
     * length-sparse (e.g. surfaces of 1 and 4 tokens skip 2 and 3
     * entirely). One metadata-scale job.
     */
-  def surfaceTokenLengths(gaz: DataFrame): Seq[Int] = {
-    val ls = gaz.select(size(split(surfaceKey(col("surface")), " ")).as("l"))
-      .distinct().collect().map(_.getInt(0)).filter(_ >= 1).sorted.toSeq
-    if (ls.isEmpty) Seq(1) else ls
+  def surfaceTokenLengths(gaz: DataFrame): Seq[Int] =
+    surfaceTokenLengthsAndCount(gaz)._1
+
+  /** Distinct surface token lengths AND the gazetteer row count, in ONE
+    * metadata-scale job (a per-length count): callers that also need the
+    * broadcast-cutoff decision ([[mentionsRaw]]'s probe) get both
+    * answers for one job instead of two full gazetteer evaluations.
+    */
+  def surfaceTokenLengthsAndCount(gaz: DataFrame): (Seq[Int], Long) = {
+    val rows = gaz
+      .select(size(split(surfaceKey(col("surface")), " ")).as("l"))
+      .groupBy("l").agg(count(lit(1)).as("c")).collect()
+    val ls = rows.filterNot(_.isNullAt(0)).map(_.getInt(0))
+      .filter(_ >= 1).sorted.toSeq
+    val n = rows.map(_.getLong(1)).sum
+    (if (ls.isEmpty) Seq(1) else ls, n)
   }
+
+  /** The session's broadcast cutoff for the gazetteer side (rows). */
+  def broadcastCutoff(spark: SparkSession): Long =
+    spark.conf.get("graft.gazetteer.broadcastMaxRows",
+      DefaultBroadcastMaxRows.toString).toLong
 
   /** Mention detection as a broadcast HASH equi-join (never a nested-loop
     * contains scan): each turn's text explodes into its distinct token
@@ -109,8 +126,9 @@ object Gazetteer {
     * the gazetteer" (one metadata-scale job; pass it explicitly to skip).
     */
   def mentions(transcripts: DataFrame, gaz: DataFrame,
-      tokenLengths: Seq[Int] = Nil): DataFrame =
-    mentionsRaw(transcripts, gaz, tokenLengths)
+      tokenLengths: Seq[Int] = Nil,
+      broadcastGaz: Option[Boolean] = None): DataFrame =
+    mentionsRaw(transcripts, gaz, tokenLengths, broadcastGaz)
       .dropDuplicates("conv_id", "turn_idx", "surface", "alias_iri")
 
   /** Broadcast cutoff for the gazetteer side of the mention join, rows.

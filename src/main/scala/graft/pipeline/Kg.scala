@@ -28,18 +28,22 @@ object Kg {
   // identityHashCode could otherwise serve a stopped session's blocks);
   // entries live as long as the JVM, bounded by (#sessions x #dirs)
   private val gazCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, Seq[Int])]()
-  private def gazFor(spark: SparkSession, sfDir: String): (DataFrame, Seq[Int]) =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, Seq[Int], Long)]()
+  private def gazFor(spark: SparkSession, sfDir: String): (DataFrame, Seq[Int], Long) =
     gazCache.getOrElseUpdate((spark, sfDir), {
       val g = Gazetteer(spark, sfDir).truncateLineage(false)
-      (g, Gazetteer.surfaceTokenLengths(g))
+      // lengths + row count in ONE metadata job; the count feeds the
+      // broadcast-cutoff decision so mentionsRaw skips its probe job
+      val (lengths, n) = Gazetteer.surfaceTokenLengthsAndCount(g)
+      (g, lengths, n)
     })
   private val ccCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   def mentions(spark: SparkSession, sfDir: String): DataFrame = {
-    val (g, lengths) = gazFor(spark, sfDir)
-    Gazetteer.mentions(Transcripts(spark, sfDir), g, lengths)
+    val (g, lengths, n) = gazFor(spark, sfDir)
+    Gazetteer.mentions(Transcripts(spark, sfDir), g, lengths,
+      broadcastGaz = Some(n <= Gazetteer.broadcastCutoff(spark)))
   }
 
   def aliasCc(spark: SparkSession, sfDir: String): DataFrame =
@@ -65,8 +69,9 @@ object Kg {
     val base = TranscriptRules.triples(t)
     val cc = aliasCc(spark, sfDir)
     // per-occurrence mentions: the final distinct() subsumes their dedup
-    val (gz, lengths) = gazFor(spark, sfDir)
-    val m = Gazetteer.mentionsRaw(t, gz, lengths)
+    val (gz, lengths, nGaz) = gazFor(spark, sfDir)
+    val m = Gazetteer.mentionsRaw(t, gz, lengths,
+        broadcastGaz = Some(nGaz <= Gazetteer.broadcastCutoff(spark)))
       .join(broadcast(cc), col("alias_iri") === col("node"))
       .select(
         concat(lit("<http://graft.io/conv/"), col("conv_id"), lit("/turn/"),

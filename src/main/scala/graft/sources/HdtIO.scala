@@ -183,8 +183,40 @@ object HdtIO {
 
   // ------------------------------------------------------- bit sequences
 
+  /** Serialize packed words as little-endian bytes, BYTE-ALIGNED at the
+    * end like the published rdfhdt layout: only ceil(nBits/8) bytes are
+    * written — the trailing word is truncated, not zero-padded to 8
+    * bytes (ADVICE r9: full-word trailers would misalign against real
+    * .hdt files in both directions). One bulk `write`, not a per-byte
+    * loop.
+    */
+  private def writePackedWords(out: Buf, words: Array[Long], nBits: Long): Unit = {
+    val nBytes = ((nBits + 7) / 8).toInt
+    val bs = new Array[Byte](nBytes)
+    var j = 0
+    while (j < nBytes) {
+      bs(j) = ((words(j >> 3) >>> (8 * (j & 7))) & 0xff).toByte
+      j += 1
+    }
+    out.write(bs, 0, nBytes)
+  }
+
+  /** Read ceil(nBits/8) little-endian bytes back into packed words. */
+  private def readPackedWords(in: In, nBits: Long): Array[Long] = {
+    val nBytes = ((nBits + 7) / 8).toInt
+    val words = new Array[Long]((nBytes + 7) / 8)
+    var j = 0
+    while (j < nBytes) {
+      words(j >> 3) |= (in.bytes(in.pos + j) & 0xffL) << (8 * (j & 7))
+      j += 1
+    }
+    in.pos += nBytes
+    words
+  }
+
   /** Write a SequenceLog64: type 1, numbits, VByte count, CRC8 header,
-    * LSB-first packed 64-bit little-endian words, CRC32 data.
+    * LSB-first packed bits as little-endian bytes (final word
+    * byte-aligned), CRC32 data.
     */
   private def writeSeqLog64(out: Buf, vals: Array[Long]): Unit = {
     val max = if (vals.isEmpty) 0L else vals.max
@@ -205,9 +237,7 @@ object HdtIO {
       i += 1
     }
     val dataStart = out.size
-    words.foreach { w =>
-      var j = 0; while (j < 8) { out.write(((w >>> (8 * j)) & 0xff).toInt); j += 1 }
-    }
+    writePackedWords(out, words, vals.length.toLong * bits)
     val crc = crc32Of(out.bytes, dataStart, out.size)
     var j = 0; while (j < 4) { out.write((crc >>> (8 * j)) & 0xff); j += 1 }
   }
@@ -230,15 +260,8 @@ object HdtIO {
     val n = in.vbyte()
     val stored8 = { val c = new Crc8; c.update(in.bytes, start, in.pos); val s = in.u8(); (c.value, s) }
     require(stored8._1 == stored8._2, "hdt: sequence header CRC8 mismatch")
-    val nWords = ((n * bits + 63) / 64).toInt
     val dataStart = in.pos
-    val words = new Array[Long](nWords)
-    var i = 0
-    while (i < nWords) {
-      var w = 0L; var j = 0
-      while (j < 8) { w |= (in.u8().toLong << (8 * j)); j += 1 }
-      words(i) = w; i += 1
-    }
+    val words = readPackedWords(in, n * bits) // byte-aligned trailer
     val crc = crc32Of(in.bytes, dataStart, in.pos)
     var stored = 0L
     var j = 0; while (j < 4) { stored |= in.u8().toLong << (8 * j); j += 1 }
@@ -246,7 +269,9 @@ object HdtIO {
     SeqLog64(bits, n, words)
   }
 
-  /** Bitmap: type 1, VByte numbits, CRC8 header, 64-bit LE words, CRC32. */
+  /** Bitmap: type 1, VByte numbits, CRC8 header, LE bytes (byte-aligned
+    * trailer like the published layout), CRC32.
+    */
   private def writeBitmap(out: Buf, bits: Array[Boolean]): Unit = {
     val start = out.size
     out.write(1)
@@ -257,9 +282,7 @@ object HdtIO {
     var i = 0
     while (i < bits.length) { if (bits(i)) words(i / 64) |= 1L << (i % 64); i += 1 }
     val dataStart = out.size
-    words.foreach { w =>
-      var j = 0; while (j < 8) { out.write(((w >>> (8 * j)) & 0xff).toInt); j += 1 }
-    }
+    writePackedWords(out, words, bits.length.toLong)
     val crc = crc32Of(out.bytes, dataStart, out.size)
     var j = 0; while (j < 4) { out.write((crc >>> (8 * j)) & 0xff); j += 1 }
   }
@@ -311,15 +334,8 @@ object HdtIO {
     val n = in.vbyte()
     val c8 = { val c = new Crc8; c.update(in.bytes, start, in.pos); c.value }
     require(in.u8() == c8, "hdt: bitmap header CRC8 mismatch")
-    val nWords = ((n + 63) / 64).toInt
     val dataStart = in.pos
-    val words = new Array[Long](nWords)
-    var i = 0
-    while (i < nWords) {
-      var w = 0L; var j = 0
-      while (j < 8) { w |= (in.u8().toLong << (8 * j)); j += 1 }
-      words(i) = w; i += 1
-    }
+    val words = readPackedWords(in, n) // byte-aligned trailer
     val crc = crc32Of(in.bytes, dataStart, in.pos)
     var stored = 0L
     var j = 0; while (j < 4) { stored |= in.u8().toLong << (8 * j); j += 1 }
@@ -482,26 +498,41 @@ object HdtIO {
   /** The driver-local encode behind [[writeHdt]] (input already distinct
     * and under the cap).
     */
-  private def writeHdtLocal(rows: Array[(String, String, String)],
+  private[graft] def writeHdtLocal(rows: Array[(String, String, String)],
       path: String): Unit = {
     {
       val n = rows.length.toLong
-      val subSet = new java.util.HashSet[String]()
-      val predSet = new java.util.HashSet[String]()
-      val objSet = new java.util.HashSet[String]()
-      rows.foreach { case (s, p, o) =>
-        subSet.add(toDictForm(s)); predSet.add(toDictForm(p))
-        objSet.add(toDictForm(o))
+      // dict forms computed ONCE per row (the id-assignment loop below
+      // reuses these arrays — the previous form re-substring'd every term
+      // a second time, ~2n extra allocations)
+      val sForm = new Array[String](rows.length)
+      val pForm = new Array[String](rows.length)
+      val oForm = new Array[String](rows.length)
+      val subSet = new java.util.HashSet[String](rows.length * 2)
+      val predSet = new java.util.HashSet[String](64)
+      val objSet = new java.util.HashSet[String](rows.length * 2)
+      locally {
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          sForm(i) = toDictForm(r._1); pForm(i) = toDictForm(r._2)
+          oForm(i) = toDictForm(r._3)
+          subSet.add(sForm(i)); predSet.add(pForm(i)); objSet.add(oForm(i))
+          i += 1
+        }
       }
       import scala.jdk.CollectionConverters._
       // terms encode to UTF-8 ONCE; the byte-order sort compares arrays
       // in place (a String ordering would re-encode both sides on every
-      // one of the O(n log n) comparisons — review-found)
+      // one of the O(n log n) comparisons — review-found). parallelSort:
+      // the encode is driver-side by format definition, but the SORTS
+      // inside it need not be single-threaded.
       val byteOrd: java.util.Comparator[Array[Byte]] =
         java.util.Arrays.compareUnsigned(_, _)
       def sortedBytes(it: Iterator[String]): Array[Array[Byte]] = {
         val arr = it.map(_.getBytes(UTF_8)).toArray
-        java.util.Arrays.sort(arr, byteOrd)
+        if (arr.length > (1 << 13)) java.util.Arrays.parallelSort(arr, byteOrd)
+        else java.util.Arrays.sort(arr, byteOrd)
         arr
       }
       val preds = sortedBytes(predSet.iterator.asScala)
@@ -525,12 +556,44 @@ object HdtIO {
       val objIds = idMap(shared, objOnly)
       val predIds = idMap(Array.empty, preds)
 
-      val ids = rows.map { case (s, p, o) =>
-        (subjIds.get(toDictForm(s)).longValue,
-          predIds.get(toDictForm(p)).longValue,
-          objIds.get(toDictForm(o)).longValue)
-      }
-      java.util.Arrays.sort(ids, Ordering.Tuple3[Long, Long, Long])
+      // SPO sort over PRIMITIVE packed longs: ids are dense 1-based, so
+      // (s,p,o) packs into one Long whenever the three bit-widths fit in
+      // 63 bits (always at MaxWriteTriples scale: 3×23 bits = 69 only if
+      // every section had 5M entries AND predicates did too — the
+      // fallback below covers that corner). Packed parallelSort replaced
+      // a boxed-comparator Tuple3 sort that dominated the encode.
+      val maxS = (shared.length + subOnly.length).toLong
+      val maxP = preds.length.toLong
+      val maxO = (shared.length + objOnly.length).toLong
+      def bitsOf(x: Long): Int =
+        math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x)))
+      val (bitsP, bitsO) = (bitsOf(maxP), bitsOf(maxO))
+      val packable = bitsOf(maxS) + bitsP + bitsO <= 63
+      // after this block: sId/pId/oId are O(1) primitive accessors over
+      // the SPO-sorted triple ids
+      val (sId, pId, oId): (Int => Long, Int => Long, Int => Long) =
+        if (packable) {
+          val packed = new Array[Long](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            packed(i) = (subjIds.get(sForm(i)).longValue << (bitsP + bitsO)) |
+              (predIds.get(pForm(i)).longValue << bitsO) |
+              objIds.get(oForm(i)).longValue
+            i += 1
+          }
+          java.util.Arrays.parallelSort(packed)
+          val maskP = (1L << bitsP) - 1; val maskO = (1L << bitsO) - 1
+          ((i: Int) => packed(i) >>> (bitsP + bitsO),
+            (i: Int) => (packed(i) >>> bitsO) & maskP,
+            (i: Int) => packed(i) & maskO)
+        } else {
+          val arr = rows.indices.map(i =>
+            (subjIds.get(sForm(i)).longValue,
+              predIds.get(pForm(i)).longValue,
+              objIds.get(oForm(i)).longValue)).toArray
+          java.util.Arrays.parallelSort(arr, Ordering.Tuple3[Long, Long, Long])
+          ((i: Int) => arr(i)._1, (i: Int) => arr(i)._2, (i: Int) => arr(i)._3)
+        }
 
       val out = new Buf(1 << 20)
       writeControl(out, TypeGlobal, FormatGlobal, "Software=graft;")
@@ -548,32 +611,37 @@ object HdtIO {
       writePfc(out, subOnly)
       writePfc(out, preds)
       writePfc(out, objOnly)
+      val nRows = rows.length
       writeControl(out, TypeTriples, FormatBitmapTriples,
-        s"order=1;num=${ids.length};")
+        s"order=1;num=$nRows;")
       // BitmapTriples SPO: subjects implicit 1..Ns; bitY marks the last
-      // predicate run entry per subject; bitZ the last object per (s,p)
-      val ys = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val zs = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val bitY = scala.collection.mutable.ArrayBuffer.empty[Boolean]
-      val bitZ = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      // predicate run entry per subject; bitZ the last object per (s,p).
+      // Primitive arrays sized up front (|zs| = nRows exactly, |ys| ≤
+      // nRows) — the previous ArrayBuffer[Long]/[Boolean] form boxed
+      // every append, millions of allocations at cap scale.
+      val ys = new Array[Long](nRows)
+      val zs = new Array[Long](nRows)
+      val bitY = new Array[Boolean](nRows)
+      val bitZ = new Array[Boolean](nRows)
+      var nY = 0
       var i = 0
-      while (i < ids.length) {
-        val (s, p, o) = ids(i)
-        val lastOfP = i + 1 >= ids.length || ids(i + 1)._1 != s || ids(i + 1)._2 != p
-        val lastOfS = i + 1 >= ids.length || ids(i + 1)._1 != s
-        if (i == 0 || ids(i - 1)._1 != s || ids(i - 1)._2 != p) {
-          ys += p
-          bitY += false // fixed up when the run closes
+      while (i < nRows) {
+        val s = sId(i); val p = pId(i)
+        val lastOfP = i + 1 >= nRows || sId(i + 1) != s || pId(i + 1) != p
+        val lastOfS = i + 1 >= nRows || sId(i + 1) != s
+        if (i == 0 || sId(i - 1) != s || pId(i - 1) != p) {
+          ys(nY) = p
+          nY += 1 // bitY(nY-1) stays false until the run closes
         }
-        zs += o
-        bitZ += lastOfP
-        if (lastOfP) bitY(bitY.length - 1) = lastOfS
+        zs(i) = oId(i)
+        bitZ(i) = lastOfP
+        if (lastOfP) bitY(nY - 1) = lastOfS
         i += 1
       }
-      writeBitmap(out, bitY.toArray)
-      writeBitmap(out, bitZ.toArray)
-      writeSeqLog64(out, ys.toArray)
-      writeSeqLog64(out, zs.toArray)
+      writeBitmap(out, java.util.Arrays.copyOf(bitY, nY))
+      writeBitmap(out, bitZ)
+      writeSeqLog64(out, java.util.Arrays.copyOf(ys, nY))
+      writeSeqLog64(out, zs)
 
       val tmp = Paths.get(path + ".tmp")
       Files.write(tmp, out.toByteArray)

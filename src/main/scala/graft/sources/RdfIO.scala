@@ -366,8 +366,8 @@ object RdfIO {
     compression.fold(w)(c => w.option("compression", c)).text(path)
   }
 
-  /** Serialize (graph, subj, pred, obj) to N-Quads text lines. */
-  /** Default-graph quads serialize as 3-term lines per the N-Quads
+  /** Serialize (graph, subj, pred, obj) to N-Quads text lines.
+    * Default-graph quads serialize as 3-term lines per the N-Quads
     * grammar — the internal `<urn:x-arq:DefaultGraph>` sentinel must
     * never leak into output a third-party store would read as a named
     * graph (concat_ws skips the nulled term).

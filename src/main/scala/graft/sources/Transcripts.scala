@@ -24,12 +24,29 @@ import org.apache.spark.sql.expressions.Window
 object Transcripts {
 
   /** Cheap metadata-scale count of the dimension table (broadcast side),
-    * memoized per sfDir — one job per session instead of one per query.
+    * memoized per sfDir. Read straight from the parquet FOOTERS on the
+    * driver (row counts are file metadata) — zero Spark jobs, vs. the
+    * count() job this replaced.
     */
   private val docCountCache = scala.collection.concurrent.TrieMap[String, Long]()
   private def docCount(spark: SparkSession, sfDir: String): Long =
-    docCountCache.getOrElseUpdate(sfDir,
-      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    docCountCache.getOrElseUpdate(sfDir, {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$sfDir/documents.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).iterator.map(_.getPath)
+            .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+            .toSeq
+        else Seq(root)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
