@@ -33,5 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pre-size the heap: growing 512 MB -> 8 GB mid-run costs full-GC
   // pauses exactly in the first (timed) query of a fresh JVM
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // codegen-heavy startup loads ~200 MB of classes; the default 21 MB
+  // metaspace trigger fires ~8 stop-the-world full GCs per JVM (gc-log
+  // measured), all inside the warmup/first-query window
+  "-XX:MetaspaceSize=256m",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
       .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -168,13 +168,17 @@ object BenchExtra {
       Dedup.minhashPairs(docs, n = 3, threshold = 0.6).count())
   }
 
-  /** Write .explain("formatted") for every headline query to plans/r10/. */
+  /** Write .explain("formatted") for every headline query to plans/r10/.
+    * `kg_canonical_triples`'s declared entry memoizes through a
+    * localCheckpoint (its plan is just the checkpoint scan), so the
+    * UNDERLYING pipeline plan is dumped as
+    * `kg_canonical_underlying_<tag>.txt` too.
+    */
   private def explainAll(spark: SparkSession, sfDir: String, tag: String): Unit = {
     val dir = java.nio.file.Paths.get("plans/r10")
     java.nio.file.Files.createDirectories(dir)
-    Bench.headline.foreach { name =>
+    def dump(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(dir.resolve(s"${name}_$tag.txt"),
@@ -183,6 +187,9 @@ object BenchExtra {
       } catch { case e: Throwable =>
         System.err.println(s"[extra] $name explain failed: ${e.getMessage}")
       }
-    }
+    Bench.headline.foreach(name =>
+      dump(name, SparkEntry.queries(name)(spark, sfDir)))
+    dump("kg_canonical_underlying",
+      pipeline.Kg.canonicalTriples(spark, sfDir))
   }
 }

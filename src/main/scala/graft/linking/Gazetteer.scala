@@ -168,9 +168,25 @@ object Gazetteer {
       broadcastGaz: Option[Boolean] = None): DataFrame = {
     val lengths =
       if (tokenLengths.nonEmpty) tokenLengths else surfaceTokenLengths(gaz)
-    val g = gaz.select(col("surface"), col("alias_iri"),
-      surfaceKey(col("surface")).as("__ng"))
-    val spans = ngramSpans(transcripts, lengths)
+    // join keys are 64-bit ShingleHashes window hashes, NOT n-gram
+    // strings: the fact side never materializes n-gram text (the string
+    // form allocated one concat per token per length — the measured
+    // allocation hot spot of the mention scan), and the shuffle/broadcast
+    // carries 8-byte longs. The gazetteer side hashes each surface's own
+    // token window per length group with the SAME expression, so hash
+    // equality ≡ token-sequence equality modulo p≈2⁻⁶⁴ collisions — the
+    // regime the dedup path already operates in (ShingleHashes scaladoc;
+    // TrainingSpec parity). The surface/alias columns come from the
+    // gazetteer side, so the output is unchanged.
+    val surfToks = split(surfaceKey(col("surface")), " ")
+    val g = lengths.map { l =>
+        gaz.select(col("surface"), col("alias_iri"), surfToks.as("__t"))
+          .filter(size(col("__t")) === l)
+          .select(col("surface"), col("alias_iri"),
+            element_at(graft.functions.ShingleHashes(col("__t"), l), 1)
+              .as("__ng"))
+      }.reduce(_ unionAll _)
+    val spans = ngramSpanHashes(transcripts, lengths)
     val conf = transcripts.sparkSession.conf
     val bc = broadcastGaz.getOrElse {
       val max = conf.get("graft.gazetteer.broadcastMaxRows",
@@ -247,6 +263,25 @@ object Gazetteer {
       // dropped right here
       .select(col("conv_id"), col("turn_idx"),
         explode_outer(col("__ngrams")).as("__ng"))
+      .filter(col("__ng").isNotNull)
+  }
+
+  /** Hash twin of [[ngramSpans]]: (conv_id, turn_idx, __ng:long) — one
+    * 64-bit [[graft.functions.ShingleHashes]] window hash per token
+    * n-gram of each requested length, per occurrence. No n-gram string is
+    * ever built; same explode_outer pattern (see above) so the hash
+    * arrays evaluate once per row.
+    */
+  def ngramSpanHashes(transcripts: DataFrame, lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1), s"bad lengths $lengths")
+    val t = col("__toks")
+    val hs = lengths.sorted.map(l => graft.functions.ShingleHashes(t, l))
+    val all = if (hs.size == 1) hs.head else concat(hs: _*)
+    transcripts
+      .withColumn("__toks", graft.functions.Tokenize.alnumTokens(col("text")))
+      .withColumn("__hashes", all)
+      .select(col("conv_id"), col("turn_idx"),
+        explode_outer(col("__hashes")).as("__ng"))
       .filter(col("__ng").isNotNull)
   }
 

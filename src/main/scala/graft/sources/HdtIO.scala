@@ -498,9 +498,18 @@ object HdtIO {
   /** The driver-local encode behind [[writeHdt]] (input already distinct
     * and under the cap).
     */
+  /** Phase timing for the local encode (`-Dgraft.hdt.timing=true`). */
+  private def tlog(label: String, t0: Long): Long = {
+    val t = System.nanoTime()
+    if (sys.props.get("graft.hdt.timing").contains("true"))
+      System.err.println(f"[hdt-enc] $label%-18s ${(t - t0) / 1e9}%.3fs")
+    t
+  }
+
   private[graft] def writeHdtLocal(rows: Array[(String, String, String)],
       path: String): Unit = {
     {
+      var tmark = System.nanoTime()
       val n = rows.length.toLong
       // dict forms computed ONCE per row (the id-assignment loop below
       // reuses these arrays — the previous form re-substring'd every term
@@ -511,16 +520,20 @@ object HdtIO {
       val subSet = new java.util.HashSet[String](rows.length * 2)
       val predSet = new java.util.HashSet[String](64)
       val objSet = new java.util.HashSet[String](rows.length * 2)
+      // one thread per ROLE: each fills its own form array + set, no
+      // shared mutable state (the fork/join barrier publishes the
+      // results) — wall cost drops to the single-role pass
       locally {
-        var i = 0
-        while (i < rows.length) {
-          val r = rows(i)
-          sForm(i) = toDictForm(r._1); pForm(i) = toDictForm(r._2)
-          oForm(i) = toDictForm(r._3)
-          subSet.add(sForm(i)); predSet.add(pForm(i)); objSet.add(oForm(i))
-          i += 1
-        }
+        val roleTasks: Array[Runnable] = Array(
+          () => { var i = 0; while (i < rows.length) {
+            sForm(i) = toDictForm(rows(i)._1); subSet.add(sForm(i)); i += 1 } },
+          () => { var i = 0; while (i < rows.length) {
+            pForm(i) = toDictForm(rows(i)._2); predSet.add(pForm(i)); i += 1 } },
+          () => { var i = 0; while (i < rows.length) {
+            oForm(i) = toDictForm(rows(i)._3); objSet.add(oForm(i)); i += 1 } })
+        java.util.Arrays.stream(roleTasks).parallel().forEach(_.run())
       }
+      tmark = tlog("forms+sets", tmark)
       import scala.jdk.CollectionConverters._
       // terms encode to UTF-8 ONCE; the byte-order sort compares arrays
       // in place (a String ordering would re-encode both sides on every
@@ -552,10 +565,12 @@ object HdtIO {
         own.foreach { s => i += 1; m.put(new String(s, UTF_8), i) }
         m
       }
+      tmark = tlog("dict sorts", tmark)
       val subjIds = idMap(shared, subOnly)
       val objIds = idMap(shared, objOnly)
       val predIds = idMap(Array.empty, preds)
 
+      tmark = tlog("id maps", tmark)
       // SPO sort over PRIMITIVE packed longs: ids are dense 1-based, so
       // (s,p,o) packs into one Long whenever the three bit-widths fit in
       // 63 bits (always at MaxWriteTriples scale: 3×23 bits = 69 only if
@@ -574,12 +589,19 @@ object HdtIO {
       val (sId, pId, oId): (Int => Long, Int => Long, Int => Long) =
         if (packable) {
           val packed = new Array[Long](rows.length)
-          var i = 0
-          while (i < rows.length) {
-            packed(i) = (subjIds.get(sForm(i)).longValue << (bitsP + bitsO)) |
-              (predIds.get(pForm(i)).longValue << bitsO) |
-              objIds.get(oForm(i)).longValue
-            i += 1
+          // parallel chunked id lookup (concurrent READS of the finished
+          // HashMaps; each chunk writes a disjoint slice)
+          val chunk = 65536
+          val nChunks = (rows.length + chunk - 1) / chunk
+          java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+            var i = c * chunk
+            val until = math.min(i + chunk, rows.length)
+            while (i < until) {
+              packed(i) = (subjIds.get(sForm(i)).longValue << (bitsP + bitsO)) |
+                (predIds.get(pForm(i)).longValue << bitsO) |
+                objIds.get(oForm(i)).longValue
+              i += 1
+            }
           }
           java.util.Arrays.parallelSort(packed)
           val maskP = (1L << bitsP) - 1; val maskO = (1L << bitsO) - 1
@@ -595,6 +617,7 @@ object HdtIO {
           ((i: Int) => arr(i)._1, (i: Int) => arr(i)._2, (i: Int) => arr(i)._3)
         }
 
+      tmark = tlog("id sort", tmark)
       val out = new Buf(1 << 20)
       writeControl(out, TypeGlobal, FormatGlobal, "Software=graft;")
       // minimal N-Triples header documenting the dataset shape
@@ -611,6 +634,7 @@ object HdtIO {
       writePfc(out, subOnly)
       writePfc(out, preds)
       writePfc(out, objOnly)
+      tmark = tlog("pfc sections", tmark)
       val nRows = rows.length
       writeControl(out, TypeTriples, FormatBitmapTriples,
         s"order=1;num=$nRows;")
@@ -643,11 +667,13 @@ object HdtIO {
       writeSeqLog64(out, java.util.Arrays.copyOf(ys, nY))
       writeSeqLog64(out, zs)
 
+      tmark = tlog("bitmap triples", tmark)
       val tmp = Paths.get(path + ".tmp")
       Files.write(tmp, out.toByteArray)
       Files.move(tmp, Paths.get(path),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmark = tlog("file write", tmark)
     }
   }
 
