@@ -79,10 +79,14 @@ object Dedup {
     * signature/verify joins ride 8-byte keys instead of strings.
     */
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    // per-row distinct INSIDE the codegen expression (sort+compact over
+    // primitive longs): cross-row duplicates of (doc_id, shingle) cannot
+    // exist — doc_id IS the row — so this replaces what was a full
+    // global `.distinct()` EXCHANGE over the largest intermediate of the
+    // minhash pipeline with zero shuffles
     docs.select(col("doc_id"),
-        graft.functions.ShingleHashes(tokens(col("text")), n).as("__sh"))
+        graft.functions.ShingleHashes.distinct(tokens(col("text")), n).as("__sh"))
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))
-      .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (a < b), similarity ≥ threshold.
     * Self-join on shared shingles. `maxShingleFreq` (default: no cap) is

@@ -30,7 +30,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * xxhash64 (TrainingSpec asserts pair/jaccard parity vs the
   * string-shingle baseline).
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+/** @param distinct dedup the window hashes per row (sort + compact —
+  *   primitive, still zero boxing). With it, `explode` yields the DOC'S
+  *   DISTINCT shingle set directly: the downstream global
+  *   `.distinct()` exchange over (doc_id, shingle) becomes redundant,
+  *   because cross-row duplicates of the pair cannot exist (doc_id is
+  *   the row). Output order is sorted, which no consumer depends on
+  *   (set semantics after explode).
+  */
+case class ShingleHashes(child: Expression, n: Int,
+    distinct: Boolean = false) extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -77,7 +86,17 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       out(i) = w
       i += 1
     }
-    new GenericArrayData(out)
+    if (!distinct) new GenericArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var u = 0
+      var j = 1
+      while (j < m) {
+        if (out(j) != out(u)) { u += 1; out(u) = out(j) }
+        j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, u + 1))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -120,6 +139,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
          |  $w ^= $w >>> 33;
          |  $out[$i] = $w;
          |}
+         |${if (distinct) {
+             val u = ctx.freshName("u")
+             val j2 = ctx.freshName("j2")
+             s"""if ($m > 1) {
+                |  java.util.Arrays.sort($out);
+                |  int $u = 0;
+                |  for (int $j2 = 1; $j2 < $m; $j2++) {
+                |    if ($out[$j2] != $out[$u]) { $u++; $out[$u] = $out[$j2]; }
+                |  }
+                |  if ($u + 1 < $m) $out = java.util.Arrays.copyOf($out, $u + 1);
+                |}""".stripMargin
+           } else ""}
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |    .fromPrimitiveArray($out);
@@ -134,4 +165,6 @@ object ShingleHashes {
   import org.apache.spark.sql.graft.bridge
   def apply(tokens: Column, n: Int): Column =
     bridge.column(ShingleHashes(bridge.expression(tokens), n))
+  def distinct(tokens: Column, n: Int): Column =
+    bridge.column(ShingleHashes(bridge.expression(tokens), n, distinct = true))
 }
