@@ -1442,6 +1442,18 @@ object ConstructParser {
           "LATERAL with LIMIT/OFFSET/ORDER BY is not supported: the " +
             "reference applies them PER left binding, which has no " +
             "decorrelated join form here")
+        // ADVICE r9: the empty-group divergence documented above was
+        // silent — surface it whenever it CAN manifest (an aggregate
+        // under the correlation), so affected users see the contract
+        val aggUnderLateral = groupBys.nonEmpty || items.exists {
+          case Derived(_, _, true, _) => true
+          case _ => false
+        }
+        if (aggUnderLateral)
+          System.err.println("[graft] LATERAL subselect with aggregates: " +
+            "outer rows whose correlated group is EMPTY are dropped by " +
+            "the decorrelated join; the reference's per-left evaluation " +
+            "would emit a zero/empty-aggregate row for them")
         lateralExposed.toSeq.sorted.foreach(exposeVar)
       }
 
