@@ -109,14 +109,15 @@ object Gazetteer {
       DefaultBroadcastMaxRows.toString).toLong
 
   /** Mention detection as a broadcast HASH equi-join (never a nested-loop
-    * contains scan): each turn's text explodes into its distinct token
-    * n-grams of length 1..maxSurfaceTokens, which join the gazetteer on
-    * the exact normalized-surface key. Cost is O(rows × tokens ×
-    * maxSurfaceTokens) INDEPENDENT of gazetteer size — a 1M-surface
-    * gazetteer costs the same scan as a 75-surface one (the build side is
-    * a hash map). One row per (turn, matching surface), matching the
-    * word-boundary contains semantics exactly (n-grams are de-duplicated
-    * per turn, so repeated occurrences emit one row, like `contains`).
+    * contains scan): each turn's text explodes into 64-bit token-n-gram
+    * window hashes of the gazetteer's surface lengths, which join the
+    * per-length-hashed surface keys (see [[mentionsRaw]] for the
+    * hash-equality ≡ token-equality argument). Cost is O(rows × tokens ×
+    * |lengths|) INDEPENDENT of gazetteer size — a 1M-surface gazetteer
+    * costs the same scan as a 75-surface one (the build side is a hash
+    * map). One row per (turn, matching surface), matching the
+    * word-boundary contains semantics exactly (post-join dedup per turn,
+    * so repeated occurrences emit one row, like `contains`).
     */
   /** One row per (turn, surface) — repeated occurrences collapse AFTER
     * the broadcast join (post-join rows ≈ #mentions, so this shuffle is
