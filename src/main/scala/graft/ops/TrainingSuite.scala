@@ -14,17 +14,30 @@ import graft.multimodal.Binary
   */
 object TrainingSuite {
 
-  /** documents + injected exact dups (+200000) and near dups (+100000). */
+  /** documents + injected exact dups (+200000) and near dups (+100000).
+    * ONE scan (r10, guide §2.4): the three branches used to be a
+    * unionAll = three scans of the documents table per evaluation (and
+    * minhashPairs evaluates the corpus twice); now one conditional
+    * row array exploded in place — same row set.
+    */
   def dupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
-    val near = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" extra token")).as("text"))
-    val exact = d.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 200000).as("doc_id"),
-        concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
-    // exact-after-normalization: case+whitespace fold to the original
-    d.unionAll(near).unionAll(exact)
+    val emptyArr = array().cast("array<struct<doc_id:bigint,text:string>>")
+    def row(id: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column) =
+      array(struct(id.as("doc_id"), tx.as("text")))
+    val rows = concat(
+      row(col("doc_id"), col("text")),
+      when(col("doc_id") % 10 === 0,
+        row(col("doc_id") + 100000,
+          concat(col("text"), lit(" extra token")))).otherwise(emptyArr),
+      // exact-after-normalization: case+whitespace fold to the original
+      when(col("doc_id") % 10 === 5,
+        row(col("doc_id") + 200000,
+          concat(lit("  "), upper(col("text")), lit("  ")))).otherwise(emptyArr))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("__rows", rows)
+      .select(explode(col("__rows")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   val dupCorpusCte: String =

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** F3 fixture: the reference's synthetic named-graph benchmark corpus
@@ -75,23 +75,30 @@ object SyntheticQuads {
     val nat = spark.read.parquet(s"$sfDir/nation.parquet")
       .select(concat(lit("<http://ex.org/n/"),
         col("n_nationkey").cast("long"), lit(">")).as("subj"))
-    c.select(cust.as("subj"), lit(RdfType).as("pred"),
-        concat(lit("<http://ex.org/seg/"), col("seg"), lit(">")).as("obj"))
-      .unionAll(c.where(col("k") % 2 === 0).select(cust.as("subj"),
-        lit(RdfType).as("pred"), lit("<http://ex.org/Even>").as("obj")))
-      .unionAll(c.select(cust.as("subj"),
-        lit("<http://ex.org/name>").as("pred"),
-        concat(lit("\""), col("c_name"), lit("\"")).as("obj")))
-      .unionAll(c.select(cust.as("subj"),
-        lit("<http://ex.org/nation>").as("pred"),
-        concat(lit("<http://ex.org/n/"), col("n"), lit(">")).as("obj")))
-      .unionAll(c.where(col("k") % 5 === 0).select(cust.as("subj"),
-        lit("<http://ex.org/addr>").as("pred"), addr.as("obj")))
-      .unionAll(c.where(col("k") % 5 === 0).select(addr.as("subj"),
-        lit("<http://ex.org/zip>").as("pred"),
-        concat(lit("\"Z"), col("k"), lit("\"")).as("obj")))
-      .unionAll(c.where(col("k") % 5 === 0).select(addr.as("subj"),
-        lit(RdfType).as("pred"), lit("<http://ex.org/Addr>").as("obj")))
+    // ONE customer scan (r10, guide §2.4): the seven per-branch
+    // projections used to be a 7-way unionAll, i.e. seven scans of the
+    // customer table per consuming query — here they compile into one
+    // conditional triple array exploded in place (the RuleCompiler
+    // shape), same triple set
+    def t(s: Column, p: String, o: Column) =
+      struct(s.as("s"), lit(p).as("p"), o.as("o"))
+    val emptyArr = array().cast("array<struct<s:string,p:string,o:string>>")
+    val always = array(
+      t(cust, RdfType, concat(lit("<http://ex.org/seg/"), col("seg"), lit(">"))),
+      t(cust, "<http://ex.org/name>",
+        concat(lit("\""), col("c_name"), lit("\""))),
+      t(cust, "<http://ex.org/nation>",
+        concat(lit("<http://ex.org/n/"), col("n"), lit(">"))))
+    val even = when(col("k") % 2 === 0,
+      array(t(cust, RdfType, lit("<http://ex.org/Even>")))).otherwise(emptyArr)
+    val mod5 = when(col("k") % 5 === 0, array(
+      t(cust, "<http://ex.org/addr>", addr),
+      t(addr, "<http://ex.org/zip>", concat(lit("\"Z"), col("k"), lit("\""))),
+      t(addr, RdfType, lit("<http://ex.org/Addr>")))).otherwise(emptyArr)
+    c.withColumn("__t3", concat(always, even, mod5))
+      .select(explode(col("__t3")).as("t"))
+      .select(col("t.s").as("subj"), col("t.p").as("pred"),
+        col("t.o").as("obj"))
       .unionAll(nat.select(col("subj"), lit(RdfType).as("pred"),
         lit("<http://ex.org/Nation>").as("obj")))
   }
