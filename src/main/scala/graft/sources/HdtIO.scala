@@ -483,15 +483,18 @@ object HdtIO {
   def writeHdt(triples: DataFrame, path: String): Unit = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val t = triples.selectExpr("subj", "pred", "obj").distinct().cache()
-    val rows = try {
-      val n = t.count()
-      require(n <= MaxWriteTriples,
-        s"hdt write: $n triples exceeds MaxWriteTriples=$MaxWriteTriples — " +
-          "the single-file HDT encode is driver-side; use the distributed " +
-          "parquet/N-Quads sinks at scale")
-      t.as[(String, String, String)].collect()
-    } finally t.unpersist()
+    // LIMIT cap+1 collect: the distinct computes once and the loud cap
+    // check needs NO separate count+cache pass — if the limit truncated
+    // (cap+1 rows came back) the input is over budget and we fail
+    // before encoding; otherwise the collect IS the full distinct set.
+    // Driver memory stays bounded by cap+1 rows either way.
+    val rows = triples.selectExpr("subj", "pred", "obj").distinct()
+      .limit(MaxWriteTriples.toInt + 1)
+      .as[(String, String, String)].collect()
+    require(rows.length <= MaxWriteTriples,
+      s"hdt write: more than MaxWriteTriples=$MaxWriteTriples distinct " +
+        "triples — the single-file HDT encode is driver-side; use the " +
+        "distributed parquet/N-Quads sinks at scale")
     writeHdtLocal(rows, path)
   }
 
