@@ -38,4 +38,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured), all inside the warmup/first-query window
   "-XX:MetaspaceSize=256m",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
-      .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+      .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

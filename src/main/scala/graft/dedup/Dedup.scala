@@ -83,7 +83,12 @@ object Dedup {
     // primitive longs): cross-row duplicates of (doc_id, shingle) cannot
     // exist — doc_id IS the row — so this replaces what was a full
     // global `.distinct()` EXCHANGE over the largest intermediate of the
-    // minhash pipeline with zero shuffles
+    // minhash pipeline with zero shuffles.
+    // PRECONDITION (review r10): doc_id must be unique per row — the
+    // dedup contract everywhere in this module (exact()'s groups, the
+    // pair algebra and the oracle all treat doc_id as the document key;
+    // a corpus with duplicate doc_id rows is malformed input, and the
+    // removed global distinct only ever masked it for THIS stage)
     docs.select(col("doc_id"),
         graft.functions.ShingleHashes.distinct(tokens(col("text")), n).as("__sh"))
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))

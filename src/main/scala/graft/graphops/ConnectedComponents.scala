@@ -47,11 +47,17 @@ object ConnectedComponents {
     // The threshold probe is a LIMIT threshold+1 collect, not a separate
     // count(): one job instead of two, and the driver never holds more
     // than threshold+1 rows — if the limit truncated, the edge list is
-    // over budget and the distributed loop runs instead.
-    val capped = e.limit(
-      math.min(localSolveThreshold + 1, Int.MaxValue.toLong).toInt).collect()
-    if (capped.length <= localSolveThreshold) {
-      val pairs = capped.map(r => (r.getString(0), r.getString(1)))
+    // over budget and the distributed loop runs instead. Thresholds at
+    // or beyond Int.MaxValue-1 cannot ride a LIMIT (review r10: +1
+    // would overflow / truncate silently) — they keep the count probe.
+    val capped: Option[Array[org.apache.spark.sql.Row]] =
+      if (localSolveThreshold < Int.MaxValue.toLong - 1) {
+        val a = e.limit(localSolveThreshold.toInt + 1).collect()
+        if (a.length <= localSolveThreshold) Some(a) else None
+      } else if (e.count() <= localSolveThreshold) Some(e.collect())
+      else None
+    if (capped.isDefined) {
+      val pairs = capped.get.map(r => (r.getString(0), r.getString(1)))
       val parent = scala.collection.mutable.HashMap[String, String]()
       def find(x0: String): String = { // iterative w/ path compression
         var x = x0

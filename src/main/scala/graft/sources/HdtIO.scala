@@ -265,7 +265,10 @@ object HdtIO {
     val crc = crc32Of(in.bytes, dataStart, in.pos)
     var stored = 0L
     var j = 0; while (j < 4) { stored |= in.u8().toLong << (8 * j); j += 1 }
-    require(stored == (crc & 0xffffffffL), "hdt: sequence data CRC32 mismatch")
+    require(stored == (crc & 0xffffffffL),
+      "hdt: sequence data CRC32 mismatch (corrupt file — or a pre-r10 " +
+        "graft .hdt, whose full-word trailers predate the byte-aligned " +
+        "layout: re-encode it)")
     SeqLog64(bits, n, words)
   }
 
@@ -339,7 +342,10 @@ object HdtIO {
     val crc = crc32Of(in.bytes, dataStart, in.pos)
     var stored = 0L
     var j = 0; while (j < 4) { stored |= in.u8().toLong << (8 * j); j += 1 }
-    require(stored == (crc & 0xffffffffL), "hdt: bitmap data CRC32 mismatch")
+    require(stored == (crc & 0xffffffffL),
+      "hdt: bitmap data CRC32 mismatch (corrupt file — or a pre-r10 " +
+        "graft .hdt, whose full-word trailers predate the byte-aligned " +
+        "layout: re-encode it)")
     Bitmap(n, words)
   }
 

@@ -60,6 +60,16 @@ class CcSpec extends AnyFunSuite {
     }
   }
 
+  test("huge localSolveThreshold sentinel still solves (r10 limit-probe overflow)") {
+    // Long.MaxValue as an "always local" sentinel must not overflow the
+    // LIMIT threshold+1 probe into an empty collect (review r10)
+    val edges = Seq("a" -> "b", "b" -> "c", "p" -> "q")
+    val got = ConnectedComponents(edges.toDF("src", "dst"),
+      localSolveThreshold = Long.MaxValue)
+      .as[(String, String)].collect().toMap
+    assert(got === unionFind(edges))
+  }
+
   test("long chain converges within log-bounded iterations") {
     val chain = (0 until 120).map(i => (f"c$i%04d", f"c${i + 1}%04d"))
     val got = ccDist(chain) // distributed path must contract the chain
