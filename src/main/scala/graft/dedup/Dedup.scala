@@ -272,14 +272,33 @@ object Dedup {
     * near-duplicate regime this targets — TrainingSpec measures it vs
     * [[embeddingPairs]]).
     */
+  /** `maxBucketSize` caps any pathological hyperplane bucket (a
+    * low-entropy corpus — many identical/zero vectors sharing one
+    * signature — otherwise goes quadratic silently; VERDICT r9 finding).
+    * Opt-in like [[minhashPairs]]'s cap: OFF by default so small-scale
+    * results stay exact, and every drop is LOGGED.
+    */
   def embeddingPairsLsh(embeddings: DataFrame, threshold: Double,
-      nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+      nPlanes: Int = 8, tables: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     import graft.embed.Similarity.{cosine, lshSignature}
     val v = transform(col("embedding"), x => x.cast("double"))
     val base = embeddings.select(col("vec_id"), v.as("v"))
-    val bucketed = base.withColumn("tb",
+    val bucketed0 = base.withColumn("tb",
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshSignature(col("v"), nPlanes, t).as("b"))): _*)))
+    val bucketed = if (maxBucketSize == Long.MaxValue) bucketed0
+      else {
+        val sized = bucketed0.withColumn("__bs",
+          count(lit(1)).over(Window.partitionBy(col("tb"))))
+        val d = sized.filter(col("__bs") > maxBucketSize)
+          .agg(count(lit(1)), countDistinct(col("tb"))).head
+        if (d.getLong(0) > 0)
+          System.err.println(s"[dedup] embedding LSH bucket cap " +
+            s"$maxBucketSize: dropped ${d.getLong(0)} entries in " +
+            s"${d.getLong(1)} oversized buckets (bounded recall loss)")
+        sized.filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
     bucketed.as("x").join(bucketed.as("y"),
         col("x.tb") === col("y.tb") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

@@ -49,11 +49,15 @@ object SyntheticQuads {
         concat(lit("<http://example.org/cust/"), col("k").cast("string"), lit(">")))
       .when(col("k") % 3 === 1, concat(lit("_:b"), col("k").cast("string")))
       .otherwise(concat(lit("\"cust "), col("k").cast("string"), lit("\"")))
-    c.select(subj.as("subj"), lit("<http://example.org/name>").as("pred"),
-      concat(lit("\""), col("c_name"), lit("\"")).as("obj"))
-      .unionAll(c.select(subj.as("subj"),
-        lit("<http://example.org/segment>").as("pred"),
-        concat(lit("\""), col("c_mktsegment"), lit("\"")).as("obj")))
+    // one scan (r10): both property triples from one row array instead
+    // of a 2-way unionAll (2 scans)
+    c.select(explode(array(
+        struct(subj.as("subj"), lit("<http://example.org/name>").as("pred"),
+          concat(lit("\""), col("c_name"), lit("\"")).as("obj")),
+        struct(subj.as("subj"), lit("<http://example.org/segment>").as("pred"),
+          concat(lit("\""), col("c_mktsegment"), lit("\"")).as("obj")))).as("t"))
+      .select(col("t.subj").as("subj"), col("t.pred").as("pred"),
+        col("t.obj").as("obj"))
   }
 
   /** VoID-profiling fixture for the sportal battery (reference

@@ -301,6 +301,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
   }
 
+  test("embedding LSH bucket cap bounds a pathological identical-vector corpus") {
+    // low-entropy corpus: 400 IDENTICAL vectors share every signature —
+    // uncapped LSH candidates are quadratic (n(n-1)/2 pairs); the cap
+    // drops the hot buckets (logged) and bounds the join, the same skew
+    // guard minhashPairs has (VERDICT r9 finding)
+    val idv = spark.range(400).select($"id".as("vec_id"),
+      array(lit(1.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val uncapped = Dedup.embeddingPairsLsh(idv, 0.9).count()
+    assert(uncapped === 400L * 399 / 2) // quadratic blow-up, by design
+    val capped = Dedup.embeddingPairsLsh(idv, 0.9, maxBucketSize = 10).count()
+    assert(capped === 0L) // every bucket oversized => dropped, loudly
+    // a corpus under the cap is untouched by it
+    val small = idv.filter($"vec_id" < 8)
+    assert(Dedup.embeddingPairsLsh(small, 0.9, maxBucketSize = 10).count() ===
+      Dedup.embeddingPairsLsh(small, 0.9).count())
+  }
+
   test("ann results are consistent with brute force sims") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 50)
