@@ -169,6 +169,27 @@ object Dedup {
     * ContextCleaner when the result goes out of scope — no cache leak
     * across repeated calls.
     */
+  /** Opt-in bucket-size cap shared by the LSH blocking paths (minhash
+    * bands, embedding hyperplane tables): window-count rows per bucket
+    * key, LOG any drop (silent truncation would read as full coverage —
+    * the probe aggregate is one extra job, only when capped), keep rows
+    * whose bucket is within the cap.
+    */
+  private def capBuckets(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      cap: Long, what: String): DataFrame =
+    if (cap == Long.MaxValue) df
+    else {
+      val sized = df.withColumn("__bs",
+        count(lit(1)).over(Window.partitionBy(keys: _*)))
+      val d = sized.filter(col("__bs") > cap)
+        .agg(count(lit(1)), countDistinct(struct(keys: _*))).head
+      if (d.getLong(0) > 0)
+        System.err.println(s"[dedup] $what bucket cap $cap: " +
+          s"dropped ${d.getLong(0)} entries in ${d.getLong(1)} oversized " +
+          "buckets (bounded recall loss)")
+      sized.filter(col("__bs") <= cap).drop("__bs")
+    }
+
   def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
       numHashes: Int = 32, rowsPerBand: Int = 4,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
@@ -183,21 +204,8 @@ object Dedup {
     val sh = hashedShingles(reps, n).truncateLineage(false)
     val sig = minhashSignatures(sh, numHashes)
     val buckets0 = lshBuckets(sig, numHashes, rowsPerBand)
-    val buckets = if (maxBucketSize == Long.MaxValue) buckets0
-      else {
-        val sized = buckets0.withColumn("__bs",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        // opt-in cap => the drop is LOGGED (silent truncation would read
-        // as full coverage); one extra aggregate job, only when capped
-        val d = sized.filter(col("__bs") > maxBucketSize)
-          .agg(count(lit(1)), countDistinct(struct(col("band"), col("key"))))
-          .head
-        if (d.getLong(0) > 0)
-          System.err.println(s"[dedup] minhash bucket cap $maxBucketSize: " +
-            s"dropped ${d.getLong(0)} entries in ${d.getLong(1)} oversized buckets " +
-            "(bounded recall loss)")
-        sized.filter(col("__bs") <= maxBucketSize).drop("__bs")
-      }
+    val buckets = capBuckets(buckets0,
+      Seq(col("band"), col("key")), maxBucketSize, "minhash")
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -287,18 +295,8 @@ object Dedup {
     val bucketed0 = base.withColumn("tb",
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshSignature(col("v"), nPlanes, t).as("b"))): _*)))
-    val bucketed = if (maxBucketSize == Long.MaxValue) bucketed0
-      else {
-        val sized = bucketed0.withColumn("__bs",
-          count(lit(1)).over(Window.partitionBy(col("tb"))))
-        val d = sized.filter(col("__bs") > maxBucketSize)
-          .agg(count(lit(1)), countDistinct(col("tb"))).head
-        if (d.getLong(0) > 0)
-          System.err.println(s"[dedup] embedding LSH bucket cap " +
-            s"$maxBucketSize: dropped ${d.getLong(0)} entries in " +
-            s"${d.getLong(1)} oversized buckets (bounded recall loss)")
-        sized.filter(col("__bs") <= maxBucketSize).drop("__bs")
-      }
+    val bucketed = capBuckets(bucketed0, Seq(col("tb")), maxBucketSize,
+      "embedding LSH")
     bucketed.as("x").join(bucketed.as("y"),
         col("x.tb") === col("y.tb") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

@@ -189,13 +189,24 @@ object Gazetteer {
     // TrainingSpec parity). The surface/alias columns come from the
     // gazetteer side, so the output is unchanged.
     val surfToks = split(surfaceKey(col("surface")), " ")
-    val g = lengths.map { l =>
-        gaz.select(col("surface"), col("alias_iri"), surfToks.as("__t"))
-          .filter(size(col("__t")) === l)
-          .select(col("surface"), col("alias_iri"),
-            element_at(graft.functions.ShingleHashes(col("__t"), l), 1)
-              .as("__ng"))
-      }.reduce(_ unionAll _)
+    // ONE gazetteer subtree (review-found: the per-length unionAll form
+    // replicated the full gazetteer lineage |lengths| times in the plan —
+    // harmless for the memoized/truncated Kg path, an N× re-execution for
+    // direct callers with a derived gazetteer). Each surface belongs to
+    // exactly one length group — its own token count — so the per-length
+    // window hash compiles to a CASE over size(__t); rows whose length is
+    // outside the requested set yield NULL and are filtered, exactly the
+    // rows the old per-length filters dropped.
+    val g = {
+      val sized = gaz.select(col("surface"), col("alias_iri"), surfToks.as("__t"))
+      val ng = lengths.foldLeft(lit(null).cast("long")) { (acc, l) =>
+        when(size(col("__t")) === l,
+          element_at(graft.functions.ShingleHashes(col("__t"), l), 1))
+          .otherwise(acc)
+      }
+      sized.select(col("surface"), col("alias_iri"), ng.as("__ng"))
+        .filter(col("__ng").isNotNull)
+    }
     val spans = ngramSpanHashes(transcripts, lengths)
     val conf = transcripts.sparkSession.conf
     val bc = broadcastGaz.getOrElse {

@@ -34,18 +34,35 @@ object Transcripts {
       import org.apache.hadoop.fs.Path
       val conf = spark.sessionState.newHadoopConf()
       val root = new Path(s"$sfDir/documents.parquet")
-      val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).iterator.map(_.getPath)
-            .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-            .toSeq
-        else Seq(root)
-      files.map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+      try {
+        val fs = root.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(root).isDirectory) {
+            // FILES only, recursive (review-found: a flat listStatus
+            // opened partition SUBDIRECTORIES as parquet files and threw
+            // on layouts the replaced count() handled fine)
+            val it = fs.listFiles(root, true)
+            val buf = scala.collection.mutable.ArrayBuffer[Path]()
+            while (it.hasNext) {
+              val p = it.next().getPath
+              if (!p.getName.startsWith("_") && !p.getName.startsWith("."))
+                buf += p
+            }
+            buf.toSeq
+          } else Seq(root)
+        files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // any layout the footer probe can't handle falls back to the
+          // universal one-job count this probe replaced (same number)
+          System.err.println(
+            s"[transcripts] footer count fell back to count(): $e")
+          spark.read.parquet(s"$sfDir/documents.parquet").count()
+      }
     })
 
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
