@@ -234,4 +234,20 @@ class RulesSpec extends AnyFunSuite {
     assert(got.contains("<urn:bnode:b0>"))
     assert(got.exists(_.startsWith("<urn:literal:")))
   }
+
+  test("transcripts over a PARTITIONED documents layout (r10 regression: " +
+      "the driver-side footer count must recurse into k=v subdirectories)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_sf").toString
+    val src = TestSpark.sf0001
+    spark.read.parquet(s"$src/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("part", col("doc_id") % 3)
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$dir/documents.parquet")
+    val t = Transcripts(spark, dir)
+    val base = Transcripts(spark, src)
+    assert(t.exceptAll(base).count() === 0)
+    assert(base.exceptAll(t).count() === 0)
+  }
 }
